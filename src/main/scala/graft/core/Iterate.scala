@@ -1,0 +1,206 @@
+package graft.core
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.reflect.ClassTag
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.Dataset
+import org.apache.spark.storage.StorageLevel
+
+/** Per-iteration metadata handed to both computables.
+  *
+  * Mirrors the reference's `MasterContext`/`WorkerContext` iteration fields
+  * (guagua-core/src/main/java/ml/shifu/guagua/master/MasterContext.java:45-60)
+  * minus all coordination state, which Spark owns here.
+  */
+final case class IterationContext(currentIteration: Int, totalIterations: Int, appId: String)
+
+/** Worker-side step: fold one cached partition into a worker result, given the
+  * previous master result.
+  *
+  * Re-expression of `WorkerComputable.compute(WorkerContext)`
+  * (guagua-core/src/main/java/ml/shifu/guagua/worker/WorkerComputable.java:60-74).
+  * A "worker" is a Dataset partition; the load-once contract of
+  * `AbstractWorkerComputable` (worker/AbstractWorkerComputable.java:66-104) is
+  * provided by persisting the input once before the loop.
+  */
+trait WorkerComputable[T, M, W] extends Serializable {
+  def compute(records: Iterator[T], lastMaster: Option[M], ctx: IterationContext): W
+}
+
+/** Master-side step: fold all worker results into the next master result.
+  *
+  * Re-expression of `MasterComputable.compute(MasterContext)`
+  * (guagua-core/src/main/java/ml/shifu/guagua/master/MasterComputable.java:51-63).
+  * `workerResults` is a single pre-combined element when a combiner is
+  * supplied (the reference's `Combinable` path, io/Combinable.java:24-31), or
+  * one element per partition otherwise.
+  */
+trait MasterComputable[M, W] extends Serializable {
+  def compute(workerResults: Iterator[W], lastMaster: Option[M], ctx: IterationContext): M
+}
+
+/** Driver-side lifecycle hooks — the Spark-native form of the reference's
+  * interceptor chain + completion callbacks
+  * (master/MasterInterceptor.java:49, master/MasterContext.java:252-260).
+  * preApplication/postApplication ≙ onStart/onComplete;
+  * pre/postIteration ≙ onIterationStart/onIterationEnd (pre hooks run FIFO,
+  * post hooks FILO, matching GuaguaMasterService.java:369-415).
+  */
+trait IterationListener[M] {
+  def onStart(totalIterations: Int): Unit = ()
+  def onIterationStart(iteration: Int): Unit = ()
+  def onIterationEnd(iteration: Int, master: M, elapsedMillis: Long): Unit = ()
+  def onComplete(result: IterationResult[M]): Unit = ()
+}
+
+final case class IterationResult[M](
+    master: M,
+    iterations: Int,
+    halted: Boolean,
+    elapsedMillis: Long)
+
+/** The iterative master/worker kernel — guagua's one computational pattern
+  * (GuaguaMasterService.run, guagua-core/.../master/GuaguaMasterService.java:185-215)
+  * rebuilt on Spark primitives:
+  *
+  *   - worker compute  ≙ `rdd.mapPartitions` (one result per partition);
+  *   - combinable path ≙ `treeReduce` (executor-side partial merge — the
+  *     reference's eager combiner, NettyMasterCoordinator.java:157-236, plus
+  *     tree levels it never had);
+  *   - master→worker broadcast ≙ `sparkContext.broadcast` per iteration
+  *     (replaces ZooKeeper znode chunking, BasicCoordinator.java:304-346);
+  *   - barrier ≙ the Spark stage boundary; straggler handling is the
+  *     scheduler's (speculation-safe because workers are pure functions of
+  *     (partition, lastMaster) — unlike the reference, which had to disable
+  *     speculative execution, GuaguaMapReduceClient.java:429-433);
+  *   - fail-over ≙ RDD lineage/task retry within a job, plus optional
+  *     per-iteration driver checkpointing of the master state for cross-job
+  *     restart (AbstractMasterCoordinator.java:194-238 semantics).
+  *
+  * Scale notes (100 TB / 1000 executors): the only data movement per
+  * iteration is |partitions| worker results to the driver (tree-combined when
+  * a combiner exists, so driver receives O(1) results of size |W|) and one
+  * broadcast of M back out (BitTorrent-style torrent broadcast, no 1 MB znode
+  * chunking limit). The input is scanned from cluster-local cache
+  * (MEMORY_AND_DISK), never reshuffled across iterations.
+  */
+object Iterate {
+
+  def run[T, M, W: ClassTag](
+      data: Dataset[T],
+      worker: WorkerComputable[T, M, W],
+      master: MasterComputable[M, W],
+      maxIterations: Int = 50,
+      halt: M => Boolean = (_: M) => false,
+      combine: Option[(W, W) => W] = None,
+      listeners: Seq[IterationListener[M]] = Nil,
+      checkpointDir: Option[String] = None,
+      treeDepth: Int = 2): IterationResult[M] = {
+    val sc = data.sparkSession.sparkContext
+    val appId = sc.applicationId
+
+    // Load-once / iterate-many (AbstractWorkerComputable.java:66-104): cache
+    // the deserialized records so every iteration after the first reads from
+    // executor memory (spilling to local disk like the reference's
+    // MemoryDiskList, util/MemoryDiskList.java:38, but managed by Spark).
+    val cached: RDD[T] =
+      if (data.storageLevel != StorageLevel.NONE) data.rdd
+      else data.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+
+    val t0 = System.nanoTime()
+    listeners.foreach(_.onStart(maxIterations))
+
+    // Cross-job restart: resume from the last checkpointed master state
+    // (fail-over semantics of AbstractMasterCoordinator.java:194-238).
+    var lastMaster: Option[M] = None
+    var startIteration = 1
+    checkpointDir.foreach { dir =>
+      Checkpoint.restore[M](dir).foreach { case (it, m) =>
+        lastMaster = Some(m)
+        startIteration = it + 1
+      }
+    }
+
+    var iteration = startIteration
+    var halted = false
+    var completed = 0
+    while (iteration <= maxIterations && !halted) {
+      val iterStart = System.nanoTime()
+      listeners.foreach(_.onIterationStart(iteration))
+      val ctx = IterationContext(iteration, maxIterations, appId)
+
+      // Master→worker hop: one broadcast per iteration, destroyed eagerly
+      // afterwards — the reference's "release results early" hygiene
+      // (NettyMasterCoordinator.java:711-713) applied to driver memory.
+      val bc = sc.broadcast(lastMaster)
+      val w = worker // avoid capturing `this` in the task closure
+      val workerResults: RDD[W] =
+        cached.mapPartitions(p => Iterator.single(w.compute(p, bc.value, ctx)))
+
+      val nextMaster: M = combine match {
+        case Some(c) =>
+          // Combinable path: partial merges run on executors and at
+          // intermediate tree levels, so the driver folds O(1) results no
+          // matter how many partitions exist — this is what makes the kernel
+          // safe at 10^5 partitions where collect() would not be.
+          val reduced = workerResults.treeReduce(c, treeDepth)
+          master.compute(Iterator.single(reduced), bc.value, ctx)
+        case None =>
+          // Non-combinable masters see every per-partition result, streamed
+          // off the collected array (bounded by partitions × |W|; same bound
+          // the reference has, SURVEY §7.4).
+          master.compute(workerResults.collect().iterator, bc.value, ctx)
+      }
+      bc.destroy()
+
+      lastMaster = Some(nextMaster)
+      checkpointDir.foreach(dir => Checkpoint.save(dir, iteration, nextMaster))
+      halted = halt(nextMaster)
+      completed = iteration
+      listeners.foreach(
+        _.onIterationEnd(iteration, nextMaster, (System.nanoTime() - iterStart) / 1000000L))
+      iteration += 1
+    }
+
+    if (data.storageLevel == StorageLevel.NONE) cached.unpersist(blocking = false)
+    val result = IterationResult(
+      lastMaster.getOrElse(throw new IllegalStateException("zero iterations ran")),
+      completed,
+      halted,
+      (System.nanoTime() - t0) / 1000000L)
+    listeners.foreach(_.onComplete(result))
+    result
+  }
+}
+
+/** Java-serialized per-iteration master-state checkpoints. Keeps only the
+  * newest state (the reference keeps the last 2 iterations' znodes,
+  * NettyMasterCoordinator.java:750-780; one is enough when writes are
+  * atomic-rename).
+  */
+private[core] object Checkpoint {
+  private def stateFile(dir: String): Path = Paths.get(dir, "master_state.bin")
+
+  def save[M](dir: String, iteration: Int, m: M): Unit = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    val tmp = Files.createTempFile(d, "master_state", ".tmp")
+    val oos = new java.io.ObjectOutputStream(Files.newOutputStream(tmp))
+    try { oos.writeInt(iteration); oos.writeObject(m.asInstanceOf[AnyRef]) }
+    finally oos.close()
+    Files.move(tmp, stateFile(dir), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def restore[M](dir: String): Option[(Int, M)] = {
+    val f = stateFile(dir)
+    if (!Files.exists(f)) None
+    else {
+      val ois = new java.io.ObjectInputStream(Files.newInputStream(f))
+      try Some((ois.readInt(), ois.readObject().asInstanceOf[M]))
+      finally ois.close()
+    }
+  }
+}

@@ -1,0 +1,100 @@
+package graft.core
+
+import java.nio.file.Files
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.IterativeSum
+
+class IterateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sumFixture = {
+    // The reference's sum fixture semantics: 2 splits totalling 15
+    // (guagua-examples/src/test/resources/sum/{a,b}.txt); partition count is
+    // pinned to 2 because the recurrence is partition-count sensitive.
+    spark.read.textFile(getClass.getResource("/sum").getPath)
+      .map(_.trim.toLong)
+      .repartition(2)
+  }
+
+  test("golden: reference SumTest value 15345 after 10 iterations (SumTest.java:64-65)") {
+    val r = IterativeSum.run(sumFixture, maxIterations = 10, haltAbove = Long.MaxValue)
+    assert(r.master == 15345L)
+    assert(r.iterations == 10)
+    assert(!r.halted)
+  }
+
+  test("halt flag stops the loop early (SumMaster > 1,000,000 semantics)") {
+    val r = IterativeSum.run(sumFixture, maxIterations = 50, haltAbove = 1000000L)
+    // s_i = 2*s_{i-1} + 15 crosses 1,000,000 at iteration 17 (s_17 = 1966065).
+    assert(r.halted)
+    assert(r.iterations == 17)
+    assert(r.master == IterativeSum.closedForm(15, 2, 17))
+  }
+
+  test("combinable and non-combinable paths agree") {
+    val data = sumFixture
+    val worker = new IterativeSum.SumWorker
+    val master = new IterativeSum.SumMaster
+    val combined = Iterate.run[Long, Long, Long](
+      data, worker, master, maxIterations = 5, combine = Some(_ + _))
+    val collected = Iterate.run[Long, Long, Long](
+      data, worker, master, maxIterations = 5, combine = None)
+    assert(combined.master == collected.master)
+    assert(combined.master == IterativeSum.closedForm(15, 2, 5))
+  }
+
+  test("listeners fire per iteration in order; onComplete sees final state") {
+    val events = ArrayBuffer.empty[String]
+    val l = new IterationListener[Long] {
+      override def onStart(total: Int): Unit = events += s"start:$total"
+      override def onIterationStart(i: Int): Unit = events += s"pre:$i"
+      override def onIterationEnd(i: Int, m: Long, ms: Long): Unit = events += s"post:$i:$m"
+      override def onComplete(r: IterationResult[Long]): Unit = events += s"done:${r.master}"
+    }
+    val r = IterativeSum.run(sumFixture, maxIterations = 3, haltAbove = Long.MaxValue)
+    Iterate.run[Long, Long, Long](
+      sumFixture, new IterativeSum.SumWorker, new IterativeSum.SumMaster,
+      maxIterations = 3, combine = Some(_ + _), listeners = Seq(l))
+    assert(events.toList == List(
+      "start:3", "pre:1", "post:1:15", "pre:2", "post:2:45", "pre:3", "post:3:105",
+      s"done:${r.master}"))
+  }
+
+  test("checkpoint: loop resumes from persisted master state") {
+    val dir = Files.createTempDirectory("graft-ckpt").toString
+    val first = Iterate.run[Long, Long, Long](
+      sumFixture, new IterativeSum.SumWorker, new IterativeSum.SumMaster,
+      maxIterations = 4, combine = Some(_ + _), checkpointDir = Some(dir))
+    assert(first.master == IterativeSum.closedForm(15, 2, 4))
+    // A "restarted job" with a larger budget picks up at iteration 5.
+    val resumed = Iterate.run[Long, Long, Long](
+      sumFixture, new IterativeSum.SumWorker, new IterativeSum.SumMaster,
+      maxIterations = 10, combine = Some(_ + _), checkpointDir = Some(dir))
+    assert(resumed.master == 15345L)
+    assert(resumed.iterations == 10)
+  }
+
+  test("master sees one pre-combined result on the combinable path, P results otherwise") {
+    var seen = -1
+    val countingMaster = new MasterComputable[Long, Long] {
+      def compute(ws: Iterator[Long], last: Option[Long], ctx: IterationContext): Long = {
+        val list = ws.toList
+        seen = list.size
+        list.sum
+      }
+    }
+    Iterate.run[Long, Long, Long](
+      sumFixture, new IterativeSum.SumWorker, countingMaster,
+      maxIterations = 1, combine = Some(_ + _))
+    assert(seen == 1)
+    Iterate.run[Long, Long, Long](
+      sumFixture, new IterativeSum.SumWorker, countingMaster, maxIterations = 1)
+    assert(seen == 2)
+  }
+}
