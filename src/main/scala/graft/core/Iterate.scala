@@ -108,6 +108,11 @@ object Iterate {
     val cached: RDD[T] =
       if (data.storageLevel != StorageLevel.NONE) data.rdd
       else data.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    // Zero input is a hard error in the reference too
+    // (AbstractWorkerComputable.java:87-90); fail with a message instead of
+    // letting treeReduce throw "empty collection" on a partition-less RDD.
+    require(cached.getNumPartitions > 0,
+      "Iterate.run: input Dataset has no partitions (empty input?)")
 
     val t0 = System.nanoTime()
     listeners.foreach(_.onStart(maxIterations))

@@ -1,0 +1,34 @@
+package graft.examples
+
+/** Runnable example: train linear + logistic models through the public
+  * GradientDescent API — doubles as the end-to-end drive for the iterate
+  * kernel outside the query surface.
+  */
+import org.apache.spark.sql.SparkSession
+import graft.operators.GradientDescent
+import graft.operators.GradientDescent._
+
+object GradientDescentExample {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val data = Seq.fill(300) {
+      val x = Array(1.0, rnd.nextGaussian(), rnd.nextGaussian())
+      LabeledPoint(x, 2.0 + 1.5 * x(1) - 0.5 * x(2))
+    }
+    val r = GradientDescent.run(spark.createDataset(data).repartition(4),
+      dims = 3, link = Identity, iterations = 150, learnRate = 0.3,
+      seed = 42L, averageGradient = true)
+    println(f"DRIVE weights=${r.master.weights.map(w => f"$w%.4f").mkString(",")} iters=${r.iterations} err=${r.master.iterationError}%.6g")
+    // probe: empty dataset partition behavior
+    val empty = spark.createDataset(Seq.empty[LabeledPoint])
+    try {
+      val r2 = GradientDescent.run(empty, dims = 3, link = Sigmoid, iterations = 3, learnRate = 0.1)
+      println(s"DRIVE-EMPTY ok iters=${r2.iterations} w0=${r2.master.weights(0)}")
+    } catch { case e: Throwable => println(s"DRIVE-EMPTY threw: ${e.getClass.getSimpleName}: ${e.getMessage}") }
+    spark.stop()
+  }
+}

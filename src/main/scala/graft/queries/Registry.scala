@@ -7,7 +7,13 @@ object Registry {
   val all: Seq[GraftQuery] = Seq(
     Q1Agg,
     Q2IterSum,
+    Q3LrGradient,
+    Q4LnrGradient,
+    Q5KMeansAssign,
+    Q6KMeansSeed,
     Q7GroupedAgg,
+    Q8TaggedSink,
+    Q9KMeansLoop,
     Q10Split,
     D1ExactDedup,
     T4Fingerprint)
