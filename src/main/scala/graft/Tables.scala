@@ -26,7 +26,17 @@ object Tables {
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
   def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
-  def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read as
+    * a timestamp; read it as raw nanos (legacy flag) and rebuild a
+    * microsecond TimestampType with exact integer arithmetic (ns div 1000 —
+    * no double round-trip, which would lose precision above 2^53 ns).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, sfDir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 }

@@ -15,6 +15,10 @@ object Registry {
     Q8TaggedSink,
     Q9KMeansLoop,
     Q10Split,
+    J1JoinRevenue,
+    J2TopK,
+    W1WindowAgg,
+    W2Sessions,
     D1ExactDedup,
     T4Fingerprint)
 
