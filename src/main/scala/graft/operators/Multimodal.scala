@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` payloads with typed
+  * metadata, decoded/feature-extracted in executor-parallel batches.
+  *
+  * The decode itself is STUBBED (no image/audio codecs in this environment)
+  * with a deterministic function of the payload bytes — clearly marked
+  * below. Everything around it is the real Spark shape a production decode
+  * would use:
+  *   - schema: `payload BINARY` + `media STRUCT<format,width,height,n_frames>`
+  *   - partition-batched execution via `mapPartitions` on a typed Dataset
+  *     (the Scala-side analogue of arrow-batched decode UDFs: one decoder
+  *     instantiation per partition, streamed row batches, no driver
+  *     involvement)
+  *   - declarative pre-filter/projection so only selected payloads are ever
+  *     materialized.
+  *
+  * At 100 TB the payload column dominates storage: keep it in its own
+  * parquet column (columnar pruning means metadata-only queries never read
+  * it), size `maxPartitionBytes` to a few hundred MB so a partition of
+  * payloads fits executor memory, and decode AFTER pushdown filters.
+  */
+object Multimodal {
+
+  final case class MediaRecord(doc_id: Long, payload: Array[Byte])
+  final case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      mean_byte: Double)
+
+  /** STUB DECODER — deterministic fake standing in for an image/video codec.
+    * Derives "dimensions" from a stable byte hash and "pixel stats" from the
+    * raw bytes. Replace the body with a real codec call; the signature and
+    * batching contract are the production ones.
+    */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Int, Double) = {
+    var h = 1125899906842597L // FNV-ish rolling hash over the payload
+    var i = 0
+    var sum = 0L
+    while (i < payload.length) {
+      h = h * 31 + (payload(i) & 0xff)
+      sum += (payload(i) & 0xff)
+      i += 1
+    }
+    val pos = h & Long.MaxValue
+    val width = 16 + (pos % 1024).toInt
+    val height = 16 + ((pos >> 10) % 1024).toInt
+    val frames = 1 + ((pos >> 20) % 16).toInt
+    val mean = if (payload.length == 0) 0.0 else sum.toDouble / payload.length
+    (width, height, frames, mean)
+  }
+
+  /** Attach a binary payload column (here faked from text — in production
+    * this IS the stored media column).
+    */
+  def attachPayload(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** Partition-batched feature extraction: one decode pass per executor
+    * partition, typed end to end.
+    */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // Per-partition decoder setup would go here (codec init, scratch buffers).
+      it.map { r =>
+        val (w, h, f, mean) = decodeStub(r.payload)
+        MediaFeatures(r.doc_id, r.payload.length, w, h, f, mean)
+      }
+    }
+  }
+
+  def pipeline(spark: SparkSession, documents: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    extractFeatures(attachPayload(documents).as[MediaRecord])
+  }
+}

@@ -20,7 +20,17 @@ object Registry {
     W1WindowAgg,
     W2Sessions,
     D1ExactDedup,
-    T4Fingerprint)
+    D2MinhashLsh,
+    D3SimHash,
+    D4NgramJaccard,
+    D5EmbedDedup,
+    S1AnnBrute,
+    S2AnnLsh,
+    T1LangId,
+    T2Quality,
+    T3TokenCount,
+    T4Fingerprint,
+    M1MultimodalMeta)
 
   def byName(name: String): GraftQuery =
     all.find(_.name == name).getOrElse(

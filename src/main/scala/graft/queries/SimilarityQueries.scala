@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.VectorOps
+
+/** Embedding dimensionality of the test tables (embeddings.embedding). */
+private[queries] object Embeddings {
+  val dims = 64
+}
+
+/** d5: embedding-cosine similar-pair mining (cos ≥ 0.35 — the top ~0.1%
+  * tail of this embedding space, whose max off-diagonal cosine is 0.51),
+  * brute-force all-pairs — the correctness baseline the LSH path (s2)
+  * approximates.
+  *
+  * Scale: all-pairs is O(n²) and exists for verification; at corpus scale
+  * the same cosine expression runs inside the s2 bucket join instead. The
+  * per-row norm is projected BEFORE the join so each side's norm is computed
+  * n times, not n² times.
+  */
+object D5EmbedDedup extends GraftQuery {
+  val name = "d5_embed_dup"
+  val describe = "embedding cosine >= 0.35 similar pairs, brute force (LSH scale path = s2)"
+
+  private val threshold = 0.35
+  private val d = Embeddings.dims
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding"), d).as("nrm"))
+    val cos = VectorOps.dot(col("a.embedding"), col("b.embedding"), d) /
+      (col("a.nrm") * col("b.nrm"))
+    e.alias("a")
+      .join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), cos.as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+  }
+
+  val oracle = {
+    val cos = s"(${VectorOps.dotSql("a.embedding", "b.embedding", d)}) / (a.nrm * b.nrm)"
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding, ${VectorOps.normSql("embedding", d)} AS nrm FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cos, 6) AS cosine
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE $cos >= $threshold""".stripMargin)
+  }
+}
+
+/** s1: brute-force cosine top-k neighbours for a pinned query set — the
+  * exact-ANN baseline. Ranking windows partition by query, so the sort is
+  * per-query over its candidate list, never global. Ties broken by
+  * neighbour id; similarities are bit-identical across engines (unrolled
+  * IEEE arithmetic), so ranks are too.
+  */
+object S1AnnBrute extends GraftQuery {
+  val name = "s1_ann_brute"
+  val describe = "exact cosine top-10 neighbours for query vectors (vec_id < 5)"
+
+  private val k = 10
+  private val nQueries = 5
+  private val d = Embeddings.dims
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding"), d).as("nrm"))
+    val q = e.filter(col("vec_id") < nQueries)
+    val cos = VectorOps.dot(col("q.embedding"), col("n.embedding"), d) /
+      (col("q.nrm") * col("n.nrm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    q.alias("q")
+      .join(e.alias("n"), col("q.vec_id") =!= col("n.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("n.vec_id").as("neighbor_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  val oracle = {
+    val cos = s"(${VectorOps.dotSql("q.embedding", "n.embedding", d)}) / (q.nrm * n.nrm)"
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding, ${VectorOps.normSql("embedding", d)} AS nrm FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id < $nQueries),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, $cos AS cos
+         |  FROM q JOIN e n ON q.vec_id <> n.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+         |FROM ranked WHERE rank <= $k""".stripMargin)
+  }
+}
+
+/** s2: sign-LSH bucketed approximate nearest neighbours — the scale path.
+  * Seeded hyperplanes hash every vector to a bucket id; candidates are
+  * same-bucket only, so the join cost is Σ bucket² instead of n². Recall is
+  * traded for the pinned seed's bucket geometry; both engines compute the
+  * identical buckets from the identical inlined plane constants. Plane
+  * count sets the partition granularity: 4 planes → 16 buckets sized for
+  * this corpus (more planes at corpus scale, or multiple hash tables for
+  * recall).
+  */
+object S2AnnLsh extends GraftQuery {
+  val name = "s2_ann_lsh"
+  val describe = "sign-LSH (4 planes) bucketed cosine top-10 for query vectors"
+
+  private val k = 10
+  private val nQueries = 5
+  private val d = Embeddings.dims
+  private val planes = VectorOps.hyperplanes(nPlanes = 4, d = d, seed = 42L)
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir).select(
+      col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding"), d).as("nrm"),
+      VectorOps.lshBucket(col("embedding"), planes).as("bucket"))
+    val q = e.filter(col("vec_id") < nQueries)
+    val cos = VectorOps.dot(col("q.embedding"), col("n.embedding"), d) /
+      (col("q.nrm") * col("n.nrm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    q.alias("q")
+      .join(e.alias("n"),
+        col("q.bucket") === col("n.bucket") && col("q.vec_id") =!= col("n.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("n.vec_id").as("neighbor_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  val oracle = {
+    val bucket = VectorOps.lshBucketSql("embedding", planes)
+    val cos = s"(${VectorOps.dotSql("q.embedding", "n.embedding", d)}) / (q.nrm * n.nrm)"
+    Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${VectorOps.normSql("embedding", d)} AS nrm,
+         |         CAST($bucket AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id < $nQueries),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, $cos AS cos
+         |  FROM q JOIN e n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+         |FROM ranked WHERE rank <= $k""".stripMargin)
+  }
+}

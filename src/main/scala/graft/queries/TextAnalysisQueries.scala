@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable
+import graft.operators.TextOps
+
+/** t1: stopword-profile language ID. Scores each document's distinct-token
+  * set against per-language stopword lists (set intersection — executor-local
+  * array work) and takes the deterministic argmax with a fixed preference
+  * order on ties. A character-n-gram profile would be the production
+  * upgrade; the pipeline shape (per-row scoring → argmax → no shuffle at
+  * all) is identical.
+  */
+object T1LangId extends GraftQuery {
+  val name = "t1_langid"
+  val describe = "stopword-profile language ID with per-language scores + argmax"
+
+  // Public-knowledge stopword shortlists.
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "des", "une", "dans", "que"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "no", "con", "una", "por"))
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = array_distinct(TextOps.tokens(col("text")))
+    val scores = profiles.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+    }
+    val pred = scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+      case ((bestScore, bestLang), (lang, score)) =>
+        (when(score > bestScore, score).otherwise(bestScore),
+          when(score > bestScore, lit(lang)).otherwise(bestLang))
+    }._2
+    Tables.documents(spark, sfDir).select(
+      col("doc_id") +:
+        scores.map { case (lang, s) => s.as(s"score_$lang") } :+
+        pred.as("pred_lang"): _*)
+  }
+
+  val oracle = {
+    val toks = s"list_distinct(${TextOps.tokensSql("text")})"
+    val scoreExprs = profiles.map { case (lang, words) =>
+      val listLit = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      lang -> s"len(list_intersect(toks, $listLit))"
+    }
+    // Same strict-> fold as the Column version: later languages win only on
+    // strictly greater scores.
+    val pred = scoreExprs.tail.foldLeft((scoreExprs.head._2, s"'${scoreExprs.head._1}'")) {
+      case ((bestScore, bestLang), (lang, score)) =>
+        (s"(CASE WHEN $score > $bestScore THEN $score ELSE $bestScore END)",
+          s"(CASE WHEN $score > $bestScore THEN '$lang' ELSE $bestLang END)")
+    }._2
+    Some(
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)
+         |SELECT doc_id,
+         |       ${scoreExprs.map { case (l, e) => s"$e AS score_$l" }.mkString(",\n       ")},
+         |       $pred AS pred_lang
+         |FROM t""".stripMargin)
+  }
+}
+
+/** t2: document quality scoring — length, punctuation density, stopword
+  * ratio, mean word length folded into a logistic score. Pure per-row
+  * arithmetic (scan-bound, fully codegen'd); the score is the standard
+  * pre-training quality-filter shape.
+  */
+object T2Quality extends GraftQuery {
+  val name = "t2_quality"
+  val describe = "quality score: length/punct/stopword/word-length signals, logistic blend"
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nChar = length(col("text")).cast("double")
+    val nPunct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("double")
+    val nStop = size(array_intersect(array_distinct(toks),
+      array(stopwords.map(lit): _*))).cast("double")
+    val meanWordLen =
+      length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok
+    val z = lit(0.5) * log(nTok + 1.0) - lit(4.0) * (nPunct / nChar) +
+      lit(2.0) * (nStop / lit(stopwords.length.toDouble)) - lit(0.3) * meanWordLen
+    val quality = lit(1.0) / (lit(1.0) + exp(-z))
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      round(nPunct / nChar, 6).as("punct_ratio"),
+      round(meanWordLen, 6).as("mean_word_len"),
+      round(quality, 6).as("quality"))
+  }
+
+  val oracle = {
+    val toks = TextOps.tokensSql("text")
+    val stopLit = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $toks AS toks,
+         |         CAST(len($toks) AS DOUBLE) AS n_tok,
+         |         CAST(length(text) AS DOUBLE) AS n_char,
+         |         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+         |         CAST(len(list_intersect(list_distinct($toks), $stopLit)) AS DOUBLE) AS n_stop,
+         |         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / CAST(len($toks) AS DOUBLE) AS mean_word_len
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(n_tok AS BIGINT) AS n_tokens,
+         |       round(n_punct / n_char, 6) AS punct_ratio,
+         |       round(mean_word_len, 6) AS mean_word_len,
+         |       round(1.0 / (1.0 + exp(-(0.5 * ln(n_tok + 1.0) - 4.0 * (n_punct / n_char) + 2.0 * (n_stop / ${stopwords.length}.0) - 0.3 * mean_word_len))), 6) AS quality
+         |FROM t""".stripMargin)
+  }
+}
+
+/** t3: token counting — whitespace words plus a BPE-ish regex segmentation
+  * (letter runs / digit runs / single symbols), the cheap proxy for
+  * tokenizer-cost estimation over a corpus. Scan-bound projection.
+  */
+object T3TokenCount extends GraftQuery {
+  val name = "t3_token_count"
+  val describe = "whitespace + BPE-ish regex token counts per document"
+
+  private val subwordPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit(subwordPattern), lit(0)))
+        .cast("long").as("subword_tokens"),
+      length(col("text")).cast("long").as("n_chars_actual"))
+
+  val oracle = Some(
+    s"""SELECT doc_id,
+       |       CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS ws_tokens,
+       |       CAST(len(regexp_extract_all(lower(text), '$subwordPattern')) AS BIGINT) AS subword_tokens,
+       |       CAST(length(text) AS BIGINT) AS n_chars_actual
+       |FROM documents""".stripMargin)
+}
