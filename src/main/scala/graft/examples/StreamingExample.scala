@@ -1,0 +1,50 @@
+package graft.examples
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.EventStream
+
+/** Runnable example: drive the streaming windowed aggregation from a real
+  * file source (parquet files landing in a directory — the standard
+  * ingestion pattern), not a test harness stream.
+  */
+object StreamingExample {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    val landing = Files.createTempDirectory("graft_stream_landing")
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+
+    // events.ts is TIMESTAMP(NANOS) → read as long, rebuild (Tables.events
+    // does the same for the batch path).
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val raw = spark.readStream.schema(schema).parquet(landing.toString)
+    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+    val q = EventStream.windowedAgg(events).writeStream
+      .format("memory").queryName("windowed").outputMode("complete").start()
+
+    // Simulate a file arriving in the landing directory.
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      landing.resolve("batch0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    q.processAllAvailable()
+    val n = spark.table("windowed").count()
+    val top = spark.table("windowed").orderBy(col("n_events").desc).limit(1).collect()(0)
+    println(s"DRIVE-STREAM windows=$n top=${top.mkString(",")}")
+    q.stop()
+    spark.stop()
+  }
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured Streaming operators over the events stream — the engine's
+  * streaming surface (the reference has none: its "iterations" re-scan a
+  * static cache, SURVEY §2.E; this is new capability, not a port).
+  *
+  * Both operators have oracle-verified batch twins (w1_window_agg,
+  * w2_sessions) computing identical results on the same data — the
+  * equivalence is asserted in EventStreamSpec, which is how the streaming
+  * path inherits the DuckDB correctness gate.
+  *
+  * Scale: windowed aggregation state is bounded by the watermark horizon ×
+  * group cardinality; session state is one small record per active user,
+  * hash-partitioned by user_id across executors. Both checkpoint
+  * incrementally via the streaming state store.
+  */
+object EventStream {
+
+  final case class Event(
+      event_id: Long,
+      ts: java.sql.Timestamp,
+      user_id: Long,
+      event_type: String,
+      value: Double)
+
+  final case class SessionState(lastSec: Long, nSessions: Long, nEvents: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Tumbling-window counts/sums with a watermark bounding state retention.
+    * Output schema matches the batch twin w1 (epoch-second window start).
+    */
+  def windowedAgg(
+      events: DataFrame,
+      width: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("w_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Per-user sessionization with `mapGroupsWithState`: state is (last event
+    * second, session count, event count); a gap > `gapSec` opens a new
+    * session. Within one micro-batch events are sorted by event time; across
+    * batches correctness relies on batches arriving in time order (the
+    * production variant pairs this with a watermark + EventTimeTimeout to
+    * emit finalized sessions instead of running counts).
+    */
+  def sessionCounts(events: Dataset[Event], gapSec: Long = 1800L): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val sec = e.ts.getTime / 1000
+            val newSession = st.lastSec == Long.MinValue || sec - st.lastSec > gapSec
+            st = SessionState(sec,
+              st.nSessions + (if (newSession) 1 else 0),
+              st.nEvents + 1)
+          }
+          state.update(st)
+          UserSessions(uid, st.nSessions, st.nEvents)
+      }
+  }
+}
