@@ -1,5 +1,21 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.queries.Registry
+
+/** Per-round benchmark harness: times every registered query on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line (driver contract).
+  *
+  * Measurement notes:
+  *   - results are materialized through the `noop` sink, which executes the
+  *     full plan; `.count()` would let Catalyst prune the measured work away
+  *     entirely (a projection benchmarked by count() computes nothing);
+  *   - one untimed warmup query first so session/JIT/codegen warmup isn't
+  *     attributed to whichever query runs first;
+  *   - shuffle partitions = cpu count (local mode; the 200 default just
+  *     fragments tiny partitions).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +23,28 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def exec(name: String): Unit =
+      Registry.byName(name).run(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+
+    // Warmup (untimed): touches the scan + codegen paths.
+    try exec("q1_agg") catch { case _: Throwable => () }
+
+    val results = Registry.all.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try exec(q.name)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      }
+      q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

