@@ -23,6 +23,16 @@ object GradientDescentExample {
       dims = 3, link = Identity, iterations = 150, learnRate = 0.3,
       seed = 42L, averageGradient = true)
     println(f"DRIVE weights=${r.master.weights.map(w => f"$w%.4f").mkString(",")} iters=${r.iterations} err=${r.master.iterationError}%.6g")
+    // C6: distributed NN training through the same kernel
+    import graft.operators.NeuralNet
+    val nnData = Seq.fill(400) {
+      val x = Array(rnd.nextGaussian(), rnd.nextGaussian())
+      NeuralNet.Sample(x, if (x(0) * x(1) > 0) 1.0 else 0.0, rnd.nextLong() & Long.MaxValue)
+    }
+    val nn = NeuralNet.train(spark.createDataset(nnData).repartition(4),
+      NeuralNet.Layers(Seq(2, 6, 1)), iterations = 200, learnRate = 0.05, seed = 11L)
+    println(f"DRIVE-NN trainErr=${nn.master.trainError}%.4f testErr=${nn.master.testError}%.4f iters=${nn.iterations}")
+
     // probe: empty dataset partition behavior
     val empty = spark.createDataset(Seq.empty[LabeledPoint])
     try {

@@ -75,22 +75,25 @@ object D2MinhashLsh extends GraftQuery {
        |SELECT doc_a, doc_b FROM cand""".stripMargin)
 }
 
-/** d3: 32-bit SimHash signatures over distinct word tokens. Signature
+/** d3: 32-bit SimHash signatures over distinct 3-gram shingles. Signature
   * computation is one explode + grouped bit-count aggregation — a single
   * shuffle on doc_id; the 32 bit-sums are plain codegen'd aggregates.
-  * Documents with identical signatures are duplicate candidates; banding the
-  * signature (as in d2) gives the hamming-distance scale path.
+  * Documents with near-equal signatures are duplicate candidates; d6 does
+  * the hamming banding. Shingles, not unigrams: this corpus's ~30-word
+  * shared vocabulary makes token-set simhashes collide for unrelated
+  * documents (1192 hamming-0 pairs at sf0.01), while shingle sets separate
+  * cleanly.
   */
 object D3SimHash extends GraftQuery {
   val name = "d3_simhash"
-  val describe = "32-bit simhash signature per document (distinct-token bit votes)"
+  val describe = "32-bit simhash signature per document (distinct 3-gram shingle bit votes)"
 
   private val bits = 32
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     val ex = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+        explode(array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3))).as("tok"))
       .select(col("doc_id"), Portable.hash60(col("tok")).as("h"))
     val bitSums = (0 until bits).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(1)).as(s"s$j"))
@@ -108,8 +111,8 @@ object D3SimHash extends GraftQuery {
       .mkString(" + ")
     Some(
       s"""WITH ex AS (
-         |  SELECT doc_id, unnest(list_distinct(${TextOps.tokensSql("text")})) AS tok
-         |  FROM documents),
+         |  SELECT doc_id, unnest(list_distinct(${TextOps.shinglesSql("t", 3)})) AS tok
+         |  FROM (SELECT doc_id, ${TextOps.tokensSql("text")} AS t FROM documents)),
          |hs AS (SELECT doc_id, $h AS h FROM ex),
          |g AS (SELECT doc_id, count(*) AS n, $bitSums FROM hs GROUP BY doc_id)
          |SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM g""".stripMargin)

@@ -24,6 +24,7 @@ object Registry {
     D3SimHash,
     D4NgramJaccard,
     D5EmbedDedup,
+    D6SimhashPairs,
     S1AnnBrute,
     S2AnnLsh,
     T1LangId,
