@@ -15,10 +15,14 @@ object Registry {
     Q8TaggedSink,
     Q9KMeansLoop,
     Q10Split,
+    Q11Rollup,
+    Q12Intersect,
+    Q13Except,
     J1JoinRevenue,
     J2TopK,
     W1WindowAgg,
     W2Sessions,
+    W3JsonExtract,
     D1ExactDedup,
     D2MinhashLsh,
     D3SimHash,

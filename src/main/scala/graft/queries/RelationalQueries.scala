@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** w3: JSON scalar extraction over events.props — the semi-structured
+  * column surface (get_json_object is codegen'd; the extraction happens
+  * before the aggregate, so the shuffle carries only (type, k) rows).
+  */
+object W3JsonExtract extends GraftQuery {
+  val name = "w3_json_extract"
+  val describe = "JSON property extraction from events.props + grouped aggregate"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 6).as("avg_k"))
+
+  val oracle = Some(
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+      |FROM events
+      |GROUP BY event_type""".stripMargin)
+}
+
+/** q11: ROLLUP grouping sets — subtotal/grand-total rows in one pass
+  * (Catalyst expands to a single Expand + aggregate; the reference has no
+  * grouping sets at all, SURVEY §2.E).
+  */
+object Q11Rollup extends GraftQuery {
+  val name = "q11_rollup"
+  val describe = "ROLLUP(l_returnflag, l_linestatus) with counts and sums"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+
+  val oracle = Some(
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |       round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
+}
+
+/** q12: INTERSECT — customers ordering in both halves of the first year
+  * (set semantics: implicit distinct on both sides).
+  */
+object Q12Intersect extends GraftQuery {
+  val name = "q12_intersect"
+  val describe = "INTERSECT: custkeys ordering in both 1995-H1 and 1995-H2"
+
+  private val mid = "1995-07-01 00:00:00"
+  private val end = "1996-01-01 00:00:00"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val h1 = o.filter(col("o_orderdate") < lit(mid).cast("timestamp"))
+      .select(col("o_custkey"))
+    val h2 = o.filter(col("o_orderdate") >= lit(mid).cast("timestamp") &&
+        col("o_orderdate") < lit(end).cast("timestamp"))
+      .select(col("o_custkey"))
+    h1.intersect(h2)
+  }
+
+  val oracle = Some(
+    s"""SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '$mid'
+       |INTERSECT
+       |SELECT o_custkey FROM orders
+       |WHERE o_orderdate >= TIMESTAMP '$mid' AND o_orderdate < TIMESTAMP '$end'""".stripMargin)
+}
+
+/** q13: EXCEPT — customers ordering in 1995-H1 but not in 1995-H2 (set
+  * difference; Catalyst plans this as an aggregate-free anti join).
+  */
+object Q13Except extends GraftQuery {
+  val name = "q13_except"
+  val describe = "EXCEPT: custkeys ordering in 1995-H1 but not 1995-H2"
+
+  private val mid = "1995-07-01 00:00:00"
+  private val end = "1996-01-01 00:00:00"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.filter(col("o_orderdate") < lit(mid).cast("timestamp"))
+      .select(col("o_custkey"))
+      .except(
+        o.filter(col("o_orderdate") >= lit(mid).cast("timestamp") &&
+            col("o_orderdate") < lit(end).cast("timestamp"))
+          .select(col("o_custkey")))
+  }
+
+  val oracle = Some(
+    s"""SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '$mid'
+       |EXCEPT
+       |SELECT o_custkey FROM orders
+       |WHERE o_orderdate >= TIMESTAMP '$mid' AND o_orderdate < TIMESTAMP '$end'""".stripMargin)
+}

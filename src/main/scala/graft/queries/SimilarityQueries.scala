@@ -90,12 +90,13 @@ object S1AnnBrute extends GraftQuery {
   private val d = Embeddings.dims
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"),
-        VectorOps.norm(col("embedding"), d).as("nrm"))
+    org.apache.spark.sql.graft.CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") < nQueries)
-    val cos = VectorOps.dot(col("q.embedding"), col("n.embedding"), d) /
-      (col("q.nrm") * col("n.nrm"))
+    // Native codegen'd expression; bit-identical to the oracle's unrolled
+    // per-dimension arithmetic (see o.a.s.sql.graft.CosineSimilarity).
+    val cos = org.apache.spark.sql.graft.CosineSimilarity.cosineSimilarity(
+      col("q.embedding"), col("n.embedding"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     q.alias("q")
       .join(e.alias("n"), col("q.vec_id") =!= col("n.vec_id"))
@@ -143,11 +144,11 @@ object S2AnnLsh extends GraftQuery {
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir).select(
       col("vec_id"), col("embedding"),
-      VectorOps.norm(col("embedding"), d).as("nrm"),
       VectorOps.lshBucket(col("embedding"), planes).as("bucket"))
     val q = e.filter(col("vec_id") < nQueries)
-    val cos = VectorOps.dot(col("q.embedding"), col("n.embedding"), d) /
-      (col("q.nrm") * col("n.nrm"))
+    org.apache.spark.sql.graft.CosineSimilarity.register(spark)
+    val cos = org.apache.spark.sql.graft.CosineSimilarity.cosineSimilarity(
+      col("q.embedding"), col("n.embedding"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     q.alias("q")
       .join(e.alias("n"),
