@@ -20,6 +20,7 @@ object Registry {
     Q13Except,
     J1JoinRevenue,
     J2TopK,
+    J3AsOf,
     W1WindowAgg,
     W2Sessions,
     W3JsonExtract,
