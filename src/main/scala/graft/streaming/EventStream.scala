@@ -45,6 +45,16 @@ object EventStream {
         unix_timestamp(col("window.start")).as("w_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact deduplication: emit each key's FIRST occurrence only,
+    * with state bounded by the watermark horizon (late duplicates beyond the
+    * watermark are dropped by definition). The streaming twin of the batch
+    * exact-dedup (d1): same key semantics, incremental state instead of a
+    * global groupBy — this is how the dedup pipeline runs over a live
+    * ingestion feed instead of a static corpus.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
   /** Per-user sessionization with `mapGroupsWithState`: state is (last event
     * second, session count, event count); a gap > `gapSec` opens a new
     * session. Within one micro-batch events are sorted by event time; across
