@@ -18,6 +18,7 @@ object Registry {
     Q11Rollup,
     Q12Intersect,
     Q13Except,
+    Q14Percentiles,
     J1JoinRevenue,
     J2TopK,
     J3AsOf,

@@ -55,6 +55,41 @@ object EventStream {
   def dedupStream(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** Streaming NEAR-dedup: drop any document whose full minhash signature
+    * tuple was already seen (watermarked state). Signature-tuple equality is
+    * the highest-precision LSH criterion (all bands must collide) — suited
+    * to a streaming admission filter where false drops are costly; batch
+    * jobs (d2/d4) do the recall-oriented banded candidate generation.
+    */
+  def nearDedupStream(
+      docs: DataFrame,
+      tsCol: String,
+      textCol: String,
+      nHashes: Int = 8,
+      watermark: String = "30 minutes"): DataFrame = {
+    val toks = graft.operators.TextOps.tokens(col(textCol))
+    val sh = graft.operators.TextOps.shingles(toks, 3)
+    val params = graft.operators.TextOps.minhashParams(nHashes)
+    val p = graft.operators.TextOps.MinhashPrime
+    val base = transform(array_distinct(sh),
+      s => graft.functions.Portable.hash60(s) % p)
+    // All k minhashes in ONE fold so the md5-per-shingle base array is
+    // evaluated once per row (k separate array_min(transform(base,...))
+    // expressions would each re-evaluate it — the HOF trap from
+    // TextOps.shingles), and deduplicated as ONE array-typed key column.
+    val sig = aggregate(
+      base,
+      array_repeat(lit(p), nHashes),
+      (acc, x) => array(params.zipWithIndex.map { case ((a, b), i) =>
+        least(element_at(acc, i + 1), (x * a + b) % p)
+      }: _*))
+    docs
+      .withColumn("__sig", sig)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("__sig")
+      .drop("__sig")
+  }
+
   /** Per-user sessionization with `mapGroupsWithState`: state is (last event
     * second, session count, event count); a gap > `gapSec` opens a new
     * session. Within one micro-batch events are sorted by event time; across

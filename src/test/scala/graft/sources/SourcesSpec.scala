@@ -1,0 +1,46 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.hadoop.io.{BytesWritable, LongWritable, Text}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("B1: text source reads the reference sum fixtures (with line semantics)") {
+    val ds = Sources.text(spark, getClass.getResource("/sum").getPath)
+    assert(ds.collect().map(_.trim.toLong).sum == 15L)
+  }
+
+  test("B2: SequenceFile as-text round-trips") {
+    val dir = Files.createTempDirectory("graft-seq").resolve("data").toString
+    val sc = spark.sparkContext
+    sc.parallelize(Seq(("k1", "v1"), ("k2", "v2"), ("k3", "v3")), 2)
+      .map { case (k, v) => (new Text(k), new Text(v)) }
+      .saveAsSequenceFile(dir)
+    val got = Sources.sequenceAsText(spark, dir).collect().toMap
+    assert(got == Map("k1" -> "v1", "k2" -> "v2", "k3" -> "v3"))
+  }
+
+  test("B2: SequenceFile as-binary round-trips byte-exactly") {
+    val dir = Files.createTempDirectory("graft-seqb").resolve("data").toString
+    val sc = spark.sparkContext
+    val payloads = Seq(Array[Byte](1, 2, 3), Array[Byte](-1, 0, 127))
+    sc.parallelize(payloads.zipWithIndex, 1)
+      .map { case (b, i) => (new LongWritable(i.toLong), new BytesWritable(b)) }
+      .saveAsSequenceFile(dir)
+    val got = Sources.sequenceAsBinary(spark, dir).collect().map(_.toSeq).toSet
+    assert(got == payloads.map(_.toSeq).toSet)
+  }
+
+  test("B1: delimited source parses pipe-separated numeric columns (kmeans fixture shape)") {
+    val dir = Files.createTempDirectory("graft-psv")
+    Files.writeString(dir.resolve("a.txt"), "1|2\n-2|-3\n4|5\n")
+    val df = Sources.delimited(spark, dir.toString, sep = "|")
+    assert(df.count() == 3)
+    assert(df.schema.fields.forall(_.dataType.typeName == "integer"))
+  }
+}
