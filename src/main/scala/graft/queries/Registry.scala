@@ -19,6 +19,9 @@ object Registry {
     Q12Intersect,
     Q13Except,
     Q14Percentiles,
+    Q15Pivot,
+    Q16Distinct,
+    J4RangeJoin,
     J1JoinRevenue,
     J2TopK,
     J3AsOf,
