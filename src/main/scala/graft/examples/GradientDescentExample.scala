@@ -33,6 +33,20 @@ object GradientDescentExample {
       NeuralNet.Layers(Seq(2, 6, 1)), iterations = 200, learnRate = 0.05, seed = 11L)
     println(f"DRIVE-NN trainErr=${nn.master.trainError}%.4f testErr=${nn.master.testError}%.4f iters=${nn.iterations}")
 
+    // Bagged ensemble through the multi-job utility (reference §2.D bagging)
+    val bag = graft.core.Bagging.run(nJobs = 3) { i =>
+      val brnd = new scala.util.Random(500 + i)
+      val bdata = Seq.fill(200) {
+        val x = Array(1.0, brnd.nextGaussian())
+        GradientDescent.LabeledPoint(x, 1.0 + 2.0 * x(1))
+      }
+      GradientDescent.run(spark.createDataset(bdata).repartition(2),
+        dims = 2, link = Identity, iterations = 80, learnRate = 0.3,
+        seed = 500 + i, averageGradient = true)
+    }
+    val avgW = bag.results.map(_.weights).transpose.map(ws => ws.sum / ws.length)
+    println(f"DRIVE-BAG models=${bag.results.length} failed=${bag.failed.length} avgW=${avgW.map(w => f"$w%.3f").mkString(",")}")
+
     // probe: empty dataset partition behavior
     val empty = spark.createDataset(Seq.empty[LabeledPoint])
     try {
