@@ -21,6 +21,7 @@ object Registry {
     Q14Percentiles,
     Q15Pivot,
     Q16Distinct,
+    Q17QualityChecks,
     J4RangeJoin,
     J1JoinRevenue,
     J2TopK,
@@ -28,6 +29,7 @@ object Registry {
     W1WindowAgg,
     W2Sessions,
     W3JsonExtract,
+    W4DateFuncs,
     D1ExactDedup,
     D2MinhashLsh,
     D3SimHash,
@@ -40,6 +42,7 @@ object Registry {
     T2Quality,
     T3TokenCount,
     T4Fingerprint,
+    T5StringFuncs,
     M1MultimodalMeta)
 
   def byName(name: String): GraftQuery =
