@@ -25,12 +25,20 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.parquet is TIMESTAMP(NANOS); fixed at session build so read
+      // behavior never depends on query execution order (see Tables.events).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def exec(name: String): Unit =
+    def exec(name: String): Unit = {
       Registry.byName(name).run(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
+      // Drop any intermediates a query persisted: keeps measurements
+      // order-independent (no query benefits from a predecessor's cache)
+      // and prevents cache creep across the 39-query run.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
 
     // Warmup (untimed): touches the scan + codegen paths.
     try exec("q1_agg") catch { case _: Throwable => () }

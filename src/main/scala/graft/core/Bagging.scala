@@ -56,10 +56,8 @@ final class MetricsListener[M] extends IterationListener[M] {
   final case class IterationMetric(iteration: Int, elapsedMillis: Long)
 
   private val buf = scala.collection.mutable.ArrayBuffer.empty[IterationMetric]
-  private var started = 0L
   private var totalMillis = 0L
 
-  override def onStart(total: Int): Unit = { started = System.nanoTime() }
   override def onIterationEnd(i: Int, m: M, ms: Long): Unit =
     buf.synchronized { buf += IterationMetric(i, ms) }
   override def onComplete(r: IterationResult[M]): Unit =

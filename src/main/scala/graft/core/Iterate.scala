@@ -94,6 +94,11 @@ object Iterate {
     *   (the reference returns null; combined with the quorum barrier A7 this
     *   is its straggler tolerance — opt-in and non-deterministic by nature).
     *   Hard mode fails the task so the scheduler retries it elsewhere.
+    *   Cancellation is cooperative (the reference's Future.cancel has the
+    *   same limit): a timed-out compute thread is interrupted but a loop
+    *   that never checks `Thread.interrupted()` runs on, holding a core
+    *   until it finishes — long-running workers should poll the interrupt
+    *   flag if soft timeouts are enabled.
     */
   def run[T, M, W: ClassTag](
       data: Dataset[T],
@@ -187,7 +192,11 @@ object Iterate {
           val reduced =
             try workerResults.treeReduce(c, treeDepth)
             catch {
-              case _: UnsupportedOperationException =>
+              // Empty result RDD is only possible when soft timeouts dropped
+              // every partition; without them, let user-code exceptions (which
+              // may legitimately be UOE) surface unchanged.
+              case _: UnsupportedOperationException
+                  if workerTimeout.isDefined && workerTimeoutSoft =>
                 throw new IllegalStateException(
                   "no worker results this iteration (all partitions timed out?)")
             }

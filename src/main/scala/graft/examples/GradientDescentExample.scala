@@ -11,7 +11,10 @@ import graft.operators.GradientDescent._
 object GradientDescentExample {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      // events.parquet is TIMESTAMP(NANOS); fixed at session build so read
+      // behavior never depends on query execution order (see Tables.events).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     val rnd = new scala.util.Random(9)

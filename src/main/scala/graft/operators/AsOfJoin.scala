@@ -37,26 +37,35 @@ object AsOfJoin {
       time: String,
       rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    // Tag and align schemas: left keeps its columns, right contributes only
-    // (key, time, rightCols) with the rest nulled.
+    // Right columns travel as ONE struct so the carry-forward is atomic per
+    // matched row: carrying each column with its own last(ignoreNulls) would
+    // stitch values from DIFFERENT right rows whenever a carried column
+    // holds a null (the struct itself is non-null for every right row, even
+    // when its fields are null — true as-of semantics).
+    val rStruct = struct(rightCols.map(col): _*)
+    val rType = {
+      import org.apache.spark.sql.types.{StructField, StructType}
+      StructType(rightCols.map(c => StructField(c, right.schema(c).dataType, nullable = true)))
+    }
     val l = left
       .withColumn("__side", lit(1))
       .select(Seq(col(key), col(time), col("__side")) ++
-        leftCols.filter(c => c != key && c != time).map(col) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        leftCols.filter(c => c != key && c != time).map(col) :+
+        lit(null).cast(rType).as("__r"): _*)
     val r = right
       .withColumn("__side", lit(0))
       .select(Seq(col(key), col(time), col("__side")) ++
         leftCols.filter(c => c != key && c != time)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        rStruct.as("__r"): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(time).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = l.unionByName(r)
-      .select((Seq(col(key), col(time), col("__side")) ++
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+    carried.filter(col("__side") === 1)
+      .select((Seq(col(key), col(time)) ++
         leftCols.filter(c => c != key && c != time).map(col) ++
-        rightCols.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"asof_$c"))): _*)
-    carried.filter(col("__side") === 1).drop("__side")
+        rightCols.map(c => col(s"__match.$c").as(s"asof_$c"))): _*)
   }
 }

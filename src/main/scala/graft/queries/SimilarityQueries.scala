@@ -38,11 +38,17 @@ object D5EmbedDedup extends GraftQuery {
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val eNorm = Tables.embeddings(spark, sfDir).select(
+    // Norm is computed as its own column and the division happens in Scala
+    // after collect: a `transform(e, x => x / normExpr)` lambda would
+    // re-evaluate the captured 64-term norm PER ELEMENT (the Catalyst
+    // HOF-capture trap documented on TextOps.shingles). Same IEEE division,
+    // same values, one norm per row.
+    val collected = Tables.embeddings(spark, sfDir).select(
       col("vec_id"),
-      transform(col("embedding"),
-        x => x.cast("double") / VectorOps.norm(col("embedding"), d)).as("en"))
-    val vecs = eNorm.as[(Long, Array[Double])].collect().sortBy(_._1)
+      transform(col("embedding"), x => x.cast("double")).as("ed"),
+      VectorOps.norm(col("embedding"), d).as("nrm"))
+      .as[(Long, Array[Double], Double)].collect()
+    val vecs = collected.map { case (id, arr, n) => (id, arr.map(_ / n)) }.sortBy(_._1)
     val bc = spark.sparkContext.broadcast(vecs)
     val nPart = spark.sparkContext.defaultParallelism
     val t = threshold

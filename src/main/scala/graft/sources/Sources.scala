@@ -35,11 +35,8 @@ object Sources {
   def delimited(
       spark: SparkSession,
       path: String,
-      sep: String = "|",
-      columns: Int = 0): DataFrame = {
-    val reader = spark.read.option("sep", sep).option("inferSchema", "true")
-    reader.csv(path)
-  }
+      sep: String = "|"): DataFrame =
+    spark.read.option("sep", sep).option("inferSchema", "true").csv(path)
 
   /** B2: SequenceFile as text key/value. */
   def sequenceAsText(spark: SparkSession, path: String): Dataset[(String, String)] = {

@@ -77,12 +77,19 @@ object EventStream {
     // evaluated once per row (k separate array_min(transform(base,...))
     // expressions would each re-evaluate it — the HOF trap from
     // TextOps.shingles), and deduplicated as ONE array-typed key column.
-    val sig = aggregate(
+    val folded = aggregate(
       base,
       array_repeat(lit(p), nHashes),
       (acc, x) => array(params.zipWithIndex.map { case ((a, b), i) =>
         least(element_at(acc, i + 1), (x * a + b) % p)
       }: _*))
+    // Docs with <3 tokens have NO shingles; the fold would leave the
+    // sentinel accumulator [p,...,p] — making every distinct short doc a
+    // "duplicate" of the first one. Fall back to an exact content hash for
+    // those (1-element array, can never collide with an 8-element
+    // signature).
+    val sig = when(size(base) > 0, folded)
+      .otherwise(array(graft.functions.Portable.hash60(col(textCol))))
     docs
       .withColumn("__sig", sig)
       .withWatermark(tsCol, watermark)

@@ -31,6 +31,19 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got("l3").isEmpty, "right row is strictly after")
   }
 
+  test("nullable right columns never stitch values from different right rows") {
+    val left = Seq((1L, ts(10), "L")).toDF("k", "ts", "lid")
+    // r2 is the as-of match; its `b` is null. A per-column carry would leak
+    // r1's b=7 alongside r2's a=1 — a row that never existed.
+    val right = Seq(
+      (1L, ts(3), Some(2.0), Some(7.0)),
+      (1L, ts(5), Some(1.0), Option.empty[Double])).toDF("k", "ts", "a", "b")
+    val row = AsOfJoin.asOf(left, right, "k", "ts", Seq("a", "b")).collect().head
+    assert(row.getAs[Double]("asof_a") == 1.0)
+    assert(row.isNullAt(row.fieldIndex("asof_b")),
+      s"stitched value from an older right row: $row")
+  }
+
   test("left rows and columns are preserved") {
     val left = Seq((1L, ts(10), "a", 42)).toDF("k", "ts", "name", "extra")
     val right = Seq((1L, ts(5), 1.5)).toDF("k", "ts", "v")

@@ -39,7 +39,7 @@ class NeuralNetSpec extends AnyFunSuite {
     val samples = (0 until 200).flatMap { r =>
       xor.zipWithIndex.map { case ((x, y), i) =>
         var k = r * 4 + i
-        while (!isTrain(k)) k += 1000003 // force train membership, deterministic
+        while (!isTrain(k)) k += 1 // force train membership, deterministic
         Sample(x, y, k)
       }
     }

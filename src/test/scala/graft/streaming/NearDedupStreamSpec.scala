@@ -35,4 +35,25 @@ class NearDedupStreamSpec extends AnyFunSuite {
       assert(ids == Set(1L, 2L, 4L), s"got $ids — doc 3 (duplicate content) should be dropped")
     } finally q.stop()
   }
+
+  test("distinct SHORT docs (no shingles) are not treated as duplicates of each other") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    val stream = MemoryStream[Doc]
+    val q = EventStream.nearDedupStream(stream.toDF(), "ts", "text")
+      .writeStream.format("memory").queryName("short_dedup_out").outputMode("append").start()
+    try {
+      // All three have <3 tokens → zero shingles; 10 and 12 share content.
+      stream.addData(Seq(
+        Doc(10, new Timestamp(t0), "hello world"),
+        Doc(11, new Timestamp(t0 + 1000), "buy now"),
+        Doc(12, new Timestamp(t0 + 2000), "hello world")))
+      q.processAllAvailable()
+      val ids = spark.table("short_dedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(10L, 11L),
+        s"got $ids — distinct short docs must both survive; exact dup must drop")
+    } finally q.stop()
+  }
 }
