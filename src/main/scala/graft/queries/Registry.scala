@@ -43,6 +43,9 @@ object Registry {
     T3TokenCount,
     T4Fingerprint,
     T5StringFuncs,
+    T6Vocab,
+    S3StratifiedSample,
+    V1LabelCentroids,
     M1MultimodalMeta)
 
   def byName(name: String): GraftQuery =
