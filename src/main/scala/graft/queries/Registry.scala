@@ -22,6 +22,7 @@ object Registry {
     Q15Pivot,
     Q16Distinct,
     Q17QualityChecks,
+    K1LrLoop,
     J4RangeJoin,
     J1JoinRevenue,
     J2TopK,
