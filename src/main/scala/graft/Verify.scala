@@ -18,11 +18,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query watchdog: a single hung query must not stall the whole
+    // round. The job group lets the watchdog cancel the stuck Spark jobs so
+    // their resources free up before the next query runs.
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "600").toLong
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val task = new java.util.concurrent.FutureTask[Unit](() =>
+        try {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } finally spark.sparkContext.clearJobGroup())
+      val th = new Thread(task, s"verify-$name")
+      th.setDaemon(true)
+      th.start()
+      try task.get(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          System.err.println(s"[verify] $name failed: timeout after ${timeoutSec}s")
+        case e: Throwable =>
+          val cause = Option(e.getCause).getOrElse(e)
+          System.err.println(s"[verify] $name failed: ${cause.getMessage}")
       }
       // Queries may persist intermediates (LSH band frames); drop them so
       // no query's cache lingers into (or influences) the next one.

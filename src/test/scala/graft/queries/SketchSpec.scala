@@ -1,0 +1,35 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** Approximate-aggregate sketches vs their exact counterparts. These cannot
+  * be oracle queries (HLL/KLL internals differ per engine), so the accuracy
+  * contract is pinned here instead: the sketch must land within its
+  * documented error of the exact answer — the validation every sketch
+  * deployment at 100 TB rests on (where the exact pass is the one you can
+  * no longer afford).
+  */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("approx_count_distinct within 5% of exact (HLL++ default rsd)") {
+    val li = Tables.lineitem(spark, TestSpark.sf001)
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx")).head
+    val (exact, approx) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx $approx vs exact $exact")
+  }
+
+  test("approx_percentile within 1% relative of exact percentile") {
+    val li = Tables.lineitem(spark, TestSpark.sf001)
+    val row = li.agg(
+      expr("percentile(l_extendedprice, 0.5)").as("exact"),
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx")).head
+    val (exact, approx) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.01, s"approx $approx vs exact $exact")
+  }
+}
