@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL entry point: registers every test-data table as a temp view (plus
+  * the engine's custom functions) so users can drive the engine with plain
+  * `spark.sql(...)` — the query surface is not Column-API-only.
+  */
+object GraftSession {
+
+  /** Register all tables of `sfDir` as temp views named after the tables,
+    * and the engine's SQL functions (cosine_similarity).
+    */
+  def open(spark: SparkSession, sfDir: String): SparkSession = {
+    Tables.all.foreach { t =>
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    org.apache.spark.sql.graft.CosineSimilarity.register(spark)
+    spark
+  }
+}

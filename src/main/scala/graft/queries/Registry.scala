@@ -22,6 +22,7 @@ object Registry {
     Q15Pivot,
     Q16Distinct,
     Q17QualityChecks,
+    Q18Cube,
     K1LrLoop,
     J4RangeJoin,
     J1JoinRevenue,
@@ -31,6 +32,7 @@ object Registry {
     W2Sessions,
     W3JsonExtract,
     W4DateFuncs,
+    W5TrailingStats,
     D1ExactDedup,
     D2MinhashLsh,
     D3SimHash,

@@ -1,0 +1,26 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftSessionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("plain SQL runs against registered views and custom functions") {
+    GraftSession.open(spark, TestSpark.sf0001)
+    val revenue = spark.sql(
+      """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY revenue DESC LIMIT 3""".stripMargin)
+    assert(revenue.count() == 3)
+    val sims = spark.sql(
+      """SELECT a.vec_id, b.vec_id,
+        |       cosine_similarity(a.embedding, b.embedding) AS c
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |LIMIT 5""".stripMargin).collect()
+    assert(sims.length == 5)
+    sims.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+  }
+}
