@@ -35,7 +35,12 @@ object Verify {
       try task.get(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
       catch {
         case _: java.util.concurrent.TimeoutException =>
-          spark.sparkContext.cancelJobGroup(name)
+          // Interrupt the driver thread AND bar future jobs of the group:
+          // plain cancelJobGroup only kills currently-active jobs, so a
+          // multi-job query timing out between jobs (or hung driver-side)
+          // would keep submitting work for the rest of the round.
+          task.cancel(true)
+          spark.sparkContext.cancelJobGroupAndFutureJobs(name)
           System.err.println(s"[verify] $name failed: timeout after ${timeoutSec}s")
         case e: Throwable =>
           val cause = Option(e.getCause).getOrElse(e)

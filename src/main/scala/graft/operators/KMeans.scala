@@ -103,7 +103,7 @@ object KMeans {
   }
 
   private def round10(x: Double, decimals: Int): Double =
-    BigDecimal(x).setScale(decimals, BigDecimal.RoundingMode.HALF_UP).toDouble
+    graft.functions.Rounding.roundTo(x, decimals)
 
   // ---- SQL mirrors (for oracle generation; keep in lockstep with above) ----
 

@@ -47,14 +47,16 @@ object W5TrailingStats extends GraftQuery {
         col("event_id"), col("user_id"),
         round(col("t_mean"), 6).as("trail_mean"),
         round(col("t_std"), 6).as("trail_std"),
-        round((col("value") - col("t_mean")) / col("t_std"), 6).as("z"))
+        // NULL z for a zero-variance window: the engines disagree on double
+        // division by zero (NULL vs IEEE inf/nan), so guard on both sides.
+        round((col("value") - col("t_mean")) / nullif(col("t_std"), lit(0.0)), 6).as("z"))
   }
 
   val oracle = Some(
     """SELECT event_id, user_id,
       |       round(t_mean, 6) AS trail_mean,
       |       round(t_std, 6) AS trail_std,
-      |       round((value - t_mean) / t_std, 6) AS z
+      |       round((value - t_mean) / nullif(t_std, 0), 6) AS z
       |FROM (
       |  SELECT event_id, user_id, value,
       |         avg(value) OVER w AS t_mean,

@@ -35,14 +35,12 @@ object K1LrLoop extends GraftQuery {
   private val w0 = Seq(0.0, 0.0, 0.0, 0.0, 0.0)
   private val dims = w0.length
 
-  private def round6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def round6(x: Double): Double = graft.functions.Rounding.roundTo(x, 6)
 
   /** One averaged-gradient aggregate at fixed weights. */
   private def gradientStep(df: DataFrame, w: Seq[Double]): Array[Double] = {
     import LineitemFeatures._
-    val z = gradCols.zip(w).map { case (f, wi) => f * lit(wi) }.reduce(_ + _)
-    val err = lit(1.0) / (lit(1.0) + exp(-z)) - labelCol
+    val err = sigmoidResidual(zExpr(w))
     val aggs = gradCols.zipWithIndex.map { case (f, j) =>
       round(sum(err * f) / count(lit(1)), 6).as(s"g$j")
     }
@@ -67,8 +65,7 @@ object K1LrLoop extends GraftQuery {
     val sb = new StringBuilder
     sb ++= s"WITH w0(${(0 until dims).map(i => s"w$i").mkString(", ")}) AS (VALUES (${w0.map(sqlLit).mkString(", ")}))"
     for (it <- 1 to iterations) {
-      val z = gradSql.zipWithIndex.map { case (f, j) => s"$f * w.w$j" }.mkString(" + ")
-      val err = s"1.0 / (1.0 + exp(-($z))) - ($labelSql)"
+      val err = sigmoidResidualSql(zSql((0 until dims).map(j => s"w.w$j")))
       val gCols = gradSql.zipWithIndex
         .map { case (f, j) => s"round(sum(($err) * $f) / count(*), 6) AS g$j" }
         .mkString(", ")

@@ -26,6 +26,20 @@ object LineitemFeatures {
   val labelCol: Column = when(col("l_returnflag") === "R", 1.0).otherwise(0.0)
   val labelSql: String = "CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END"
 
+  /** w·x at fixed weights — THE lockstep pair every gradient query builds
+    * on; any change must land in both forms at once.
+    */
+  def zExpr(w: Seq[Double]): Column =
+    gradCols.zip(w).map { case (f, wi) => f * lit(wi) }.reduce(_ + _)
+  def zSql(wRefs: Seq[String]): String =
+    gradSql.zip(wRefs).map { case (f, wi) => s"$f * $wi" }.mkString(" + ")
+
+  /** σ(z) − y, shared by q3's single step and k1's full loop. */
+  def sigmoidResidual(z: Column): Column =
+    lit(1.0) / (lit(1.0) + exp(-z)) - labelCol
+  def sigmoidResidualSql(z: String): String =
+    s"1.0 / (1.0 + exp(-($z))) - ($labelSql)"
+
   val kmeansCols: Seq[Column] = Seq(
     col("l_quantity"),
     col("l_extendedprice") / 1000.0,
@@ -53,7 +67,7 @@ abstract class GradientStepQuery extends GraftQuery {
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     import LineitemFeatures._
-    val z = gradCols.zip(weights).map { case (f, w) => f * lit(w) }.reduce(_ + _)
+    val z = zExpr(weights)
     val err = residual(z, labelCol)
     val aggs = gradCols.zipWithIndex.map { case (f, j) =>
       round(sum(err * f), 4).as(s"grad_$j")
@@ -63,7 +77,7 @@ abstract class GradientStepQuery extends GraftQuery {
 
   def oracle: Option[String] = {
     import LineitemFeatures._
-    val z = gradSql.zip(weights).map { case (f, w) => s"$f * ${KMeans.sqlLit(w)}" }.mkString(" + ")
+    val z = zSql(weights.map(KMeans.sqlLit))
     val err = residualSql(s"($z)", s"($labelSql)")
     val cols = gradSql.zipWithIndex
       .map { case (f, j) => s"round(sum(($err) * $f), 4) AS grad_$j" }
@@ -229,8 +243,7 @@ object Q9KMeansLoop extends GraftQuery {
           case Some(r) =>
             val cnt = r.getLong(1)
             val cs = (0 until dims).map(i =>
-              BigDecimal(r.getDouble(2 + i) / cnt)
-                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              graft.functions.Rounding.roundTo(r.getDouble(2 + i) / cnt, 6))
             (ci, cnt, cs)
           case None => (ci, 0L, centers(ci))
         }

@@ -22,5 +22,11 @@ class GraftSessionSpec extends AnyFunSuite {
         |LIMIT 5""".stripMargin).collect()
     assert(sims.length == 5)
     sims.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    // events view must expose ts as a real TimestampType (nanos handled),
+    // so time functions work in SQL.
+    val ev = spark.sql(
+      "SELECT count(*) AS n FROM events WHERE hour(ts) BETWEEN 0 AND 23").head
+    assert(ev.getLong(0) > 0)
+    assert(spark.table("events").schema("ts").dataType.typeName == "timestamp")
   }
 }
