@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits hundreds of janino classes across a long
+  // query suite; the JDK default 240 MB reserved code cache fills mid-run,
+  // the JIT shuts off ("CodeCache is full"), and later queries execute
+  // interpreted with random 10x+ stalls. 1 GiB keeps the JIT alive.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -1,11 +1,16 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 import graft.queries.Registry
 
 /** Per-round benchmark harness: times every registered query on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line (driver contract).
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line (driver contract) and writes the
+  * same line to a file so downstream tooling never has to scrape sbt logs
+  * (`$SPARK_GRAFT_OUT/bench.json`, falling back to `./bench.json`).
   *
   * Measurement notes:
   *   - results are materialized through the `noop` sink, which executes the
@@ -14,7 +19,11 @@ import graft.queries.Registry
   *   - one untimed warmup query first so session/JIT/codegen warmup isn't
   *     attributed to whichever query runs first;
   *   - shuffle partitions = cpu count (local mode; the 200 default just
-  *     fragments tiny partitions).
+  *     fragments tiny partitions);
+  *   - a query that throws is recorded with `null` duration and listed in
+  *     "failed" — a broken query must not masquerade as a fast one;
+  *   - SPARK_GRAFT_QUERIES (comma-separated names) restricts the run for
+  *     local iteration; the driver leaves it unset and gets the full suite.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,24 +45,47 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
       // Drop any intermediates a query persisted: keeps measurements
       // order-independent (no query benefits from a predecessor's cache)
-      // and prevents cache creep across the 39-query run.
+      // and prevents cache creep across the 45-query run.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
 
-    // Warmup (untimed): touches the scan + codegen paths.
-    try exec("q1_agg") catch { case _: Throwable => () }
-
-    val results = Registry.all.map { q =>
-      val t0 = System.nanoTime()
-      try exec(q.name)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-      }
-      q.name -> (System.nanoTime() - t0) / 1e9
+    val selected = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(csv) =>
+        val want = csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        Registry.all.filter(q => want(q.name))
+      case None => Registry.all
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Warmup (untimed): touches the scan + codegen paths.
+    try exec(selected.headOption.map(_.name).getOrElse("q1_agg"))
+    catch { case _: Throwable => () }
+
+    val results: Seq[(String, Option[Double])] = selected.map { q =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { exec(q.name); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          false
+        }
+      q.name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+    }
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + v.map(_.toString).getOrElse("null") }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    val outDir = sys.env.get("SPARK_GRAFT_OUT").filter(_.nonEmpty)
+    val outPath = Paths.get(outDir.getOrElse("."), "bench.json")
+    try {
+      Option(outPath.getParent).foreach(Files.createDirectories(_))
+      Files.write(outPath, (line + "\n").getBytes(StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

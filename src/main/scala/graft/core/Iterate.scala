@@ -88,6 +88,12 @@ final case class IterationResult[M](
   */
 object Iterate {
 
+  /** Below this many partitions the quorum ratio is forced to 1.0 — matching
+    * the reference, which refuses partial barriers for small worker counts
+    * (BasicCoordinator.java:649-658: ratio applies only when workers > 10).
+    */
+  val SmallWorkerCount = 10
+
   /** @param workerTimeout per-iteration worker compute budget — the
     *   reference's `@ComputableMonitor` (ComputableMonitor.java:50-74).
     *   Soft mode drops the timed-out partition's result for THIS iteration
@@ -98,7 +104,26 @@ object Iterate {
     *   same limit): a timed-out compute thread is interrupted but a loop
     *   that never checks `Thread.interrupted()` runs on, holding a core
     *   until it finishes — long-running workers should poll the interrupt
-    *   flag if soft timeouts are enabled.
+    *   flag if soft timeouts are enabled. The orphan thread's input iterator
+    *   is fenced by a cancellation flag: once the timeout fires, hasNext
+    *   returns false, so the orphan never touches partition resources that
+    *   Spark reclaims when the task completes.
+    * @param minWorkersRatio master-side quorum barrier — the reference's
+    *   `guagua.min.workers.ratio` (GuaguaConstants.java:131-150,
+    *   BasicCoordinator.java:649-658): once `minWorkersTimeout` has elapsed,
+    *   the master proceeds with an iteration as soon as at least
+    *   ceil(ratio × partitions) partition results have arrived, cancelling
+    *   the stragglers (whose partitions contribute nothing this iteration —
+    *   same semantics as the reference dropping unreported workers). Forced
+    *   to 1.0 when partitions ≤ [[SmallWorkerCount]], like the reference.
+    *   Quorum mode consumes results incrementally on the driver (the
+    *   reference's master result buffer, NettyMasterCoordinator.java:157-236);
+    *   with a combiner they are folded as they are consumed, so memory stays
+    *   bounded by |W| × partitions only in the non-combinable case — the
+    *   same bound the full-barrier collect path has.
+    * @param minWorkersTimeout the quorum window (`guagua.min.workers.timeout`,
+    *   default 60 s in the reference) — before it elapses the master waits
+    *   for everyone regardless of the ratio.
     */
   def run[T, M, W: ClassTag](
       data: Dataset[T],
@@ -111,7 +136,10 @@ object Iterate {
       checkpointDir: Option[String] = None,
       treeDepth: Int = 2,
       workerTimeout: Option[scala.concurrent.duration.FiniteDuration] = None,
-      workerTimeoutSoft: Boolean = true): IterationResult[M] = {
+      workerTimeoutSoft: Boolean = true,
+      minWorkersRatio: Double = 1.0,
+      minWorkersTimeout: scala.concurrent.duration.FiniteDuration =
+        scala.concurrent.duration.DurationInt(60).seconds): IterationResult[M] = {
     val sc = data.sparkSession.sparkContext
     val appId = sc.applicationId
 
@@ -142,90 +170,185 @@ object Iterate {
       }
     }
 
+    val numParts = cached.getNumPartitions
+    val effectiveRatio =
+      if (numParts <= SmallWorkerCount) 1.0 else math.max(0.0, math.min(1.0, minWorkersRatio))
+
     var iteration = startIteration
     var halted = false
     var completed = 0
-    while (iteration <= maxIterations && !halted) {
-      val iterStart = System.nanoTime()
-      listeners.foreach(_.onIterationStart(iteration))
-      val ctx = IterationContext(iteration, maxIterations, appId)
+    // The persisted input and per-iteration broadcasts are released even when
+    // worker/master compute throws: a failed run in a shared session must not
+    // leak executor cache or driver broadcast memory across retries.
+    try {
+      while (iteration <= maxIterations && !halted) {
+        val iterStart = System.nanoTime()
+        listeners.foreach(_.onIterationStart(iteration))
+        val ctx = IterationContext(iteration, maxIterations, appId)
 
-      // Master→worker hop: one broadcast per iteration, destroyed eagerly
-      // afterwards — the reference's "release results early" hygiene
-      // (NettyMasterCoordinator.java:711-713) applied to driver memory.
-      val bc = sc.broadcast(lastMaster)
-      val w = worker // avoid capturing `this` in the task closure
-      val workerResults: RDD[W] = workerTimeout match {
-        case None =>
-          cached.mapPartitions(p => Iterator.single(w.compute(p, bc.value, ctx)))
-        case Some(t) =>
-          val millis = t.toMillis
-          val soft = workerTimeoutSoft
-          cached.mapPartitions { p =>
-            // The reference runs compute under Future.get(timeout) in a
-            // dedicated thread (GuaguaWorkerService.java:270-297); same here.
-            val task = new java.util.concurrent.FutureTask(
-              new java.util.concurrent.Callable[W] {
-                def call(): W = w.compute(p, bc.value, ctx)
-              })
-            val th = new Thread(task, "graft-worker-compute")
-            th.setDaemon(true)
-            th.start()
-            try Iterator.single(
-              task.get(millis, java.util.concurrent.TimeUnit.MILLISECONDS))
-            catch {
-              case _: java.util.concurrent.TimeoutException =>
-                task.cancel(true)
-                if (soft) Iterator.empty
-                else throw new IllegalStateException(
-                  s"worker compute exceeded ${millis}ms (hard timeout)")
+        // Master→worker hop: one broadcast per iteration, destroyed eagerly
+        // afterwards — the reference's "release results early" hygiene
+        // (NettyMasterCoordinator.java:711-713) applied to driver memory.
+        val bc = sc.broadcast(lastMaster)
+        val nextMaster: M =
+          try {
+            val w = worker // avoid capturing `this` in the task closure
+            // One partition's compute under the optional soft/hard budget;
+            // shared by both barrier modes below.
+            val partCompute: Iterator[T] => Option[W] = workerTimeout match {
+              case None =>
+                p => Some(w.compute(p, bc.value, ctx))
+              case Some(t) =>
+                val millis = t.toMillis
+                val soft = workerTimeoutSoft
+                p => {
+                  // The reference runs compute under Future.get(timeout) in a
+                  // dedicated thread (GuaguaWorkerService.java:270-297); same
+                  // here. The input iterator is fenced so that after a soft
+                  // timeout the orphaned compute thread stops consuming: once
+                  // the task returns, Spark reclaims the partition's input
+                  // streams/memory, and an unfenced orphan would race against
+                  // that teardown.
+                  val fence = new java.util.concurrent.atomic.AtomicBoolean(false)
+                  val guarded = new Iterator[T] {
+                    def hasNext: Boolean = !fence.get() && p.hasNext
+                    def next(): T = p.next()
+                  }
+                  val task = new java.util.concurrent.FutureTask(
+                    new java.util.concurrent.Callable[W] {
+                      def call(): W = w.compute(guarded, bc.value, ctx)
+                    })
+                  val th = new Thread(task, "graft-worker-compute")
+                  th.setDaemon(true)
+                  th.start()
+                  try Some(task.get(millis, java.util.concurrent.TimeUnit.MILLISECONDS))
+                  catch {
+                    case _: java.util.concurrent.TimeoutException =>
+                      fence.set(true)
+                      task.cancel(true)
+                      if (soft) None
+                      else throw new IllegalStateException(
+                        s"worker compute exceeded ${millis}ms (hard timeout)")
+                  }
+                }
             }
-          }
-      }
 
-      val nextMaster: M = combine match {
-        case Some(c) =>
-          // Combinable path: partial merges run on executors and at
-          // intermediate tree levels, so the driver folds O(1) results no
-          // matter how many partitions exist — this is what makes the kernel
-          // safe at 10^5 partitions where collect() would not be.
-          val reduced =
-            try workerResults.treeReduce(c, treeDepth)
-            catch {
-              // Empty result RDD is only possible when soft timeouts dropped
-              // every partition; without them, let user-code exceptions (which
-              // may legitimately be UOE) surface unchanged.
-              case _: UnsupportedOperationException
-                  if workerTimeout.isDefined && workerTimeoutSoft =>
-                throw new IllegalStateException(
-                  "no worker results this iteration (all partitions timed out?)")
+            if (effectiveRatio < 1.0) {
+              // A7 quorum barrier: per-partition results stream to the driver
+              // as they finish (submitJob's resultHandler ≙ the reference's
+              // incremental master result buffer); after the window, proceed
+              // at quorum and cancel stragglers.
+              quorumIteration(sc, cached, partCompute, master, combine, bc.value,
+                ctx, numParts, effectiveRatio, minWorkersTimeout)
+            } else {
+              val workerResults: RDD[W] =
+                cached.mapPartitions(p => partCompute(p).iterator)
+              combine match {
+                case Some(c) =>
+                  // Combinable path: partial merges run on executors and at
+                  // intermediate tree levels, so the driver folds O(1) results
+                  // no matter how many partitions exist — this is what makes
+                  // the kernel safe at 10^5 partitions where collect() would
+                  // not be.
+                  val reduced =
+                    try workerResults.treeReduce(c, treeDepth)
+                    catch {
+                      // Empty result RDD is only possible when soft timeouts
+                      // dropped every partition; without them, let user-code
+                      // exceptions (which may legitimately be UOE) surface
+                      // unchanged.
+                      case _: UnsupportedOperationException
+                          if workerTimeout.isDefined && workerTimeoutSoft =>
+                        throw new IllegalStateException(
+                          "no worker results this iteration (all partitions timed out?)")
+                    }
+                  master.compute(Iterator.single(reduced), bc.value, ctx)
+                case None =>
+                  // Non-combinable masters see every per-partition result,
+                  // streamed off the collected array (bounded by partitions ×
+                  // |W|; same bound the reference has, SURVEY §7.4).
+                  master.compute(workerResults.collect().iterator, bc.value, ctx)
+              }
             }
-          master.compute(Iterator.single(reduced), bc.value, ctx)
-        case None =>
-          // Non-combinable masters see every per-partition result, streamed
-          // off the collected array (bounded by partitions × |W|; same bound
-          // the reference has, SURVEY §7.4).
-          master.compute(workerResults.collect().iterator, bc.value, ctx)
-      }
-      bc.destroy()
+          } finally bc.destroy()
 
-      lastMaster = Some(nextMaster)
-      checkpointDir.foreach(dir => Checkpoint.save(dir, iteration, nextMaster))
-      halted = halt(nextMaster)
-      completed = iteration
-      listeners.foreach(
-        _.onIterationEnd(iteration, nextMaster, (System.nanoTime() - iterStart) / 1000000L))
-      iteration += 1
+        lastMaster = Some(nextMaster)
+        checkpointDir.foreach(dir => Checkpoint.save(dir, iteration, nextMaster))
+        halted = halt(nextMaster)
+        completed = iteration
+        // Post hooks fire FILO (reverse registration order), matching the
+        // reference's interceptor unwinding (GuaguaMasterService.java:369-415).
+        listeners.reverse.foreach(
+          _.onIterationEnd(iteration, nextMaster, (System.nanoTime() - iterStart) / 1000000L))
+        iteration += 1
+      }
+    } finally {
+      if (data.storageLevel == StorageLevel.NONE) cached.unpersist(blocking = false)
     }
-
-    if (data.storageLevel == StorageLevel.NONE) cached.unpersist(blocking = false)
     val result = IterationResult(
       lastMaster.getOrElse(throw new IllegalStateException("zero iterations ran")),
       completed,
       halted,
       (System.nanoTime() - t0) / 1000000L)
-    listeners.foreach(_.onComplete(result))
+    listeners.reverse.foreach(_.onComplete(result))
     result
+  }
+
+  /** One iteration under the A7 quorum barrier: submit the worker job with a
+    * per-partition result handler, wait until either every partition reports
+    * or (the window elapsed AND ≥ quorum partitions reported), then cancel
+    * stragglers and fold what arrived. Partitions whose soft timeout dropped
+    * their result count toward the quorum (they reported — with nothing),
+    * exactly like the reference's null-result workers.
+    */
+  private def quorumIteration[T, M, W](
+      sc: org.apache.spark.SparkContext,
+      cached: RDD[T],
+      partCompute: Iterator[T] => Option[W],
+      master: MasterComputable[M, W],
+      combine: Option[(W, W) => W],
+      lastMaster: Option[M],
+      ctx: IterationContext,
+      numParts: Int,
+      ratio: Double,
+      window: scala.concurrent.duration.FiniteDuration): M = {
+    val quorum = math.max(1, math.ceil(ratio * numParts).toInt)
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, W]()
+    val reported = new java.util.concurrent.atomic.AtomicInteger(0)
+    val action = sc.submitJob[T, Option[W], Unit](
+      cached,
+      partCompute,
+      0 until numParts,
+      (idx: Int, res: Option[W]) => {
+        res.foreach(r => results.put(idx, r))
+        reported.incrementAndGet()
+        ()
+      },
+      ())
+    val deadline = System.nanoTime() + window.toNanos
+    def proceed(): Boolean = {
+      val n = reported.get()
+      n == numParts || (System.nanoTime() >= deadline && n >= quorum)
+    }
+    while (!proceed()) Thread.sleep(5)
+    if (reported.get() < numParts) {
+      // Stragglers are cancelled, not awaited — their partitions contribute
+      // nothing this iteration (reference: unreported workers are skipped
+      // once the ratio is met, NettyMasterCoordinator.java:566-704).
+      try action.cancel()
+      catch { case _: Throwable => () }
+    }
+    // Deterministic fold order: partition index, like the full-barrier path.
+    val arrived = (0 until numParts).iterator.flatMap(i => Option(results.get(i)))
+    combine match {
+      case Some(c) =>
+        if (!arrived.hasNext)
+          throw new IllegalStateException(
+            "no worker results this iteration (all partitions timed out?)")
+        master.compute(Iterator.single(arrived.reduce(c)), lastMaster, ctx)
+      case None =>
+        master.compute(arrived, lastMaster, ctx)
+    }
   }
 }
 

@@ -48,6 +48,99 @@ object TextOps {
     s"list_transform(range(1, greatest(len($toks) - ${n - 2}, 1)), i -> $parts)"
   }
 
+  // ---- Hashed shingles (the scale path for d2/d3/d4) ----
+  //
+  // The naive pipeline hashes every shingle STRING (md5 of ~3 joined tokens,
+  // built by concat_ws): one fresh string allocation + one md5 per shingle.
+  // At 100 TB that is the dominant cost of the whole dedup family. The
+  // hashed-shingle path instead computes ONE md5 per token and derives each
+  // shingle's hash arithmetically from its n token hashes — no shingle
+  // strings ever exist. Two independent 31-bit linear combinations are
+  // packed into one 62-bit value so downstream consumers (simhash bit votes,
+  // minhash mixes, set intersection) still see a wide uniform hash. All
+  // arithmetic stays below 2^63 so the DuckDB oracle (which errors on BIGINT
+  // overflow rather than wrapping) computes bit-identical values.
+
+  /** Modulus for per-token hashes and combine terms: Mersenne prime 2^31−1. */
+  val TokenPrime: Long = 2147483647L
+
+  /** Fixed odd multipliers for the two 31-bit shingle combines (any fixed
+    * constants < 2^31 work; primes chosen for mixing quality).
+    */
+  private val CoefA = Seq(1299709L, 15485863L, 32452843L, 49979687L, 67867967L)
+  private val CoefB = Seq(86028121L, 104395301L, 122949823L, 141650939L, 160481183L)
+
+  /** One 31-bit portable hash per token — the only cryptographic work in the
+    * hashed-shingle pipeline (one md5 per token; the lambda touches only its
+    * bound element, so nothing is re-evaluated per element).
+    */
+  def tokenHashes(toks: Column): Column =
+    transform(toks, t => Portable.hash60(t) % TokenPrime)
+
+  def tokenHashesSql(toks: String): String =
+    s"list_transform($toks, t -> ${Portable.hash60Sql("t")} % $TokenPrime)"
+
+  /** 62-bit hash per word-n-gram shingle, derived from the token-hash array
+    * `ht`. Each shingle yields two 31-bit combines cA/cB of its n token
+    * hashes, packed as cA·2^31 + cB. Empty when the document has < n tokens.
+    *
+    * The construction needs ~7 references to `ht` (slice targets, lengths).
+    * If those referenced the md5 transform directly, CollapseProject would
+    * inline it into every reference and codegen's subexpression elimination
+    * cannot hoist higher-order-function trees — the corpus would be
+    * tokenized+hashed 7×, not once (measured: 5× wall-clock on d2/d3). So
+    * `ht` is bound ONCE as a lambda variable (`transform(array(ht), a => …)`)
+    * and every inner reference reads the bound variable — O(1) evaluations
+    * of the expensive subtree no matter what the optimizer collapses.
+    */
+  def shingleHashes(ht: Column, n: Int): Column = {
+    require(n <= CoefA.length, s"shingleHashes supports n <= ${CoefA.length}")
+    def inner(a: Column): Column = {
+      val m = size(a) - (n - 1)
+      val zipped = arrays_zip((1 to n).map(j => slice(a, lit(j), m)): _*)
+      val combine = (s: Column) => {
+        val fields = (0 until n).map(j => s.getField(s"$j"))
+        val cA = fields.zip(CoefA).map { case (f, c) => (f * c) % TokenPrime }
+          .reduce(_ + _) % TokenPrime
+        val cB = fields.zip(CoefB).map { case (f, c) => (f * c) % TokenPrime }
+          .reduce(_ + _) % TokenPrime
+        cA * (TokenPrime + 1) + cB // TokenPrime+1 = 2^31: pack to 62 bits
+      }
+      when(size(a) >= n, transform(zipped, combine))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    flatten(transform(array(ht), a => inner(a)))
+  }
+
+  /** DuckDB mirror of [[shingleHashes]] over a token-hash list column. */
+  def shingleHashesSql(ht: String, n: Int): String = {
+    def lin(coefs: Seq[Long]): String =
+      "(" + (0 until n)
+        .map(j => s"(($ht[i + $j] * ${coefs(j)}) % $TokenPrime)")
+        .mkString(" + ") + s") % $TokenPrime"
+    s"list_transform(range(1, greatest(len($ht) - ${n - 2}, 1)), " +
+      s"i -> (${lin(CoefA)}) * ${TokenPrime + 1} + (${lin(CoefB)}))"
+  }
+
+  /** Per-document distinct hashed-shingle sets: (doc_id, shs array<long>).
+    * The shared first stage of d2/d3/d4 — tokenize once, one md5 per token,
+    * arithmetic shingle hashes, distinct. Callers persist this frame when
+    * they consume it more than once (Spark's cache manager matches by
+    * logical plan, so independently-built copies share one materialization).
+    */
+  def shingleHashSets(docs: org.apache.spark.sql.DataFrame, n: Int = 3)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("ht"))
+      .select(col("doc_id"), array_distinct(shingleHashes(col("ht"), n)).as("shs"))
+
+  /** DuckDB mirror of [[shingleHashSets]] as a WITH-clause body; emits a
+    * relation `shs(doc_id, shs)`.
+    */
+  def shingleHashSetsSql(n: Int = 3): String =
+    s"""th AS (SELECT doc_id, ${tokenHashesSql(tokensSql("text"))} AS ht FROM documents),
+       |shs AS (SELECT doc_id, list_distinct(${shingleHashesSql("ht", n)}) AS shs FROM th)""".stripMargin
+
   /** Minhash value for one seeded hash over a shingle array (null when the
     * array is empty — callers filter those documents out on both sides).
     */
@@ -72,19 +165,17 @@ object TextOps {
       rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** Signature frame (doc_id, m0..m{k−1}) for all documents with ≥1 shingle.
-    * Shape: explode distinct shingles (tokenize+shingle once per doc) → one
-    * md5-derived base hash per shingle → grouped min of k integer mixes.
-    * One shuffle on doc_id; everything else executor-local and codegen'd.
+  /** Signature frame (doc_id, m0..m{k−1}) for all documents with ≥1 shingle,
+    * built from a hashed-shingle frame (see [[shingleHashSets]]). Shape:
+    * explode distinct shingle hashes → grouped min of k integer mixes. One
+    * shuffle on doc_id; everything else executor-local and codegen'd.
     */
-  def minhashSignatures(docs: org.apache.spark.sql.DataFrame, k: Int, n: Int = 3)
+  def minhashSignaturesFromHashes(shs: org.apache.spark.sql.DataFrame, k: Int)
       : org.apache.spark.sql.DataFrame = {
     val params = minhashParams(k)
-    val base = Portable.hash60(col("shingle")) % MinhashPrime
-    docs
-      .select(col("doc_id"),
-        explode(array_distinct(shingles(tokens(col("text")), n))).as("shingle"))
-      .select(col("doc_id"), base.as("base"))
+    shs
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .select(col("doc_id"), (col("sh") % MinhashPrime).as("base"))
       .groupBy(col("doc_id"))
       .agg(
         min((col("base") * params.head._1 + params.head._2) % MinhashPrime).as("m0"),
@@ -93,18 +184,17 @@ object TextOps {
         }: _*)
   }
 
-  /** DuckDB mirror of [[minhashSignatures]] as a WITH-clause body over
-    * `documents`; emits a relation (doc_id, m0..m{k−1}).
+  /** DuckDB mirror of [[minhashSignaturesFromHashes]] composed over
+    * [[shingleHashSetsSql]]; emits relations `th, shs, bh, sig` where
+    * sig = (doc_id, m0..m{k−1}).
     */
   def minhashSignaturesSql(k: Int, n: Int = 3): String = {
     val params = minhashParams(k)
     val mins = params.zipWithIndex
       .map { case ((a, b), i) => s"min((base * $a + $b) % $MinhashPrime) AS m$i" }
       .mkString(", ")
-    s"""ex AS (
-       |  SELECT doc_id, unnest(list_distinct(${shinglesSql("t", n)})) AS shingle
-       |  FROM (SELECT doc_id, ${tokensSql("text")} AS t FROM documents)),
-       |bh AS (SELECT doc_id, ${Portable.hash60Sql("shingle")} % $MinhashPrime AS base FROM ex),
+    s"""${shingleHashSetsSql(n)},
+       |bh AS (SELECT doc_id, unnest(shs) % $MinhashPrime AS base FROM shs),
        |sig AS (SELECT doc_id, $mins FROM bh GROUP BY doc_id)""".stripMargin
   }
 }

@@ -8,7 +8,8 @@ import graft.functions.Portable
 import graft.operators.TextOps
 
 /** Shared MinHash-LSH candidate machinery for d2/d4: signatures from
-  * [[TextOps.minhashSignatures]] (one md5 per shingle + k integer mixes),
+  * [[TextOps.minhashSignaturesFromHashes]] (one md5 per TOKEN, arithmetic
+  * shingle hashes, k integer mixes — see TextOps's hashed-shingle notes),
   * banded into (nBands) keys, self-joined on band equality.
   *
   * Scale shape: signature building is one explode + grouped min (single
@@ -22,8 +23,12 @@ private[queries] object MinhashLsh {
   val bandSize = 2
   val nBands: Int = nHashes / bandSize
 
-  def candidatePairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = TextOps.minhashSignatures(Tables.documents(spark, sfDir), nHashes)
+  /** Candidate pairs from a (doc_id, shs) hashed-shingle frame — callers
+    * that also verify against the shingle sets (d4) pass a persisted frame
+    * so the tokenize+md5 stage runs once for both consumers.
+    */
+  def candidatePairsFrom(shs: DataFrame): DataFrame = {
+    val sig = TextOps.minhashSignaturesFromHashes(shs, nHashes)
     val bandStructs = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         concat(col(s"m${b * bandSize}").cast("string"), lit("_"),
@@ -41,7 +46,10 @@ private[queries] object MinhashLsh {
       .distinct()
   }
 
-  /** CTE chain `ex, bh, sig, bands, cand` mirroring [[candidatePairs]]. */
+  def candidatePairs(spark: SparkSession, sfDir: String): DataFrame =
+    candidatePairsFrom(TextOps.shingleHashSets(Tables.documents(spark, sfDir)))
+
+  /** CTE chain `th, shs, bh, sig, bands, cand` mirroring [[candidatePairs]]. */
   def candidatePairsSql: String = {
     val bandSelects = (0 until nBands).map { b =>
       s"SELECT doc_id, $b AS band, (CAST(m${b * bandSize} AS VARCHAR) || '_' || CAST(m${b * bandSize + 1} AS VARCHAR)) AS key FROM sig"
@@ -91,10 +99,8 @@ object D3SimHash extends GraftQuery {
   private val bits = 32
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
-    val ex = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        explode(array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3))).as("tok"))
-      .select(col("doc_id"), Portable.hash60(col("tok")).as("h"))
+    val ex = TextOps.shingleHashSets(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), explode(col("shs")).as("h"))
     val bitSums = (0 until bits).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(1)).as(s"s$j"))
     val g = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"), bitSums: _*)
@@ -104,16 +110,13 @@ object D3SimHash extends GraftQuery {
   }
 
   val oracle = {
-    val h = Portable.hash60Sql("tok")
     val bitSums = (0 until bits).map(j => s"sum((h >> $j) & 1) AS s$j").mkString(", ")
     val simExpr = (0 until bits)
       .map(j => s"CASE WHEN s$j * 2 > n THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
     Some(
-      s"""WITH ex AS (
-         |  SELECT doc_id, unnest(list_distinct(${TextOps.shinglesSql("t", 3)})) AS tok
-         |  FROM (SELECT doc_id, ${TextOps.tokensSql("text")} AS t FROM documents)),
-         |hs AS (SELECT doc_id, $h AS h FROM ex),
+      s"""WITH ${TextOps.shingleHashSetsSql(3)},
+         |hs AS (SELECT doc_id, unnest(shs) AS h FROM shs),
          |g AS (SELECT doc_id, count(*) AS n, $bitSums FROM hs GROUP BY doc_id)
          |SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM g""".stripMargin)
   }
@@ -138,11 +141,14 @@ object D4NgramJaccard extends GraftQuery {
   private val threshold = 0.3
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
-    val cand = MinhashLsh.candidatePairs(spark, sfDir)
-    val sets = Tables.documents(spark, sfDir).select(
-      col("doc_id"),
-      array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("toks"))
-      .select(col("doc_id"), col("toks"), size(col("toks")).as("ntok"))
+    // One persisted hashed-shingle frame feeds BOTH the LSH candidate stage
+    // and the exact verify stage — the tokenize+md5 pass runs once, not
+    // twice (the round-1 shape re-tokenized the corpus for `sets`).
+    // Jaccard runs over hashed shingle sets: identical in both engines, and
+    // bigint-array intersection is far cheaper than string-array at scale.
+    val shs = TextOps.shingleHashSets(Tables.documents(spark, sfDir)).persist()
+    val cand = MinhashLsh.candidatePairsFrom(shs)
+    val sets = shs.select(col("doc_id"), col("shs").as("toks"), size(col("shs")).as("ntok"))
     val inter = size(array_intersect(col("a.toks"), col("b.toks")))
     cand
       .join(sets.alias("a"), col("doc_a") === col("a.doc_id"))
@@ -154,13 +160,9 @@ object D4NgramJaccard extends GraftQuery {
   }
 
   val oracle = {
-    val toks = TextOps.tokensSql("text")
     Some(
       s"""WITH ${MinhashLsh.candidatePairsSql},
-         |sets AS (
-         |  SELECT doc_id, list_distinct(${TextOps.shinglesSql("t", 3)}) AS toks
-         |  FROM (SELECT doc_id, $toks AS t FROM documents)),
-         |sized AS (SELECT doc_id, toks, len(toks) AS ntok FROM sets)
+         |sized AS (SELECT doc_id, shs AS toks, len(shs) AS ntok FROM shs)
          |SELECT doc_a, doc_b,
          |       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
          |             / CAST(a.ntok + b.ntok - len(list_intersect(a.toks, b.toks)) AS DOUBLE), 6) AS jaccard

@@ -66,6 +66,23 @@ class IterateSpec extends AnyFunSuite {
       s"done:${r.master}"))
   }
 
+  test("pre hooks fire FIFO, post hooks FILO (A13 interceptor unwinding)") {
+    val events = ArrayBuffer.empty[String]
+    def mk(name: String) = new IterationListener[Long] {
+      override def onStart(total: Int): Unit = events += s"$name.start"
+      override def onIterationStart(i: Int): Unit = events += s"$name.pre"
+      override def onIterationEnd(i: Int, m: Long, ms: Long): Unit = events += s"$name.post"
+      override def onComplete(r: IterationResult[Long]): Unit = events += s"$name.done"
+    }
+    Iterate.run[Long, Long, Long](
+      sumFixture, new IterativeSum.SumWorker, new IterativeSum.SumMaster,
+      maxIterations = 1, combine = Some(_ + _), listeners = Seq(mk("a"), mk("b")))
+    // Reference semantics (GuaguaMasterService.java:369-415): registration
+    // order going in, reverse order coming out.
+    assert(events.toList == List(
+      "a.start", "b.start", "a.pre", "b.pre", "b.post", "a.post", "b.done", "a.done"))
+  }
+
   test("checkpoint: loop resumes from persisted master state") {
     val dir = Files.createTempDirectory("graft-ckpt").toString
     val first = Iterate.run[Long, Long, Long](

@@ -55,6 +55,45 @@ class TimeoutSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("hard timeout")))
   }
 
+  test("quorum barrier proceeds with exactly the quorum fraction (A7 min-workers ratio)") {
+    // 16 partitions (> SmallWorkerCount so the ratio is honored); the one
+    // holding 99 sleeps far past the window. With ratio 0.75 the master must
+    // proceed once >= 12 partitions reported after the 500ms window — the
+    // straggler's partition contributes nothing, like the reference skipping
+    // unreported workers once the ratio is met.
+    val ds = spark.createDataset((1L to 15L) ++ Seq(99L)).repartition(16)
+    val expected = ds.rdd.glom().collect()
+      .filter(!_.contains(99L)).map(_.sum).sum
+    val t0 = System.nanoTime()
+    val r = Iterate.run[Long, Long, Long](
+      ds, new StragglerWorker, TimeoutSumMaster, maxIterations = 1,
+      combine = Some(_ + _),
+      minWorkersRatio = 0.75, minWorkersTimeout = 500.millis)
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(r.master == expected)
+    // Completed because the quorum fired, not because the straggler finished.
+    assert(elapsedMs < 30000L)
+  }
+
+  test("quorum ratio is forced to 1.0 for small worker counts (<= 10 partitions)") {
+    // 4 partitions, one sleeping 3s, ratio 0.25 with a 1ms window: if the
+    // ratio were honored the master would proceed without the sleeper's
+    // partition; because workers <= SmallWorkerCount the barrier must wait
+    // for ALL of them, so the full sum (including 99) comes back.
+    val slowWorker = new WorkerComputable[Long, Long, Long] {
+      def compute(rs: Iterator[Long], last: Option[Long], ctx: IterationContext): Long = {
+        val vs = rs.toList
+        if (vs.contains(99L)) Thread.sleep(3000)
+        vs.sum
+      }
+    }
+    val ds = spark.createDataset(Seq(1L, 2L, 3L, 99L)).repartition(4)
+    val r = Iterate.run[Long, Long, Long](
+      ds, slowWorker, TimeoutSumMaster, maxIterations = 1, combine = Some(_ + _),
+      minWorkersRatio = 0.25, minWorkersTimeout = 1.milli)
+    assert(r.master == 105L)
+  }
+
   test("all-partitions timeout reports a clear error") {
     val e = intercept[IllegalStateException] {
       Iterate.run[Long, Long, Long](
