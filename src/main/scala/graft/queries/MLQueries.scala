@@ -151,10 +151,10 @@ object Q5KMeansAssign extends GraftQuery {
   * with sampling made key-deterministic instead of partition-arrival order).
   *
   * Scale: decimation is a partition-local arithmetic-hash filter — pushed to
-  * the scan, no global row numbering of the full table. Only the ~1%
-  * candidate set goes through the global rank window; at cluster scale that
-  * window's single-partition sort would be replaced by a distributed top-k
-  * per norm-range, but its input is already decimated 100×.
+  * the scan, no global row numbering of the full table. The candidate set's
+  * global rank is computed distributed: range-partition on the sort key,
+  * per-range ranking, and exact per-range offsets from the O(partitions)
+  * count metadata — no single-partition sort anywhere, at any scale.
   */
 object Q6KMeansSeed extends GraftQuery {
   val name = "q6_kmeans_seed"
@@ -173,12 +173,32 @@ object Q6KMeansSeed extends GraftQuery {
       col("l_orderkey") +: col("l_linenumber") +:
         kmeansCols.zipWithIndex.map { case (c, i) => c.as(s"f$i") }: _*)
     val norm = sqrt((0 until 4).map(i => col(s"f$i") * col(s"f$i")).reduce(_ + _))
-    val byNorm = Window.orderBy(col("norm"), col("l_orderkey"), col("l_linenumber"))
-    val ranked = f.withColumn("norm", norm)
-      .withColumn("rk", row_number().over(byNorm))
-      .withColumn("nc", count(lit(1)).over(Window.partitionBy()))
-    val step = greatest(floor(col("nc") / lit(k.toDouble)).cast("long"), lit(1L))
-    ranked
+    // Distributed global rank: range-partition on the sort key, rank WITHIN
+    // each range partition (a keyed window — every partition sorts only its
+    // own slice), then add per-partition offsets computed from the O(P)
+    // partition counts (a driver-side fold of metadata, like the kernel's
+    // master fold — NOT a data collect). The global rank is exact whatever
+    // boundaries the range sampler picks, because (norm, orderkey,
+    // linenumber) is a total order. This replaces the round-1 global
+    // Window.orderBy, whose single-partition sort was the suite's one
+    // scale-unsafe window.
+    val sortKey = Seq(col("norm"), col("l_orderkey"), col("l_linenumber"))
+    val parts = spark.sparkContext.defaultParallelism
+    val ranged = f.withColumn("norm", norm)
+      .repartitionByRange(parts, sortKey: _*)
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val cnts = ranged.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val nc = cnts.map(_._2).sum
+    val offsets = cnts.scanLeft((0, 0L)) { case ((_, acc), (pid, cnt)) => (pid, acc + cnt) }
+    val offExpr = cnts.map(_._1).zip(offsets.map(_._2)).foldLeft(lit(0L)) {
+      case (acc, (pid, off)) => when(col("pid") === pid, off).otherwise(acc)
+    }
+    val byNormInPart = Window.partitionBy(col("pid")).orderBy(sortKey: _*)
+    val step = math.max(nc / k, 1L)
+    ranged
+      .withColumn("rk", offExpr + row_number().over(byNormInPart))
       .withColumn("cluster_id", floor((col("rk") - 1) / step).cast("int"))
       .filter(col("cluster_id") < k)
       .filter((col("rk") - 1) % step === 0)

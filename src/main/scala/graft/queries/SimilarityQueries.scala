@@ -14,56 +14,92 @@ private[queries] object Embeddings {
 
 /** d5: embedding-cosine similar-pair mining (cos ≥ 0.35 — the top ~0.1%
   * tail of this embedding space, whose max off-diagonal cosine is 0.51),
-  * brute-force all-pairs — the correctness baseline the LSH path (s2)
-  * approximates.
+  * exact all-pairs via TILED block-pairs — the correctness baseline the LSH
+  * path (s2) approximates.
   *
-  * Implementation: vectors are L2-normalized declaratively, then the pair
-  * sweep runs as typed `mapPartitions` against a broadcast of the normalized
-  * matrix — the one place the declarative form genuinely loses: a pair JOIN
-  * materializes n²/2 rows each carrying two 64-double arrays (~80 s at
-  * sf0.1) while the partition loop over the broadcast does the identical
-  * arithmetic in 0.8 s. At corpus scale this becomes tiled block-pairs
-  * (broadcast one tile, stream the other) — the columnSimilarities shape.
+  * Tiling: vectors are hashed into B blocks on vec_id; each vector is
+  * replicated to the B tiles its block participates in (tile (i,j), i ≤ j),
+  * and each tile computes its two blocks' cross-pairs in a typed group
+  * fold. Nothing is collected to the driver: shuffle volume is N·B rows and
+  * per-tile working memory is two blocks (~2N/B vectors) — B is the knob
+  * that trades shuffle volume against tile memory, so at corpus scale B
+  * grows until a tile fits an executor (the columnSimilarities / block-outer
+  * -product shape). The declarative pair JOIN alternative materializes
+  * n²/2 rows each carrying two 64-double arrays — measured ~100× slower at
+  * sf0.1 than the in-memory loop this uses.
   *
   * Determinism: the inner loop accumulates left-to-right over the same
   * normalized doubles the oracle's unrolled SQL uses — products and sums are
-  * IEEE-exact, so the pair sets match bit-for-bit.
+  * IEEE-exact, so the pair sets match bit-for-bit. Normalization happens in
+  * Scala per row (same x/nrm the oracle computes once per element; dividing
+  * inside a Catalyst lambda would re-evaluate the captured 64-term norm per
+  * element — the HOF-capture trap documented on TextOps.shingles).
   */
 object D5EmbedDedup extends GraftQuery {
   val name = "d5_embed_dup"
-  val describe = "embedding cosine >= 0.35 similar pairs, brute force (LSH scale path = s2)"
+  val describe = "embedding cosine >= 0.35 similar pairs, exact tiled block-pairs (LSH scale path = s2)"
 
   private val threshold = 0.35
   private val d = Embeddings.dims
 
+  /** Block count: 8 blocks → 36 tiles, each holding ~2N/8 vectors. Sized so
+    * a tile fits comfortably in one task at the test scales; at corpus scale
+    * raise B (tile memory shrinks as 1/B while shuffle grows as B).
+    */
+  private val blocks = 8
+
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // Norm is computed as its own column and the division happens in Scala
-    // after collect: a `transform(e, x => x / normExpr)` lambda would
-    // re-evaluate the captured 64-term norm PER ELEMENT (the Catalyst
-    // HOF-capture trap documented on TextOps.shingles). Same IEEE division,
-    // same values, one norm per row.
-    val collected = Tables.embeddings(spark, sfDir).select(
+    val B = blocks
+    val t = threshold
+    val base = Tables.embeddings(spark, sfDir).select(
       col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("ed"),
       VectorOps.norm(col("embedding"), d).as("nrm"))
-      .as[(Long, Array[Double], Double)].collect()
-    val vecs = collected.map { case (id, arr, n) => (id, arr.map(_ / n)) }.sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(vecs)
-    val nPart = spark.sparkContext.defaultParallelism
-    val t = threshold
-    spark.createDataset(vecs.map(_._1).toSeq).repartition(nPart)
-      .mapPartitions { ids =>
-        val all = bc.value
-        val byId = all.toMap
-        ids.flatMap { ida =>
-          val va = byId(ida)
-          all.iterator.filter(_._1 > ida).map { case (idb, vb) =>
-            var s = 0.0
-            var i = 0
-            while (i < va.length) { s += va(i) * vb(i); i += 1 }
-            (ida, idb, s)
-          }.filter(_._3 >= t)
+      .as[(Long, Array[Double], Double)]
+    base
+      .flatMap { case (id, arr, nrm) =>
+        val en = arr.map(_ / nrm)
+        val b = (id % B).toInt
+        (0 until B).iterator.map { o =>
+          val (i, j) = if (o < b) (o, b) else (b, o)
+          (i * B + j, b, id, en)
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (tile: Int, rows: Iterator[(Int, Int, Long, Array[Double])]) =>
+        val i = tile / B
+        val j = tile % B
+        def dot(a: Array[Double], b: Array[Double]): Double = {
+          var s = 0.0
+          var x = 0
+          while (x < a.length) { s += a(x) * b(x); x += 1 }
+          s
+        }
+        if (i == j) {
+          // Diagonal tile: each vector appears once; all pairs id_a < id_b.
+          val vs = rows.map(r => (r._3, r._4)).toArray
+          for {
+            ai <- vs.indices.iterator
+            bi <- (ai + 1 until vs.length).iterator
+            (ida, va) = vs(ai)
+            (idb, vb) = vs(bi)
+            s = dot(va, vb)
+            if s >= t
+          } yield if (ida < idb) (ida, idb, s) else (idb, ida, s)
+        } else {
+          // Off-diagonal tile: cross-pairs between the two blocks only.
+          val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+          val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+          rows.foreach { case (_, b, id, en) =>
+            (if (b == i) left else right) += ((id, en))
+          }
+          for {
+            (ida, va) <- left.iterator
+            (idb, vb) <- right.iterator
+            s = dot(va, vb)
+            if s >= t
+          } yield if (ida < idb) (ida, idb, s) else (idb, ida, s)
         }
       }
       .toDF("vec_a", "vec_b", "cos")
