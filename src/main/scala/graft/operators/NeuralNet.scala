@@ -179,7 +179,76 @@ object NeuralNet {
     }
   }
 
-  final class Master(layers: Layers, learnRate: Double, seed: Long)
+  /** Master-side weight update rule — the pluggable seam the reference fills
+    * with Encog's quickprop trainer (NNMaster.java:101-112, Weight.java).
+    * Implementations may carry per-weight state across iterations (they live
+    * on the driver for the duration of one `train` call); use a fresh
+    * instance per run.
+    */
+  trait WeightUpdate extends Serializable {
+    /** Returns the NEW weight array given current weights and the summed
+      * gradient (∂E/∂w) for this iteration.
+      */
+    def update(weights: Array[Double], grad: Array[Double]): Array[Double]
+  }
+
+  /** Plain batch gradient descent — the round-1 default. */
+  final class GradientDescentUpdate(learnRate: Double) extends WeightUpdate {
+    def update(w: Array[Double], g: Array[Double]): Array[Double] = {
+      val nw = w.clone()
+      var i = 0
+      while (i < nw.length) { nw(i) -= learnRate * g(i); i += 1 }
+      nw
+    }
+  }
+
+  /** Quickprop (Fahlman 1988, "An Empirical Study of Learning Speed in
+    * Back-Propagation Networks" — public literature, NOT a port of Encog's
+    * internals). Per weight, with S = current slope, Sp = previous slope,
+    * Dp = previous step:
+    *
+    *   - first step (or Dp = 0): plain gradient step −ε·S;
+    *   - otherwise the secant/parabola jump  D = S/(Sp − S) · Dp  toward the
+    *     quadratic's stationary point;
+    *   - growth clamp: |D| ≤ μ·|Dp| (μ = 1.75 in the paper) — also used
+    *     when Sp = S (flat secant, infinite jump);
+    *   - while the current slope still descends along the previous step's
+    *     direction (S·Dp < 0), add the first-order term −ε·S.
+    */
+  final class QuickpropUpdate(epsilon: Double, mu: Double = 1.75) extends WeightUpdate {
+    private var prevGrad: Array[Double] = _
+    private var prevStep: Array[Double] = _
+
+    def update(w: Array[Double], g: Array[Double]): Array[Double] = {
+      val nw = w.clone()
+      val step = new Array[Double](w.length)
+      var i = 0
+      while (i < w.length) {
+        val s = g(i)
+        val d =
+          if (prevStep == null || prevStep(i) == 0.0) -epsilon * s
+          else {
+            val sp = prevGrad(i)
+            val dp = prevStep(i)
+            val denom = sp - s
+            var q =
+              if (math.abs(denom) < java.lang.Double.MIN_NORMAL) mu * dp
+              else (s / denom) * dp
+            if (math.abs(q) > mu * math.abs(dp)) q = mu * math.abs(dp) * math.signum(q)
+            if (s * dp < 0) q += -epsilon * s
+            q
+          }
+        step(i) = d
+        nw(i) = w(i) + d
+        i += 1
+      }
+      prevGrad = g.clone()
+      prevStep = step
+      nw
+    }
+  }
+
+  final class Master(layers: Layers, update: WeightUpdate, seed: Long)
       extends MasterComputable[NNState, NNGrad] {
     def compute(results: Iterator[NNGrad], last: Option[NNState],
         ctx: IterationContext): NNState = last match {
@@ -188,10 +257,7 @@ object NeuralNet {
         NNState(Array.fill(layers.nWeights)(rnd.nextDouble() * 2 - 1), Double.MaxValue, Double.MaxValue)
       case Some(st) =>
         val total = results.reduce(_ merge _)
-        val w = st.weights.clone()
-        var i = 0
-        while (i < w.length) { w(i) -= learnRate * total.grad(i); i += 1 }
-        NNState(w,
+        NNState(update.update(st.weights, total.grad),
           if (total.nTrain > 0) total.trainErr / total.nTrain else 0.0,
           if (total.nTest > 0) total.testErr / total.nTest else 0.0)
     }
@@ -203,11 +269,12 @@ object NeuralNet {
       iterations: Int = 50,
       learnRate: Double = 0.1,
       seed: Long = 42L,
-      convergeBelow: Double = 0.0): IterationResult[NNState] =
+      convergeBelow: Double = 0.0,
+      update: Option[WeightUpdate] = None): IterationResult[NNState] =
     Iterate.run[Sample, NNState, NNGrad](
       data,
       new Worker(layers),
-      new Master(layers, learnRate, seed),
+      new Master(layers, update.getOrElse(new GradientDescentUpdate(learnRate)), seed),
       maxIterations = iterations,
       halt = (m: NNState) => m.trainError < convergeBelow,
       combine = Some((a, b) => a.merge(b)))

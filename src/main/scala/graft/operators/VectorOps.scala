@@ -65,4 +65,17 @@ object VectorOps {
     planes.zipWithIndex.map { case (p, i) =>
       s"CASE WHEN ${dotConstSql(a, p)} >= 0.0 THEN ${1L << i} ELSE 0 END"
     }.mkString(" + ")
+
+  /** Same values as [[lshBucket]] (and the [[lshBucketSql]] oracle mirror —
+    * the fused loop's 0.0-seeded left-to-right accumulation is IEEE-identical
+    * to the unrolled chain) via one fused dot_product expression per plane
+    * instead of a 2·d-node unrolled tree per plane: 12 planes of unrolled
+    * 64-dim dots is ~1,500 Catalyst nodes and multiple seconds of janino
+    * compile. Requires `DotProduct.register(spark)`.
+    */
+  def lshBucketFused(a: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(org.apache.spark.sql.graft.DotProduct.dotProduct(a, typedLit(p)) >= 0.0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
 }

@@ -97,12 +97,70 @@ object EventStream {
       .drop("__sig")
   }
 
+  final case class OpenSession(startSec: Long, lastSec: Long, nEvents: Long)
+  final case class FinalizedSession(
+      user_id: Long, start_sec: Long, end_sec: Long, n_events: Long)
+
+  /** Production sessionization: watermark + `flatMapGroupsWithState` with
+    * EventTimeTimeout, emitting each session exactly once, FINALIZED — when
+    * a later event opens the next session (gap > `gapSec`), or when the
+    * watermark passes the open session's end + gap and the event-time
+    * timeout fires (no more in-horizon events can extend it). State per user
+    * is one open session; expired state is removed on timeout, so total
+    * state is bounded by the active-user count, not history.
+    *
+    * Contrast [[sessionCounts]]: that variant emits running per-user counts
+    * (update mode); this one is the append-mode pipeline stage a downstream
+    * consumer can treat as an immutable fact stream.
+    */
+  def finalizedSessions(
+      events: Dataset[Event],
+      gapSec: Long = 1800L,
+      watermark: String = "30 minutes"): Dataset[FinalizedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, FinalizedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // Watermark passed end + gap: nothing can extend this session.
+            val s = state.get
+            state.remove()
+            Iterator.single(FinalizedSession(uid, s.startSec, s.lastSec, s.nEvents))
+          } else {
+            val closed = scala.collection.mutable.ArrayBuffer.empty[FinalizedSession]
+            var open = state.getOption
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val sec = e.ts.getTime / 1000
+              open = open match {
+                case Some(s) if sec - s.lastSec <= gapSec =>
+                  Some(OpenSession(s.startSec, sec, s.nEvents + 1))
+                case Some(s) =>
+                  closed += FinalizedSession(uid, s.startSec, s.lastSec, s.nEvents)
+                  Some(OpenSession(sec, sec, 1L))
+                case None =>
+                  Some(OpenSession(sec, sec, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // Fire once the event-time watermark passes the gap horizon.
+              state.setTimeoutTimestamp((s.lastSec + gapSec) * 1000L)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Per-user sessionization with `mapGroupsWithState`: state is (last event
     * second, session count, event count); a gap > `gapSec` opens a new
     * session. Within one micro-batch events are sorted by event time; across
-    * batches correctness relies on batches arriving in time order (the
-    * production variant pairs this with a watermark + EventTimeTimeout to
-    * emit finalized sessions instead of running counts).
+    * batches correctness relies on batches arriving in time order (see
+    * [[finalizedSessions]] for the watermark + EventTimeTimeout variant that
+    * emits each session exactly once).
     */
   def sessionCounts(events: Dataset[Event], gapSec: Long = 1800L): Dataset[UserSessions] = {
     import events.sparkSession.implicits._

@@ -28,6 +28,12 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * Null array elements are not supported (undefined per ArrayData.getDouble)
   * — callers guarantee dense embeddings. float arrays arrive via the
   * implicit array<float> → array<double> widening cast, which is exact.
+  *
+  * Edge semantics (explicit, not emergent): mismatched array lengths throw
+  * (a silent min-length prefix would hide corrupt embeddings), and a
+  * zero-norm input yields SQL NULL — the engines disagree on double 0/0
+  * (IEEE NaN vs NULL), so NULL is the one portable answer and composes with
+  * filters/ranking the way missing data should.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes with Serializable {
@@ -36,11 +42,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
+  // Zero-norm inputs produce NULL even when both arrays are non-null.
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_similarity: array lengths differ (${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
@@ -53,7 +64,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       ny += yi * yi
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    if (nx == 0.0 || ny == 0.0) null
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -66,7 +78,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "cosine_similarity: array lengths differ (" + $a.numElements() +
+         |    " vs " + $b.numElements() + ")");
+         |}
+         |int $n = $a.numElements();
          |double $dot = 0.0;
          |double $nx = 0.0;
          |double $ny = 0.0;
@@ -77,7 +94,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  $nx += $xi * $xi;
          |  $ny += $yi * $yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |if ($nx == 0.0 || $ny == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |}
        """.stripMargin
     })
 

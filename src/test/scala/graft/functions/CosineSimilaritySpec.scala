@@ -49,6 +49,44 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(r.getDouble(0) == r.getDouble(1))
   }
 
+  test("zero-norm input yields NULL, not NaN (portable missing-data semantics)") {
+    CosineSimilarity.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(0.0D, 0.0D), array(1.0D, 2.0D)) AS za," +
+        " cosine_similarity(array(1.0D, 2.0D), array(0.0D, 0.0D)) AS zb," +
+        " cosine_similarity(array(0.0D), array(0.0D)) AS zz").head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    // Interpreted path agrees with codegen.
+    val expr = CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(0.0, 0.0), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0, 2.0), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+    assert(expr.eval(null) == null)
+  }
+
+  test("mismatched array lengths fail loudly instead of truncating") {
+    CosineSimilarity.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT cosine_similarity(array(1.0D, 2.0D), array(1.0D)) AS c").head
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("lengths differ")))
+  }
+
+  test("fused dot_product LSH buckets == unrolled lshBucket bit-for-bit") {
+    org.apache.spark.sql.graft.DotProduct.register(spark)
+    val planes = VectorOps.hyperplanes(nPlanes = 4, d = 64, seed = 42L)
+    val mismatches = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(
+        VectorOps.lshBucket(col("embedding"), planes).as("unrolled"),
+        VectorOps.lshBucketFused(col("embedding"), planes).as("fused"))
+      .filter(col("unrolled") =!= col("fused"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("codegen path compiles (no interpreted fallback in plan)") {
     CosineSimilarity.register(spark)
     val df = spark.range(100).select(

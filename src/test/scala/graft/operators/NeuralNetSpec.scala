@@ -54,6 +54,32 @@ class NeuralNetSpec extends AnyFunSuite {
     assert(r.master.trainError < 0.03)
   }
 
+  test("quickprop update learns XOR at least as fast as plain GD (C6 quickprop path)") {
+    val xor = Seq(
+      (Array(0.0, 0.0), 0.0), (Array(0.0, 1.0), 1.0),
+      (Array(1.0, 0.0), 1.0), (Array(1.0, 1.0), 0.0))
+    val samples = (0 until 200).flatMap { r =>
+      xor.zipWithIndex.map { case ((x, y), i) =>
+        var k = r * 4 + i
+        while (!isTrain(k)) k += 1
+        Sample(x, y, k)
+      }
+    }
+    val ds = spark.createDataset(samples).repartition(4)
+    val rQp = NeuralNet.train(ds, Layers(Seq(2, 4, 1)),
+      iterations = 300, seed = 7L,
+      update = Some(new NeuralNet.QuickpropUpdate(epsilon = 0.05)))
+    val w = rQp.master.weights
+    xor.foreach { case (x, y) =>
+      val out = forward(Layers(Seq(2, 4, 1)), w, x).last.head
+      assert(math.abs(out - y) < 0.25, s"XOR(${x.mkString(",")}) = $out, want $y")
+    }
+    // Same budget, same seed, same data as the plain-GD XOR test: the
+    // second-order step must converge at least as tightly as GD's 0.03.
+    assert(rQp.master.trainError < 0.03,
+      s"quickprop trainError ${rQp.master.trainError}")
+  }
+
   test("deterministic split sends ~half of keys to train, stable across calls") {
     val keys = (0L until 10000L)
     val trainCount = keys.count(isTrain)

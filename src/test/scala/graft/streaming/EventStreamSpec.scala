@@ -43,6 +43,57 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("finalized sessions (watermark + EventTimeTimeout) == gap rule and w2 counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapSec = 1800L
+    val rows = eventRows
+    val maxMs = rows.map(_.ts.getTime).max
+    val stream = MemoryStream[Event]
+    val q = finalizedSessions(stream.toDS(), gapSec).writeStream
+      .format("memory").queryName("stream_sessions").outputMode("append").start()
+    try {
+      val batches = rows.grouped(math.max(1, rows.size / 3)).toSeq
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      // Two far-future flush events (sentinel user) advance the watermark:
+      // the first moves it past every real session's end + gap at the END of
+      // its batch; the second triggers the timeout sweep that emits them.
+      def flush(daysAhead: Int) = Event(
+        -1L, new java.sql.Timestamp(maxMs + daysAhead * 86400000L), -1L, "flush", 0.0)
+      stream.addData(flush(10)); q.processAllAvailable()
+      stream.addData(flush(20)); q.processAllAvailable()
+      val got = spark.table("stream_sessions")
+        .filter(col("user_id") >= 0)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2))
+      // Ground truth 1: the gap rule applied in plain Scala per user.
+      val want = rows.groupBy(_.user_id).toSeq.flatMap { case (uid, es) =>
+        val secs = es.map(_.ts.getTime / 1000).sorted
+        val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var start = secs.head
+        var last = secs.head
+        var n = 1L
+        secs.tail.foreach { s =>
+          if (s - last > gapSec) {
+            sessions += ((uid, start, last, n)); start = s; n = 0L
+          }
+          last = s; n += 1
+        }
+        sessions += ((uid, start, last, n))
+        sessions
+      }.sortBy(t => (t._1, t._2))
+      assert(got.toSeq == want)
+      // Ground truth 2: per-user (session count, event count) matches the
+      // DuckDB-oracle-verified batch twin w2.
+      val gotCounts = got.groupBy(_._1).view
+        .mapValues(ss => (ss.length.toLong, ss.map(_._4).sum)).toMap
+      val w2 = W2Sessions.run(spark, TestSpark.sf0001)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(gotCounts == w2)
+    } finally q.stop()
+  }
+
   test("streaming sessionization == oracle-verified batch twin (w2) across chronological batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
