@@ -68,15 +68,19 @@ object EventStream {
       nHashes: Int = 8,
       watermark: String = "30 minutes"): DataFrame = {
     val toks = graft.operators.TextOps.tokens(col(textCol))
-    val sh = graft.operators.TextOps.shingles(toks, 3)
     val params = graft.operators.TextOps.minhashParams(nHashes)
     val p = graft.operators.TextOps.MinhashPrime
-    val base = transform(array_distinct(sh),
-      s => graft.functions.Portable.hash60(s) % p)
-    // All k minhashes in ONE fold so the md5-per-shingle base array is
-    // evaluated once per row (k separate array_min(transform(base,...))
-    // expressions would each re-evaluate it — the HOF trap from
-    // TextOps.shingles), and deduplicated as ONE array-typed key column.
+    // Hashed-shingle base (one md5 per TOKEN, arithmetic shingle hashes —
+    // same pipeline as batch d2/d4; shingleHashes binds its argument once,
+    // so the token-hash transform is evaluated once per row).
+    val base = transform(
+      array_distinct(graft.operators.TextOps.shingleHashes(
+        graft.operators.TextOps.tokenHashes(toks), 3)),
+      sh => sh % p)
+    // All k minhashes in ONE fold so the base array is evaluated once per
+    // row (k separate array_min(transform(base,...)) expressions would each
+    // re-evaluate it — the HOF trap from TextOps.shingles), and deduplicated
+    // as ONE array-typed key column.
     val folded = aggregate(
       base,
       array_repeat(lit(p), nHashes),
