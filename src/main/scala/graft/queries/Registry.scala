@@ -41,6 +41,7 @@ object Registry {
     D6SimhashPairs,
     S1AnnBrute,
     S2AnnLsh,
+    S4AnnIvf,
     T1LangId,
     T2Quality,
     T3TokenCount,

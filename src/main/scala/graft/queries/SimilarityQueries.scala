@@ -255,3 +255,102 @@ object S2AnnLsh extends GraftQuery {
          |FROM ranked WHERE rank <= $k""".stripMargin)
   }
 }
+
+/** s4: IVF (inverted-file) approximate nearest neighbours — the
+  * coarse-quantizer scale path the LSH family (s2) complements. Sixteen
+  * pinned corpus vectors act as the coarse centroids (a deterministic stand-
+  * in for trained k-means centroids — the training loop exists as q9/C3;
+  * pinning keeps the oracle exact): every vector is assigned to its highest-
+  * cosine centroid (its inverted list), and a query probes its `nprobe`
+  * nearest lists, scoring only their members exactly.
+  *
+  * Scale shape: the centroid set is a broadcast-joined 16-row dimension;
+  * assignment is one map-side-combined aggregate per vector (max-struct
+  * argmax — no window over the data); the candidate join shuffles on
+  * list_id, and per-list fan-in is the list size (≈ n/nlist), never n².
+  * nlist grows with the corpus (and lists can be range-bucketed on disk) —
+  * exactly the IVF index layout vector stores use.
+  *
+  * Assignment ties (equal cosine) break toward the smallest centroid id on
+  * both engines: Spark's max(struct(cos, -cent_id)) ≙ the oracle's
+  * row_number ORDER BY cos DESC, cent_id ASC.
+  */
+object S4AnnIvf extends GraftQuery {
+  val name = "s4_ann_ivf"
+  val describe = "IVF ANN: 16 pinned coarse centroids, nprobe=6, exact re-rank, top-10"
+
+  private val k = 10
+  private val nQueries = 5
+  private val d = Embeddings.dims
+  private val centLo = 100L
+  private val nList = 16
+  private val nProbe = 6
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    org.apache.spark.sql.graft.CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") >= centLo && col("vec_id") < centLo + nList)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    val centCos = org.apache.spark.sql.graft.CosineSimilarity.cosineSimilarity(
+      col("embedding"), col("cemb"))
+    val scored = e.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"), centCos.as("cos"))
+    // argmax per vector without a window: lexicographic max over
+    // (cos, -cent_id); `first(embedding)` is deterministic (identical in
+    // every row of the group).
+    val assigned = scored
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("cent_id")).as("nid"))).as("m"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), (-col("m.nid")).as("list_id"))
+    // Query side: tiny (nQueries × nList rows) — rank probes per query.
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cent_id").asc)
+    val probes = scored.filter(col("vec_id") < nQueries)
+      .withColumn("pk", row_number().over(wProbe))
+      .filter(col("pk") <= nProbe)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("cent_id").as("probe_list"))
+    val pairCos = org.apache.spark.sql.graft.CosineSimilarity.cosineSimilarity(
+      col("qemb"), col("embedding"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    probes
+      .join(assigned, col("probe_list") === col("list_id") && col("qid") =!= col("vec_id"))
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"), pairCos.as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  val oracle = {
+    val centCos = s"(${VectorOps.dotSql("v.embedding", "c.embedding", d)}) / (v.nrm * c.nrm)"
+    val pairCos = s"(${VectorOps.dotSql("q.qemb", "n.embedding", d)}) / (q.qnrm * n.nrm)"
+    Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${VectorOps.normSql("embedding", d)} AS nrm
+         |  FROM embeddings),
+         |cents AS (SELECT * FROM e WHERE vec_id >= $centLo AND vec_id < ${centLo + nList}),
+         |scored AS (
+         |  SELECT v.vec_id, v.embedding, v.nrm, c.vec_id AS cent_id, $centCos AS cos
+         |  FROM e v CROSS JOIN cents c),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rk
+         |  FROM scored),
+         |assigned AS (
+         |  SELECT vec_id, embedding, nrm, cent_id AS list_id FROM ranked WHERE rk = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, cent_id AS probe_list
+         |  FROM ranked WHERE vec_id < $nQueries AND rk <= $nProbe),
+         |cand AS (
+         |  SELECT q.qid AS query_id, n.vec_id AS neighbor_id, $pairCos AS cos
+         |  FROM probes q JOIN assigned n
+         |    ON q.probe_list = n.list_id AND q.qid <> n.vec_id),
+         |rr AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM cand)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+         |FROM rr WHERE rank <= $k""".stripMargin)
+  }
+}

@@ -83,4 +83,12 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Exchange"), s"${q.name} shuffles a pure projection:\n$p")
     }
   }
+
+  test("s4: centroid assignment broadcasts the 16-row dimension; no cartesian anywhere") {
+    val p = plan(S4AnnIvf)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"centroid set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"IVF degenerated to a cartesian:\n$p")
+  }
 }
