@@ -80,4 +80,45 @@ object Multimodal {
     import spark.implicits._
     extractFeatures(attachPayload(documents).as[MediaRecord])
   }
+
+  final case class FrameSample(doc_id: Long, frame_idx: Int, n_bytes: Int, frame: Array[Byte])
+
+  /** RESIZE STUB — stands in for an image downscale: keeps every k-th byte.
+    * A real implementation swaps the body for a codec resize; callers see
+    * the same (bytes in → smaller bytes out) contract.
+    */
+  def resizeStub(frame: Array[Byte], k: Int): Array[Byte] = {
+    require(k >= 1, "resize factor must be >= 1")
+    val out = new Array[Byte]((frame.length + k - 1) / k)
+    var i = 0
+    while (i < out.length) { out(i) = frame(i * k); i += 1 }
+    out
+  }
+
+  /** Deterministic frame sampling: treats the payload as the `n_frames`
+    * equal-width chunks the stub decoder reports (stand-in for a video
+    * container parser) and emits every `stride`-th frame, resized by
+    * `resize`. The flatMap-over-partitions shape is the production one:
+    * per-partition decoder setup, multiple output rows per input row, fully
+    * executor-parallel — the payload column never visits the driver.
+    */
+  def sampleFrames(
+      media: Dataset[MediaRecord],
+      stride: Int = 2,
+      resize: Int = 4): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // Per-partition decoder/scaler setup would go here.
+      it.flatMap { r =>
+        val (_, _, frames, _) = decodeStub(r.payload)
+        val width = math.max(1, r.payload.length / math.max(1, frames))
+        (0 until frames by stride).iterator.map { f =>
+          val from = f * width
+          val until = math.min(r.payload.length, from + width)
+          val frame = resizeStub(java.util.Arrays.copyOfRange(r.payload, from, until), resize)
+          FrameSample(r.doc_id, f, frame.length, frame)
+        }
+      }
+    }
+  }
 }

@@ -41,3 +41,30 @@ object M1MultimodalMeta extends GraftQuery {
          |FROM t""".stripMargin)
   }
 }
+
+/** m2: frame sampling + resize over the binary payload column — the
+  * video-shaped half of the multimodal surface ([[graft.operators.Multimodal
+  * .sampleFrames]]): every 2nd "frame" chunk of each payload, downscaled 4×,
+  * emitted as (doc_id, frame_idx, n_bytes). The decode/chunk stub runs
+  * inside a typed `mapPartitions` flatMap, so this op is NOT SQL-expressible
+  * and carries no DuckDB oracle — the driver records the rows-only check,
+  * and MultimodalSpec pins the per-doc frame counts and determinism.
+  *
+  * Scale: flatMap fan-out happens executor-side after columnar pruning has
+  * already limited the scan to (doc_id, payload); output partitioning
+  * follows the input, no shuffle.
+  */
+object M2FrameSample extends GraftQuery {
+  val name = "m2_frame_sample"
+  val describe = "payload frame sampling (stride 2) + 4x resize stub; rows-only check"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    Multimodal.sampleFrames(
+      Multimodal.attachPayload(Tables.documents(spark, sfDir)).as[Multimodal.MediaRecord])
+      .select(col("doc_id"), col("frame_idx"), col("n_bytes"))
+  }
+
+  val oracle = None
+}

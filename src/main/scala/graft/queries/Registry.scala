@@ -46,11 +46,13 @@ object Registry {
     T2Quality,
     T3TokenCount,
     T4Fingerprint,
+    T7RollingFingerprint,
     T5StringFuncs,
     T6Vocab,
     S3StratifiedSample,
     V1LabelCentroids,
-    M1MultimodalMeta)
+    M1MultimodalMeta,
+    M2FrameSample)
 
   def byName(name: String): GraftQuery =
     all.find(_.name == name).getOrElse(

@@ -50,3 +50,44 @@ object T4Fingerprint extends GraftQuery {
     """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
       |FROM documents""".stripMargin)
 }
+
+/** t7: POLYNOMIAL ROLLING fingerprint — order-sensitive token-sequence hash
+  * h = ((…(t₁·A + t₂)·A + t₃)…) mod P over the per-token portable hashes.
+  * Complements t4 (whole-content md5): the rolling form is incremental —
+  * chunked/streamed ingestion can extend it without re-reading the prefix,
+  * and two documents agree iff their token SEQUENCES agree (t4 is
+  * whitespace-normalized character equality).
+  *
+  * Engine parity note: Spark's `aggregate(ht, 0L, f)` seeds with 0 and folds
+  * every element; DuckDB's `list_reduce` seeds with the FIRST element and
+  * folds the rest. These coincide exactly because f(0, t₁) = (0·A + t₁) mod
+  * P = t₁ — and DuckDB errors on empty lists where Spark returns the seed,
+  * hence the CASE guard on the oracle side (token-less docs fingerprint 0 on
+  * both engines).
+  */
+object T7RollingFingerprint extends GraftQuery {
+  val name = "t7_rolling_fp"
+  val describe = "polynomial rolling fingerprint over the token-hash sequence"
+
+  private val A = 1000003L
+  private val P = graft.operators.TextOps.TokenPrime
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextOps
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      aggregate(TextOps.tokenHashes(TextOps.tokens(col("text"))), lit(0L),
+        (acc, x) => (acc * A + x) % P).as("fp"))
+  }
+
+  val oracle = {
+    import graft.operators.TextOps
+    val ht = TextOps.tokenHashesSql(TextOps.tokensSql("text"))
+    Some(
+      s"""WITH th AS (SELECT doc_id, $ht AS ht FROM documents)
+         |SELECT doc_id,
+         |       CASE WHEN len(ht) = 0 THEN 0
+         |            ELSE list_reduce(ht, (a, b) -> (a * $A + b) % $P) END AS fp
+         |FROM th""".stripMargin)
+  }
+}

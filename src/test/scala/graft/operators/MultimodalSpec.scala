@@ -27,6 +27,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("frame sampling emits ceil(n_frames/stride) frames per doc, deterministic") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val media = Multimodal.attachPayload(docs).as[Multimodal.MediaRecord]
+    val stride = 2
+    val frames = Multimodal.sampleFrames(media, stride).collect()
+    // Per-doc frame count derives from the same stub decode pipeline() uses.
+    val expected = Multimodal.pipeline(spark, docs).collect()
+      .map(f => f.doc_id -> (f.n_frames + stride - 1) / stride).toMap
+    val got = frames.groupBy(_.doc_id).view.mapValues(_.length).toMap
+    assert(got == expected)
+    // Sampled indices are the stride grid; payload never visits the driver
+    // in the query path (this collect is the test's, not the operator's).
+    frames.foreach(f => assert(f.frame_idx % stride == 0))
+    val again = Multimodal.sampleFrames(media.repartition(7), stride).collect()
+    assert(frames.map(f => (f.doc_id, f.frame_idx, f.n_bytes)).sorted.toSeq ==
+      again.map(f => (f.doc_id, f.frame_idx, f.n_bytes)).sorted.toSeq)
+  }
+
+  test("resize stub keeps every k-th byte (ceil(n/k) bytes)") {
+    val bytes = Array.tabulate[Byte](10)(_.toByte)
+    assert(Multimodal.resizeStub(bytes, 4).toSeq == Seq[Byte](0, 4, 8))
+    assert(Multimodal.resizeStub(bytes, 1).toSeq == bytes.toSeq)
+    assert(Multimodal.resizeStub(Array.empty[Byte], 3).isEmpty)
+  }
+
   test("payload bytes equal UTF-8 text length for ASCII corpus") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     import org.apache.spark.sql.functions._
