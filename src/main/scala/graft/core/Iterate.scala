@@ -207,12 +207,19 @@ object Iterate {
                   // here. The input iterator is fenced so that after a soft
                   // timeout the orphaned compute thread stops consuming: once
                   // the task returns, Spark reclaims the partition's input
-                  // streams/memory, and an unfenced orphan would race against
-                  // that teardown.
+                  // streams/memory. Both hasNext and next check the fence, so
+                  // the orphan's exposure to that teardown narrows to a
+                  // single element already in flight when the timeout fired —
+                  // cooperative cancellation cannot close that last window
+                  // (the reference's Future.cancel has the same residue).
                   val fence = new java.util.concurrent.atomic.AtomicBoolean(false)
                   val guarded = new Iterator[T] {
                     def hasNext: Boolean = !fence.get() && p.hasNext
-                    def next(): T = p.next()
+                    def next(): T = {
+                      if (fence.get())
+                        throw new NoSuchElementException("worker compute timed out")
+                      p.next()
+                    }
                   }
                   val task = new java.util.concurrent.FutureTask(
                     new java.util.concurrent.Callable[W] {
@@ -300,6 +307,16 @@ object Iterate {
     * stragglers and fold what arrived. Partitions whose soft timeout dropped
     * their result count toward the quorum (they reported — with nothing),
     * exactly like the reference's null-result workers.
+    *
+    * With a combiner, results fold into one accumulator AS THEY ARRIVE
+    * (arrival order — the combiner must be associative+commutative, the same
+    * contract treeReduce imposes), so driver memory is O(|W|) at any
+    * partition count; without one, the per-partition buffer is |W| ×
+    * partitions — the documented non-combinable bound.
+    *
+    * A failed job (worker exception after task retries) is surfaced: the
+    * wait loop watches the action's completion value, so the driver never
+    * spins on a quorum that can no longer be reached.
     */
   private def quorumIteration[T, M, W](
       sc: org.apache.spark.SparkContext,
@@ -313,6 +330,11 @@ object Iterate {
       ratio: Double,
       window: scala.concurrent.duration.FiniteDuration): M = {
     val quorum = math.max(1, math.ceil(ratio * numParts).toInt)
+    val lock = new Object
+    // Combinable path: one running accumulator. Non-combinable: buffer per
+    // partition, folded in index order for determinism.
+    var acc: Option[W] = None
+    var nAcc = 0
     val results = new java.util.concurrent.ConcurrentHashMap[Int, W]()
     val reported = new java.util.concurrent.atomic.AtomicInteger(0)
     val action = sc.submitJob[T, Option[W], Unit](
@@ -320,17 +342,26 @@ object Iterate {
       partCompute,
       0 until numParts,
       (idx: Int, res: Option[W]) => {
-        res.foreach(r => results.put(idx, r))
+        combine match {
+          case Some(c) => res.foreach { r =>
+            lock.synchronized { acc = acc.map(c(_, r)).orElse(Some(r)); nAcc += 1 }
+          }
+          case None => res.foreach(r => results.put(idx, r))
+        }
         reported.incrementAndGet()
         ()
       },
       ())
     val deadline = System.nanoTime() + window.toNanos
+    def failure: Option[Throwable] =
+      action.value.flatMap(_.failed.toOption)
     def proceed(): Boolean = {
       val n = reported.get()
-      n == numParts || (System.nanoTime() >= deadline && n >= quorum)
+      n == numParts || (System.nanoTime() >= deadline && n >= quorum) ||
+        failure.isDefined
     }
     while (!proceed()) Thread.sleep(5)
+    failure.foreach(e => throw e)
     if (reported.get() < numParts) {
       // Stragglers are cancelled, not awaited — their partitions contribute
       // nothing this iteration (reference: unreported workers are skipped
@@ -338,15 +369,15 @@ object Iterate {
       try action.cancel()
       catch { case _: Throwable => () }
     }
-    // Deterministic fold order: partition index, like the full-barrier path.
-    val arrived = (0 until numParts).iterator.flatMap(i => Option(results.get(i)))
     combine match {
-      case Some(c) =>
-        if (!arrived.hasNext)
-          throw new IllegalStateException(
-            "no worker results this iteration (all partitions timed out?)")
-        master.compute(Iterator.single(arrived.reduce(c)), lastMaster, ctx)
+      case Some(_) =>
+        val folded = lock.synchronized(acc)
+        master.compute(
+          Iterator.single(folded.getOrElse(throw new IllegalStateException(
+            "no worker results this iteration (all partitions timed out?)"))),
+          lastMaster, ctx)
       case None =>
+        val arrived = (0 until numParts).iterator.flatMap(i => Option(results.get(i)))
         master.compute(arrived, lastMaster, ctx)
     }
   }

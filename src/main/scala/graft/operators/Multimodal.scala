@@ -112,12 +112,17 @@ object Multimodal {
       it.flatMap { r =>
         val (_, _, frames, _) = decodeStub(r.payload)
         val width = math.max(1, r.payload.length / math.max(1, frames))
-        (0 until frames by stride).iterator.map { f =>
-          val from = f * width
-          val until = math.min(r.payload.length, from + width)
-          val frame = resizeStub(java.util.Arrays.copyOfRange(r.payload, from, until), resize)
-          FrameSample(r.doc_id, f, frame.length, frame)
-        }
+        // The stub's frame count is hash-derived, so a payload SHORTER than
+        // its frame count would put later frame offsets past the end —
+        // emit only frames whose window starts inside the payload.
+        (0 until frames by stride).iterator
+          .takeWhile(f => f * width < r.payload.length)
+          .map { f =>
+            val from = f * width
+            val until = math.min(r.payload.length, from + width)
+            val frame = resizeStub(java.util.Arrays.copyOfRange(r.payload, from, until), resize)
+            FrameSample(r.doc_id, f, frame.length, frame)
+          }
       }
     }
   }

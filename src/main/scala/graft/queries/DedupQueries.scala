@@ -146,6 +146,10 @@ object D4NgramJaccard extends GraftQuery {
     // twice (the round-1 shape re-tokenized the corpus for `sets`).
     // Jaccard runs over hashed shingle sets: identical in both engines, and
     // bigint-array intersection is far cheaper than string-array at scale.
+    // Cache lifetime: the frame stays persisted after the query returns (a
+    // lazy DataFrame can't unpersist its own inputs); Bench/Verify sweep
+    // persistent RDDs after every query, and long-lived sessions composing
+    // these queries should do the same or call spark.catalog.clearCache().
     val shs = TextOps.shingleHashSets(Tables.documents(spark, sfDir)).persist()
     val cand = MinhashLsh.candidatePairsFrom(shs)
     val sets = shs.select(col("doc_id"), col("shs").as("toks"), size(col("shs")).as("ntok"))

@@ -141,7 +141,13 @@ object EventStream {
               val sec = e.ts.getTime / 1000
               open = open match {
                 case Some(s) if sec - s.lastSec <= gapSec =>
-                  Some(OpenSession(s.startSec, sec, s.nEvents + 1))
+                  // min/max, not assignment: an in-watermark LATE event from
+                  // a later micro-batch may precede the open session's last
+                  // (or even first) event — it must widen the session, never
+                  // rewind its end (which would also re-arm the timeout too
+                  // early and finalize prematurely).
+                  Some(OpenSession(math.min(s.startSec, sec),
+                    math.max(s.lastSec, sec), s.nEvents + 1))
                 case Some(s) =>
                   closed += FinalizedSession(uid, s.startSec, s.lastSec, s.nEvents)
                   Some(OpenSession(sec, sec, 1L))

@@ -115,7 +115,13 @@ object CosineSimilarity {
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+      FunctionName,
+      exprs => {
+        require(exprs.length == 2,
+          s"$FunctionName requires exactly 2 arguments, got ${exprs.length}")
+        CosineSimilarity(exprs(0), exprs(1))
+      },
+      "built-in")
 
   /** Column-API entry point; requires [[register]] on the active session. */
   def cosineSimilarity(a: Column, b: Column): Column =

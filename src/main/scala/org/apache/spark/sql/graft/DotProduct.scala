@@ -76,7 +76,13 @@ object DotProduct {
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      FunctionName,
+      exprs => {
+        require(exprs.length == 2,
+          s"$FunctionName requires exactly 2 arguments, got ${exprs.length}")
+        DotProduct(exprs(0), exprs(1))
+      },
+      "built-in")
 
   /** Column-API entry point; requires [[register]] on the active session. */
   def dotProduct(a: Column, b: Column): Column =

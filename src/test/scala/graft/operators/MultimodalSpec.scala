@@ -46,6 +46,21 @@ class MultimodalSpec extends AnyFunSuite {
       again.map(f => (f.doc_id, f.frame_idx, f.n_bytes)).sorted.toSeq)
   }
 
+  test("frame sampling survives payloads shorter than the stub's frame count") {
+    import spark.implicits._
+    // 3-byte payloads: the hash-derived frame count can exceed the length;
+    // only frames whose window starts inside the payload may be emitted.
+    val tiny = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, Array[Byte](1, 2, 3)),
+      Multimodal.MediaRecord(2L, Array[Byte](7)),
+      Multimodal.MediaRecord(3L, Array.empty[Byte])))
+    val frames = Multimodal.sampleFrames(tiny, stride = 1, resize = 1).collect()
+    frames.foreach { f =>
+      assert(f.n_bytes >= 1, s"empty frame emitted for doc ${f.doc_id}")
+    }
+    assert(!frames.exists(_.doc_id == 3L)) // empty payload → no frames
+  }
+
   test("resize stub keeps every k-th byte (ceil(n/k) bytes)") {
     val bytes = Array.tabulate[Byte](10)(_.toByte)
     assert(Multimodal.resizeStub(bytes, 4).toSeq == Seq[Byte](0, 4, 8))

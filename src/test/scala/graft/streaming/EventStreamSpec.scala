@@ -94,6 +94,30 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("finalized sessions widen, not rewind, on late in-watermark events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, sec: Long, uid: Long = 1L) =
+      Event(id, new java.sql.Timestamp(sec * 1000L), uid, "x", 0.0)
+    val stream = MemoryStream[Event]
+    val q = finalizedSessions(stream.toDS(), gapSec = 600L, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("late_sessions").outputMode("append").start()
+    try {
+      // Batch 1 opens a session [10000, 10300]; batch 2 delivers an
+      // in-watermark LATE event inside the open session (10100 > watermark
+      // 10300-1800). It must widen the event count without rewinding the
+      // session end (the pre-fix behavior set lastSec=10100, re-arming the
+      // timeout early and emitting end_sec < its true value).
+      stream.addData(ev(1, 10000), ev(2, 10300)); q.processAllAvailable()
+      stream.addData(ev(3, 10100)); q.processAllAvailable()
+      stream.addData(ev(90, 10300 + 864000, uid = -1L)); q.processAllAvailable()
+      stream.addData(ev(91, 10300 + 2 * 864000, uid = -1L)); q.processAllAvailable()
+      val got = spark.table("late_sessions").filter(col("user_id") === 1L)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSeq == Seq((10000L, 10300L, 3L)))
+    } finally q.stop()
+  }
+
   test("streaming sessionization == oracle-verified batch twin (w2) across chronological batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
