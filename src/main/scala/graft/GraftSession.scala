@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   /** Register all tables of `sfDir` as temp views named after the tables,
-    * and the engine's SQL functions (cosine_similarity).
+    * and the engine's SQL functions (cosine_similarity, dot_product).
     *
     * Goes through the per-table loaders, NOT raw parquet reads: `events`
     * needs the TIMESTAMP(NANOS) handling in [[Tables.events]] — a raw load
@@ -22,7 +22,49 @@ object GraftSession {
       else Tables.load(spark, sfDir, t)
       df.createOrReplaceTempView(t)
     }
-    org.apache.spark.sql.graft.CosineSimilarity.register(spark)
+    registerFunctions(spark)
     spark
+  }
+
+  /** Register the engine's custom expressions on a session. */
+  def registerFunctions(spark: SparkSession): Unit = {
+    org.apache.spark.sql.graft.CosineSimilarity.register(spark)
+    org.apache.spark.sql.graft.DotProduct.register(spark)
+  }
+}
+
+/** `SparkSessionExtensions` injection point — lets a cluster opt into the
+  * engine's custom expressions at session-build time, with no code call:
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * The injected builders are the same ones [[GraftSession.registerFunctions]]
+  * registers imperatively; both routes resolve to identical expressions, so
+  * plans and results don't depend on how the function arrived.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    def info(name: String, usage: String) =
+      new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+    ext.injectFunction((
+      FunctionIdentifier(org.apache.spark.sql.graft.CosineSimilarity.FunctionName),
+      info(org.apache.spark.sql.graft.CosineSimilarity.FunctionName,
+        "cosine_similarity(a, b) - cosine of two double arrays (NULL on zero norm)"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"cosine_similarity requires 2 arguments, got ${exprs.length}")
+        org.apache.spark.sql.graft.CosineSimilarity(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier(org.apache.spark.sql.graft.DotProduct.FunctionName),
+      info(org.apache.spark.sql.graft.DotProduct.FunctionName,
+        "dot_product(a, b) - dot product of two double arrays"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"dot_product requires 2 arguments, got ${exprs.length}")
+        org.apache.spark.sql.graft.DotProduct(exprs(0), exprs(1))
+      }))
   }
 }

@@ -29,4 +29,26 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(ev.getLong(0) > 0)
     assert(spark.table("events").schema("ts").dataType.typeName == "timestamp")
   }
+
+  test("dot_product registered alongside cosine_similarity") {
+    GraftSession.registerFunctions(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d").head
+    assert(r.getDouble(0) == 32.0)
+  }
+
+  test("GraftExtensions injection point wires the same expressions") {
+    // Applying to a fresh SparkSessionExtensions must succeed, and the
+    // injected builders must construct working expressions (the session-level
+    // path is exercised via registerFunctions above; spark.sql.extensions
+    // applies the identical builders at session build).
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def arr(xs: Double*) = Literal.create(xs.toArray, ArrayType(DoubleType))
+    val cos = org.apache.spark.sql.graft.CosineSimilarity(arr(1, 0), arr(0, 1))
+    assert(cos.eval(null) == 0.0)
+    val dot = org.apache.spark.sql.graft.DotProduct(arr(1, 2), arr(3, 4))
+    assert(dot.eval(null) == 11.0)
+  }
 }
