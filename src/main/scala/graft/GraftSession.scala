@@ -47,24 +47,20 @@ object GraftSession {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
-    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
     def info(name: String, usage: String) =
       new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+    // Same builder objects the imperative register() path uses — one
+    // definition per function, no route drift possible.
     ext.injectFunction((
       FunctionIdentifier(org.apache.spark.sql.graft.CosineSimilarity.FunctionName),
       info(org.apache.spark.sql.graft.CosineSimilarity.FunctionName,
         "cosine_similarity(a, b) - cosine of two double arrays (NULL on zero norm)"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 2, s"cosine_similarity requires 2 arguments, got ${exprs.length}")
-        org.apache.spark.sql.graft.CosineSimilarity(exprs(0), exprs(1))
-      }))
+      org.apache.spark.sql.graft.CosineSimilarity.builder))
     ext.injectFunction((
       FunctionIdentifier(org.apache.spark.sql.graft.DotProduct.FunctionName),
       info(org.apache.spark.sql.graft.DotProduct.FunctionName,
         "dot_product(a, b) - dot product of two double arrays"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 2, s"dot_product requires 2 arguments, got ${exprs.length}")
-        org.apache.spark.sql.graft.DotProduct(exprs(0), exprs(1))
-      }))
+      org.apache.spark.sql.graft.DotProduct.builder))
   }
 }

@@ -308,14 +308,19 @@ object Iterate {
     * their result count toward the quorum (they reported — with nothing),
     * exactly like the reference's null-result workers.
     *
-    * With a combiner, results fold into one accumulator AS THEY ARRIVE
-    * (arrival order — the combiner must be associative+commutative, the same
-    * contract treeReduce imposes), so driver memory is O(|W|) at any
-    * partition count; without one, the per-partition buffer is |W| ×
-    * partitions — the documented non-combinable bound.
+    * With a combiner, the waiting driver thread drains arrivals into one
+    * running accumulator (arrival order — the combiner must be
+    * associative+commutative, the same contract treeReduce imposes), so
+    * steady-state driver memory is O(|W|); the result handler itself only
+    * enqueues — Spark invokes it on the DAG scheduler's event loop, where
+    * user combine code would stall all job scheduling on the context.
+    * Without a combiner, the per-partition buffer is |W| × partitions — the
+    * documented non-combinable bound.
     *
-    * A failed job (worker exception after task retries) is surfaced: the
-    * wait loop watches the action's completion value, so the driver never
+    * A failed job (worker exception after task retries) is tolerated like a
+    * straggler when the quorum is already met — the reference proceeds once
+    * the ratio is satisfied regardless of what the missing workers did —
+    * and surfaced as the iteration's failure otherwise, so the driver never
     * spins on a quorum that can no longer be reached.
     */
   private def quorumIteration[T, M, W](
@@ -330,28 +335,32 @@ object Iterate {
       ratio: Double,
       window: scala.concurrent.duration.FiniteDuration): M = {
     val quorum = math.max(1, math.ceil(ratio * numParts).toInt)
-    val lock = new Object
-    // Combinable path: one running accumulator. Non-combinable: buffer per
-    // partition, folded in index order for determinism.
-    var acc: Option[W] = None
-    var nAcc = 0
-    val results = new java.util.concurrent.ConcurrentHashMap[Int, W]()
+    // Handler side: enqueue only (cheap, non-throwing — it runs on the DAG
+    // scheduler event loop). Driver side: drain + fold while waiting.
+    val arrivals = new java.util.concurrent.ConcurrentLinkedQueue[(Int, W)]()
     val reported = new java.util.concurrent.atomic.AtomicInteger(0)
     val action = sc.submitJob[T, Option[W], Unit](
       cached,
       partCompute,
       0 until numParts,
       (idx: Int, res: Option[W]) => {
-        combine match {
-          case Some(c) => res.foreach { r =>
-            lock.synchronized { acc = acc.map(c(_, r)).orElse(Some(r)); nAcc += 1 }
-          }
-          case None => res.foreach(r => results.put(idx, r))
-        }
+        res.foreach(r => arrivals.add((idx, r)))
         reported.incrementAndGet()
         ()
       },
       ())
+    var acc: Option[W] = None // combinable running fold (driver thread only)
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, W]()
+    def drain(): Unit = {
+      var next = arrivals.poll()
+      while (next != null) {
+        combine match {
+          case Some(c) => acc = acc.map(c(_, next._2)).orElse(Some(next._2))
+          case None => results.put(next._1, next._2)
+        }
+        next = arrivals.poll()
+      }
+    }
     val deadline = System.nanoTime() + window.toNanos
     def failure: Option[Throwable] =
       action.value.flatMap(_.failed.toOption)
@@ -360,8 +369,11 @@ object Iterate {
       n == numParts || (System.nanoTime() >= deadline && n >= quorum) ||
         failure.isDefined
     }
-    while (!proceed()) Thread.sleep(5)
-    failure.foreach(e => throw e)
+    while (!proceed()) { drain(); Thread.sleep(5) }
+    // Job failure: tolerated exactly like a straggler IF the quorum is
+    // already met (no point waiting out the window — no more results are
+    // coming); fatal otherwise.
+    failure.foreach { e => if (reported.get() < quorum) throw e }
     if (reported.get() < numParts) {
       // Stragglers are cancelled, not awaited — their partitions contribute
       // nothing this iteration (reference: unreported workers are skipped
@@ -369,14 +381,15 @@ object Iterate {
       try action.cancel()
       catch { case _: Throwable => () }
     }
+    drain()
     combine match {
       case Some(_) =>
-        val folded = lock.synchronized(acc)
         master.compute(
-          Iterator.single(folded.getOrElse(throw new IllegalStateException(
+          Iterator.single(acc.getOrElse(throw new IllegalStateException(
             "no worker results this iteration (all partitions timed out?)"))),
           lastMaster, ctx)
       case None =>
+        // Deterministic fold order: partition index, like the full barrier.
         val arrived = (0 until numParts).iterator.flatMap(i => Option(results.get(i)))
         master.compute(arrived, lastMaster, ctx)
     }

@@ -102,20 +102,34 @@ object EventStream {
   }
 
   final case class OpenSession(startSec: Long, lastSec: Long, nEvents: Long)
+  final case class OpenSessions(sessions: List[OpenSession])
   final case class FinalizedSession(
       user_id: Long, start_sec: Long, end_sec: Long, n_events: Long)
 
   /** Production sessionization: watermark + `flatMapGroupsWithState` with
-    * EventTimeTimeout, emitting each session exactly once, FINALIZED — when
-    * a later event opens the next session (gap > `gapSec`), or when the
-    * watermark passes the open session's end + gap and the event-time
-    * timeout fires (no more in-horizon events can extend it). State per user
-    * is one open session; expired state is removed on timeout, so total
-    * state is bounded by the active-user count, not history.
+    * EventTimeTimeout, emitting each session exactly once, FINALIZED — only
+    * when the event-time watermark has passed its end + gap, so no
+    * in-horizon event (however late) can still extend it.
+    *
+    * Out-of-order correctness: a user's state is the LIST of its open
+    * sessions (not just the newest one), because a late in-watermark event
+    * may open a session EARLIER than the current one, extend any of them, or
+    * bridge two into one — the same merge semantics batch sessionization
+    * gets for free from sorting. An event joins every open session within
+    * `gapSec` of its span (merging them if it touches several) or opens its
+    * own. Eager closure on gap is deliberately NOT done: until the watermark
+    * passes, a late event could still bridge the gap.
+    *
+    * State per user is its open-session list — bounded by the number of
+    * distinct sessions inside one watermark horizon (≥1-event sessions
+    * separated by > gap), so state stays proportional to active users, not
+    * history. Expired sessions are emitted and dropped either by the timeout
+    * callback or, for groups that receive data, inline before processing.
     *
     * Contrast [[sessionCounts]]: that variant emits running per-user counts
-    * (update mode); this one is the append-mode pipeline stage a downstream
-    * consumer can treat as an immutable fact stream.
+    * (update mode) and trusts chronological batches; this one is the
+    * append-mode pipeline stage a downstream consumer can treat as an
+    * immutable fact stream.
     */
   def finalizedSessions(
       events: Dataset[Event],
@@ -125,42 +139,44 @@ object EventStream {
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, FinalizedSession](
+      .flatMapGroupsWithState[OpenSessions, FinalizedSession](
         org.apache.spark.sql.streaming.OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
+        (uid: Long, it: Iterator[Event], state: GroupState[OpenSessions]) =>
+          val wmSec = state.getCurrentWatermarkMs() / 1000L
+          def expired(s: OpenSession): Boolean = s.lastSec + gapSec <= wmSec
+          def finalize(s: OpenSession) =
+            FinalizedSession(uid, s.startSec, s.lastSec, s.nEvents)
+          def arm(live: List[OpenSession]): Unit =
+            if (live.nonEmpty) {
+              state.update(OpenSessions(live))
+              // Earliest horizon first; live sessions all have end+gap > wm,
+              // so the timestamp is legal (must exceed the watermark).
+              state.setTimeoutTimestamp((live.map(_.lastSec).min + gapSec) * 1000L)
+            } else state.remove()
+
           if (state.hasTimedOut) {
-            // Watermark passed end + gap: nothing can extend this session.
-            val s = state.get
-            state.remove()
-            Iterator.single(FinalizedSession(uid, s.startSec, s.lastSec, s.nEvents))
+            val (done, live) = state.get.sessions.partition(expired)
+            arm(live)
+            done.sortBy(_.startSec).iterator.map(finalize)
           } else {
-            val closed = scala.collection.mutable.ArrayBuffer.empty[FinalizedSession]
-            var open = state.getOption
+            // Sessions already past the horizon cannot be extended by any
+            // admissible event (all future events have ts > wm ≥ end+gap):
+            // emit them now — data-carrying groups get no timeout callback.
+            var (done, live) = state.getOption.map(_.sessions).getOrElse(Nil)
+              .partition(expired)
             it.toSeq.sortBy(_.ts.getTime).foreach { e =>
-              val sec = e.ts.getTime / 1000
-              open = open match {
-                case Some(s) if sec - s.lastSec <= gapSec =>
-                  // min/max, not assignment: an in-watermark LATE event from
-                  // a later micro-batch may precede the open session's last
-                  // (or even first) event — it must widen the session, never
-                  // rewind its end (which would also re-arm the timeout too
-                  // early and finalize prematurely).
-                  Some(OpenSession(math.min(s.startSec, sec),
-                    math.max(s.lastSec, sec), s.nEvents + 1))
-                case Some(s) =>
-                  closed += FinalizedSession(uid, s.startSec, s.lastSec, s.nEvents)
-                  Some(OpenSession(sec, sec, 1L))
-                case None =>
-                  Some(OpenSession(sec, sec, 1L))
+              val sec = e.ts.getTime / 1000L
+              val (touching, rest) = live.partition(s =>
+                sec >= s.startSec - gapSec && sec <= s.lastSec + gapSec)
+              val merged = touching.foldLeft(OpenSession(sec, sec, 1L)) { (m, s) =>
+                OpenSession(math.min(m.startSec, s.startSec),
+                  math.max(m.lastSec, s.lastSec), m.nEvents + s.nEvents)
               }
+              live = merged :: rest
             }
-            open.foreach { s =>
-              state.update(s)
-              // Fire once the event-time watermark passes the gap horizon.
-              state.setTimeoutTimestamp((s.lastSec + gapSec) * 1000L)
-            }
-            closed.iterator
+            arm(live)
+            done.sortBy(_.startSec).iterator.map(finalize)
           }
       }
   }

@@ -110,18 +110,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object CosineSimilarity {
   final val FunctionName = "cosine_similarity"
 
+  /** The one arity-checked builder BOTH registration routes use (imperative
+    * [[register]] and graft.GraftExtensions' injectFunction), so they cannot
+    * drift.
+    */
+  def builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"$FunctionName requires exactly 2 arguments, got ${exprs.length}")
+    CosineSimilarity(exprs(0), exprs(1))
+  }
+
   /** Idempotently register on a session; afterwards usable from Column code
     * (via [[cosineSimilarity]]) AND plain SQL.
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName,
-      exprs => {
-        require(exprs.length == 2,
-          s"$FunctionName requires exactly 2 arguments, got ${exprs.length}")
-        CosineSimilarity(exprs(0), exprs(1))
-      },
-      "built-in")
+      FunctionName, builder, "built-in")
 
   /** Column-API entry point; requires [[register]] on the active session. */
   def cosineSimilarity(a: Column, b: Column): Column =

@@ -74,15 +74,19 @@ case class DotProduct(left: Expression, right: Expression)
 object DotProduct {
   final val FunctionName = "dot_product"
 
+  /** The one arity-checked builder BOTH registration routes use (imperative
+    * [[register]] and graft.GraftExtensions' injectFunction), so they cannot
+    * drift.
+    */
+  def builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"$FunctionName requires exactly 2 arguments, got ${exprs.length}")
+    DotProduct(exprs(0), exprs(1))
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName,
-      exprs => {
-        require(exprs.length == 2,
-          s"$FunctionName requires exactly 2 arguments, got ${exprs.length}")
-        DotProduct(exprs(0), exprs(1))
-      },
-      "built-in")
+      FunctionName, builder, "built-in")
 
   /** Column-API entry point; requires [[register]] on the active session. */
   def dotProduct(a: Column, b: Column): Column =

@@ -38,17 +38,20 @@ class GraftSessionSpec extends AnyFunSuite {
   }
 
   test("GraftExtensions injection point wires the same expressions") {
-    // Applying to a fresh SparkSessionExtensions must succeed, and the
-    // injected builders must construct working expressions (the session-level
-    // path is exercised via registerFunctions above; spark.sql.extensions
-    // applies the identical builders at session build).
+    // Applying to a fresh SparkSessionExtensions must succeed; the injected
+    // builders ARE the companions' builder methods (same objects the
+    // registerFunctions path registers), exercised here directly — arity
+    // errors included. spark.sql.extensions applies them at session build.
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     def arr(xs: Double*) = Literal.create(xs.toArray, ArrayType(DoubleType))
-    val cos = org.apache.spark.sql.graft.CosineSimilarity(arr(1, 0), arr(0, 1))
+    val cos = org.apache.spark.sql.graft.CosineSimilarity.builder(Seq(arr(1, 0), arr(0, 1)))
     assert(cos.eval(null) == 0.0)
-    val dot = org.apache.spark.sql.graft.DotProduct(arr(1, 2), arr(3, 4))
+    val dot = org.apache.spark.sql.graft.DotProduct.builder(Seq(arr(1, 2), arr(3, 4)))
     assert(dot.eval(null) == 11.0)
+    intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.DotProduct.builder(Seq(arr(1, 2)))
+    }
   }
 }

@@ -92,7 +92,7 @@ class TimeoutSpec extends AnyFunSuite {
     assert(elapsedMs < 30000L)
   }
 
-  test("quorum barrier surfaces a failed job instead of spinning (worker throws)") {
+  test("quorum barrier surfaces a failed job when the quorum cannot be met") {
     val boom = new WorkerComputable[Long, Long, Long] {
       def compute(rs: Iterator[Long], last: Option[Long], ctx: IterationContext): Long = {
         val vs = rs.toList
@@ -100,15 +100,45 @@ class TimeoutSpec extends AnyFunSuite {
         vs.sum
       }
     }
+    // ratio 0.95 of 16 partitions → quorum = 16: the one failing partition
+    // makes the quorum unreachable, so the failure MUST abort the iteration
+    // instead of spinning until the window.
     val ds = spark.createDataset((1L to 15L) ++ Seq(99L)).repartition(16)
     val e = intercept[Throwable] {
       Iterate.run[Long, Long, Long](
         ds, boom, TimeoutSumMaster, maxIterations = 1, combine = Some(_ + _),
-        minWorkersRatio = 0.75, minWorkersTimeout = 60.seconds)
+        minWorkersRatio = 0.95, minWorkersTimeout = 60.seconds)
     }
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("worker exploded")))
+  }
+
+  test("quorum barrier tolerates a failed partition once the quorum is met") {
+    // The poison partition sleeps 1s then throws — by then all 15 healthy
+    // partitions (instant) have reported, the quorum (12) is met, and the
+    // failure must be treated like a straggler: proceed with what arrived
+    // (the reference proceeds at ratio regardless of missing workers).
+    val lateBoom = new WorkerComputable[Long, (Long, Long), (Long, Long)] {
+      def compute(rs: Iterator[Long], last: Option[(Long, Long)],
+          ctx: IterationContext): (Long, Long) = {
+        val vs = rs.toList
+        if (vs.contains(99L)) { Thread.sleep(1000); throw new RuntimeException("late boom") }
+        (1L, vs.sum)
+      }
+    }
+    val pairMaster = new MasterComputable[(Long, Long), (Long, Long)] {
+      def compute(ws: Iterator[(Long, Long)], last: Option[(Long, Long)],
+          ctx: IterationContext): (Long, Long) =
+        ws.foldLeft((0L, 0L)) { case ((c, s), (wc, wsum)) => (c + wc, s + wsum) }
+    }
+    val ds = spark.createDataset((1L to 15L) ++ Seq(99L)).repartition(16)
+    val r = Iterate.run[Long, (Long, Long), (Long, Long)](
+      ds, lateBoom, pairMaster, maxIterations = 1,
+      combine = Some((a, b) => (a._1 + b._1, a._2 + b._2)),
+      minWorkersRatio = 0.75, minWorkersTimeout = 30.seconds)
+    val (nParts, _) = r.master
+    assert(nParts >= 12L && nParts <= 15L, s"proceeded with $nParts partitions")
   }
 
   test("quorum ratio is forced to 1.0 for small worker counts (<= 10 partitions)") {

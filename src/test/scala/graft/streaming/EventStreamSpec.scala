@@ -108,13 +108,31 @@ class EventStreamSpec extends AnyFunSuite {
       // 10300-1800). It must widen the event count without rewinding the
       // session end (the pre-fix behavior set lastSec=10100, re-arming the
       // timeout early and emitting end_sec < its true value).
+      // Global watermark discipline: each batch's max ts minus 30min must
+      // stay BELOW every later late event, so batches are ordered to keep
+      // the watermark at 8500 until user 2's 11300s arrive (wm → 9500).
       stream.addData(ev(1, 10000), ev(2, 10300)); q.processAllAvailable()
       stream.addData(ev(3, 10100)); q.processAllAvailable()
+      // User 3: a late event BRIDGING two open sessions within the gap of
+      // both must merge them into one (batch semantics of sorted events).
+      stream.addData(ev(20, 9000, uid = 3L), ev(21, 10200, uid = 3L))
+      q.processAllAvailable()
+      stream.addData(ev(22, 9600, uid = 3L)); q.processAllAvailable()
+      // User 2: a late event EARLIER than the open session by more than the
+      // gap must form its own session (batch over {9800,11000,11300} gives
+      // two sessions), not merge into the newer one.
+      stream.addData(ev(10, 11000, uid = 2L), ev(11, 11300, uid = 2L))
+      q.processAllAvailable()
+      stream.addData(ev(12, 9800, uid = 2L)); q.processAllAvailable()
       stream.addData(ev(90, 10300 + 864000, uid = -1L)); q.processAllAvailable()
       stream.addData(ev(91, 10300 + 2 * 864000, uid = -1L)); q.processAllAvailable()
-      val got = spark.table("late_sessions").filter(col("user_id") === 1L)
+      def sessionsOf(uid: Long) = spark.table("late_sessions")
+        .filter(col("user_id") === uid)
         .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
-      assert(got.toSeq == Seq((10000L, 10300L, 3L)))
+        .sortBy(_._1).toSeq
+      assert(sessionsOf(1L) == Seq((10000L, 10300L, 3L)))
+      assert(sessionsOf(2L) == Seq((9800L, 9800L, 1L), (11000L, 11300L, 2L)))
+      assert(sessionsOf(3L) == Seq((9000L, 10200L, 3L)))
     } finally q.stop()
   }
 
