@@ -29,10 +29,13 @@ private[queries] object MinhashLsh {
     */
   def candidatePairsFrom(shs: DataFrame): DataFrame = {
     val sig = TextOps.minhashSignaturesFromHashes(shs, nHashes)
+    // Numeric band key: both minhashes are < 2^31 (mod MinhashPrime), so
+    // m_i·2^31 + m_j packs the pair into one bigint < 2^62 — cheaper to
+    // hash/shuffle/compare than the round-1 string concat, same collisions.
     val bandStructs = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
-        concat(col(s"m${b * bandSize}").cast("string"), lit("_"),
-          col(s"m${b * bandSize + 1}").cast("string")).as("key"))
+        (col(s"m${b * bandSize}") * (TextOps.MinhashPrime + 1) +
+          col(s"m${b * bandSize + 1}")).as("key"))
     }
     val bands = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
@@ -52,7 +55,7 @@ private[queries] object MinhashLsh {
   /** CTE chain `th, shs, bh, sig, bands, cand` mirroring [[candidatePairs]]. */
   def candidatePairsSql: String = {
     val bandSelects = (0 until nBands).map { b =>
-      s"SELECT doc_id, $b AS band, (CAST(m${b * bandSize} AS VARCHAR) || '_' || CAST(m${b * bandSize + 1} AS VARCHAR)) AS key FROM sig"
+      s"SELECT doc_id, $b AS band, (m${b * bandSize} * ${TextOps.MinhashPrime + 1} + m${b * bandSize + 1}) AS key FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""${TextOps.minhashSignaturesSql(nHashes)},
        |bands AS (
