@@ -83,6 +83,22 @@ class IterateSpec extends AnyFunSuite {
       "a.start", "b.start", "a.pre", "b.pre", "b.post", "a.post", "b.done", "a.done"))
   }
 
+  test("built-in system listeners report timing/memory/gc per iteration (A13 defaults)") {
+    val lines = ArrayBuffer.empty[String]
+    val sink = (s: String) => { lines += s; () }
+    Iterate.run[Long, Long, Long](
+      sumFixture, new IterativeSum.SumWorker, new IterativeSum.SumMaster,
+      maxIterations = 2, combine = Some(_ + _),
+      listeners = Seq(Listeners.timing[Long](sink), Listeners.memory[Long](sink),
+        Listeners.gc[Long](sink)))
+    // 2 iterations × 3 listeners + timing's completion line.
+    assert(lines.count(_.startsWith("iteration 1:")) == 3)
+    assert(lines.count(_.startsWith("iteration 2:")) == 3)
+    assert(lines.count(_.startsWith("completed 2 iterations")) == 1)
+    assert(lines.exists(_.contains("heap used")))
+    assert(lines.exists(_.contains("GC time")))
+  }
+
   test("checkpoint: loop resumes from persisted master state") {
     val dir = Files.createTempDirectory("graft-ckpt").toString
     val first = Iterate.run[Long, Long, Long](
