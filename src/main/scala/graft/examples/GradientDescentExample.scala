@@ -50,6 +50,35 @@ object GradientDescentExample {
     val avgW = bag.results.map(_.weights).transpose.map(ws => ws.sum / ws.length)
     println(f"DRIVE-BAG models=${bag.results.length} failed=${bag.failed.length} avgW=${avgW.map(w => f"$w%.3f").mkString(",")}")
 
+    // C6 quickprop path: same data/network, second-order weight updates.
+    val qp = NeuralNet.train(spark.createDataset(nnData).repartition(4),
+      NeuralNet.Layers(Seq(2, 6, 1)), iterations = 200, seed = 11L,
+      update = Some(new NeuralNet.QuickpropUpdate(epsilon = 0.05)))
+    println(f"DRIVE-QP trainErr=${qp.master.trainError}%.4f iters=${qp.iterations}")
+
+    // A7 quorum barrier + A13 system listeners: 16 partitions, straggler
+    // tolerated at 75% after a 1s window, timing stats to stdout.
+    val qdata = spark.createDataset((1L to 160L)).repartition(16)
+    val quorum = graft.core.Iterate.run[Long, Long, Long](
+      qdata,
+      new graft.core.WorkerComputable[Long, Long, Long] {
+        def compute(rs: Iterator[Long], last: Option[Long],
+            ctx: graft.core.IterationContext): Long = {
+          val vs = rs.toList
+          if (vs.contains(160L)) Thread.sleep(10000) // the straggler
+          vs.sum
+        }
+      },
+      new graft.core.MasterComputable[Long, Long] {
+        def compute(ws: Iterator[Long], last: Option[Long],
+            ctx: graft.core.IterationContext): Long = ws.sum
+      },
+      maxIterations = 2, combine = Some(_ + _),
+      listeners = Seq(graft.core.Listeners.timing[Long](s => println(s"DRIVE-QUORUM $s"))),
+      minWorkersRatio = 0.75,
+      minWorkersTimeout = scala.concurrent.duration.DurationInt(1).second)
+    println(s"DRIVE-QUORUM partial-sum=${quorum.master} iters=${quorum.iterations}")
+
     // probe: empty dataset partition behavior
     val empty = spark.createDataset(Seq.empty[LabeledPoint])
     try {
