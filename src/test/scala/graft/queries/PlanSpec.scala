@@ -91,4 +91,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"IVF degenerated to a cartesian:\n$p")
   }
+
+  test("s2: multi-probe LSH joins on (table, bucket) keys, never all-pairs") {
+    val p = plan(S2AnnLsh)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH candidate join degenerated to O(n^2):\n$p")
+  }
+
+  test("d4: the hashed-shingle frame is computed once and read from cache by both consumers") {
+    val p = plan(D4NgramJaccard)
+    val cacheReads = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(cacheReads >= 2,
+      s"expected both the LSH and verify stages to read the persisted shingle frame, " +
+        s"got $cacheReads InMemoryTableScan(s):\n$p")
+  }
+
+  test("t7/m2: fingerprint and frame-sample are shuffle-free pipelines") {
+    for (q <- Seq(T7RollingFingerprint, M2FrameSample)) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"${q.name} shuffles a pure per-row pipeline:\n$p")
+    }
+  }
 }
