@@ -88,6 +88,8 @@ final case class IterationResult[M](
   */
 object Iterate {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.core.Iterate")
+
   /** Below this many partitions the quorum ratio is forced to 1.0 — matching
     * the reference, which refuses partial barriers for small worker counts
     * (BasicCoordinator.java:649-658: ratio applies only when workers > 10).
@@ -372,8 +374,16 @@ object Iterate {
     while (!proceed()) { drain(); Thread.sleep(5) }
     // Job failure: tolerated exactly like a straggler IF the quorum is
     // already met (no point waiting out the window — no more results are
-    // coming); fatal otherwise.
-    failure.foreach { e => if (reported.get() < quorum) throw e }
+    // coming); fatal otherwise. Tolerated failures are LOUD: a
+    // deterministically-failing partition (a data bug, not a straggler)
+    // would otherwise silently drop the same slice of data every iteration.
+    failure.foreach { e =>
+      if (reported.get() < quorum) throw e
+      log.warn(
+        s"iteration ${ctx.currentIteration}: worker job failed after " +
+          s"${reported.get()}/$numParts partitions reported (>= quorum $quorum); " +
+          s"proceeding without the rest", e)
+    }
     if (reported.get() < numParts) {
       // Stragglers are cancelled, not awaited — their partitions contribute
       // nothing this iteration (reference: unreported workers are skipped

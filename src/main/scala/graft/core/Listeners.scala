@@ -28,8 +28,6 @@ object Listeners {
     */
   def timing[M](sink: String => Unit = defaultSink): IterationListener[M] =
     new IterationListener[M] {
-      private var t0 = 0L
-      override def onStart(total: Int): Unit = t0 = System.nanoTime()
       override def onIterationEnd(i: Int, m: M, ms: Long): Unit =
         sink(s"iteration $i: ${ms} ms")
       override def onComplete(r: IterationResult[M]): Unit =

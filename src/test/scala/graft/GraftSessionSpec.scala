@@ -38,20 +38,37 @@ class GraftSessionSpec extends AnyFunSuite {
   }
 
   test("GraftExtensions injection point wires the same expressions") {
-    // Applying to a fresh SparkSessionExtensions must succeed; the injected
-    // builders ARE the companions' builder methods (same objects the
-    // registerFunctions path registers), exercised here directly — arity
-    // errors included. spark.sql.extensions applies them at session build.
-    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.types.{ArrayType, DoubleType}
-    def arr(xs: Double*) = Literal.create(xs.toArray, ArrayType(DoubleType))
-    val cos = org.apache.spark.sql.graft.CosineSimilarity.builder(Seq(arr(1, 0), arr(0, 1)))
-    assert(cos.eval(null) == 0.0)
-    val dot = org.apache.spark.sql.graft.DotProduct.builder(Seq(arr(1, 2), arr(3, 4)))
-    assert(dot.eval(null) == 11.0)
+    // END-TO-END: build a real session whose sessionState applies
+    // GraftExtensions (the spark.sql.extensions code path), then resolve the
+    // injected functions through Catalyst analysis in plain SQL — on a
+    // session that never called registerFunctions. getOrCreate() reuses the
+    // shared SparkContext once the active/default session slots are cleared;
+    // they are restored afterwards so other suites are unaffected.
+    import org.apache.spark.sql.SparkSession
+    val active = SparkSession.getActiveSession
+    val default = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val extSession = SparkSession.builder()
+        .withExtensions(new GraftExtensions().apply(_))
+        .getOrCreate()
+      assert(extSession ne spark, "expected a fresh session, got the shared one")
+      val row = extSession.sql(
+        "SELECT cosine_similarity(array(2.0D, 0.0D), array(1.0D, 0.0D)) AS c," +
+          " dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head
+      assert(row.getDouble(0) == 1.0)
+      assert(row.getDouble(1) == 11.0)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      active.foreach(SparkSession.setActiveSession)
+      default.foreach(SparkSession.setDefaultSession)
+    }
+    // The injected builders ARE the companions' builders — arity errors too.
     intercept[IllegalArgumentException] {
-      org.apache.spark.sql.graft.DotProduct.builder(Seq(arr(1, 2)))
+      org.apache.spark.sql.graft.DotProduct.builder(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal(1.0)))
     }
   }
 }
