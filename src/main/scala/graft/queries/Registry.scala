@@ -39,6 +39,7 @@ object Registry {
     D4NgramJaccard,
     D5EmbedDedup,
     D6SimhashPairs,
+    D7DupClusters,
     S1AnnBrute,
     S2AnnLsh,
     S4AnnIvf,
