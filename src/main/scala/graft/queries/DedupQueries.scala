@@ -240,8 +240,12 @@ object D7DupClusters extends GraftQuery {
     // Labels are monotonically non-increasing, so the fixpoint is reached
     // exactly when Σ label stops decreasing — one aggregate over the
     // checkpointed frame per round instead of a join-based change count.
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).head.getLong(0)
+    def labelSum(df: DataFrame): Long = {
+      // sum over an EMPTY frame is SQL NULL (a corpus with zero duplicate
+      // pairs) — coalesce to 0 so the loop converges immediately.
+      val row = df.agg(sum(col("label"))).head
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
     var prevSum = labelSum(labels)
     var round = 0
     var converged = false
