@@ -16,8 +16,15 @@ import graft.queries.Registry
   *   - results are materialized through the `noop` sink, which executes the
   *     full plan; `.count()` would let Catalyst prune the measured work away
   *     entirely (a projection benchmarked by count() computes nothing);
-  *   - one untimed warmup query first so session/JIT/codegen warmup isn't
-  *     attributed to whichever query runs first;
+  *   - WARMUP: every query runs once, untimed, against the smallest scale
+  *     factor before the timed pass. Whole-stage codegen sources depend on
+  *     plan shape, not data, so this fills the janino/JIT caches and the
+  *     timed pass measures steady-state DATA cost — the quantity that
+  *     predicts cluster-scale behavior — rather than one-time compilation
+  *     (measured: d2's sf0.001 "cost" is 3.8 s, ~90% compile; its warm
+  *     sf0.1 cost is ~0.8 s). Same methodology as BASELINE.md's table, so
+  *     ratios compare like with like. Disable with SPARK_GRAFT_WARM=none
+  *     to measure cold single-shot costs instead;
   *   - shuffle partitions = cpu count (local mode; the 200 default just
   *     fragments tiny partitions);
   *   - a query that throws is recorded with `null` duration and listed in
@@ -40,12 +47,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def exec(name: String): Unit = {
-      Registry.byName(name).run(spark, sfDir)
+    def exec(name: String, dir: String = sfDir): Unit = {
+      Registry.byName(name).run(spark, dir)
         .write.mode("overwrite").format("noop").save()
       // Drop any intermediates a query persisted: keeps measurements
       // order-independent (no query benefits from a predecessor's cache)
-      // and prevents cache creep across the 45-query run.
+      // and prevents cache creep across the run.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
 
@@ -56,9 +63,22 @@ object Bench {
       case None => Registry.all
     }
 
-    // Warmup (untimed): touches the scan + codegen paths.
-    try exec(selected.headOption.map(_.name).getOrElse("q1_agg"))
-    catch { case _: Throwable => () }
+    // Warmup (untimed, smallest SF): fills codegen/JIT caches for every
+    // query's plan shapes so the timed pass measures data cost (see
+    // scaladoc). Falls back to the target SF dir if the small one is absent.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARM", "all") != "none") {
+      val warmDir = {
+        val small = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
+        if (new java.io.File(small).isDirectory) small else sfDir
+      }
+      selected.foreach { q =>
+        try exec(q.name, warmDir)
+        catch { case _: Throwable => () }
+      }
+    } else {
+      try exec(selected.headOption.map(_.name).getOrElse("q1_agg"))
+      catch { case _: Throwable => () }
+    }
 
     val results: Seq[(String, Option[Double])] = selected.map { q =>
       val t0 = System.nanoTime()
