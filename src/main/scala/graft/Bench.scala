@@ -22,9 +22,10 @@ import graft.queries.Registry
   *     timed pass measures steady-state DATA cost — the quantity that
   *     predicts cluster-scale behavior — rather than one-time compilation
   *     (measured: d2's sf0.001 "cost" is 3.8 s, ~90% compile; its warm
-  *     sf0.1 cost is ~0.8 s). Same methodology as BASELINE.md's table, so
-  *     ratios compare like with like. Disable with SPARK_GRAFT_WARM=none
-  *     to measure cold single-shot costs instead;
+  *     sf0.1 cost is ~1.7 s). Same methodology as BASELINE.md's table, so
+  *     ratios compare like with like. SPARK_GRAFT_WARM=none skips ALL
+  *     warmup and measures fully-cold single-shot costs (session/JIT init
+  *     lands on whichever query runs first);
   *   - shuffle partitions = cpu count (local mode; the 200 default just
   *     fragments tiny partitions);
   *   - a query that throws is recorded with `null` duration and listed in
@@ -68,16 +69,14 @@ object Bench {
     // scaladoc). Falls back to the target SF dir if the small one is absent.
     if (sys.env.getOrElse("SPARK_GRAFT_WARM", "all") != "none") {
       val warmDir = {
-        val small = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
+        val small = sfDir.replaceAll("/+$", "").replaceAll("sf[0-9.]+$", "sf0.001")
         if (new java.io.File(small).isDirectory) small else sfDir
       }
+      System.err.println(s"[bench] warming ${selected.size} queries against $warmDir")
       selected.foreach { q =>
         try exec(q.name, warmDir)
         catch { case _: Throwable => () }
       }
-    } else {
-      try exec(selected.headOption.map(_.name).getOrElse("q1_agg"))
-      catch { case _: Throwable => () }
     }
 
     val results: Seq[(String, Option[Double])] = selected.map { q =>

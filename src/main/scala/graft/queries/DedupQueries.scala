@@ -212,55 +212,71 @@ object D7DupClusters extends GraftQuery {
   val name = "d7_dup_clusters"
   val describe = "connected components over d4 duplicate pairs (min-label = survivor)"
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.queries.D7DupClusters")
   private val maxRounds = 50
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
-    // localCheckpoint (eager) truncates lineage to a LogicalRDD: without it
-    // every round's plan embeds the full d4 pipeline PLUS all prior rounds,
-    // and Catalyst re-analysis/re-optimization of that growing tree — not
-    // the data — dominates (measured 10.5 s → 3.9 s at sf0.1, with the
-    // edge repartition below). The
-    // distributed data never visits the driver; the documented tradeoff is
-    // that checkpointed partitions are not recomputable on executor loss
-    // (use reliable checkpointing on a real cluster for long jobs).
+    // Lineage truncation per round: without it every round's Catalyst plan
+    // embeds the full d4 pipeline PLUS all prior rounds, and re-analysis/
+    // re-optimization of that growing tree — not the data — dominates
+    // (measured 10.5 s → ~4 s cold at sf0.1). Truncation goes through an
+    // RDD boundary (persist the RDD, rebuild a DataFrame over it): the
+    // Catalyst plan collapses to a constant-size LogicalRDD while RDD
+    // lineage keeps partitions recomputable on executor loss (which
+    // localCheckpoint would sacrifice), and the handle lets each round
+    // unpersist its predecessor precisely.
+    import org.apache.spark.storage.StorageLevel
+    def truncate(df: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
     // The edge list is duplicate PAIRS — orders of magnitude smaller than
-    // the corpus (0.1% dup rate of 1B docs ≈ 1M edges). Partition it by
-    // src at a granularity matched to its size, not the corpus scan's: the
-    // loop's per-round cost is task dispatch over near-empty partitions
-    // otherwise. (At true 100 TB scale, size this from the pair count.)
-    val pairs = D4NgramJaccard.run(spark, sfDir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
-      .repartition(8, col("src"))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+    // the corpus (0.1% dup rate of 1B docs ≈ 1M edges). Materialize d4
+    // ONCE (both union branches read the persisted pair RDD), partitioned
+    // at a granularity matched to its size, not the corpus scan's. (At
+    // true 100 TB scale, size the partition count from the pair count.)
+    val (pairs, pairsRdd) = truncate(
+      D4NgramJaccard.run(spark, sfDir).select(col("doc_a"), col("doc_b")))
+    val (edges, edgesRdd) = truncate(
+      pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst")
+        .repartition(8, col("src")))
+    var (labels, labelsRdd) = truncate(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")))
     // Labels are monotonically non-increasing, so the fixpoint is reached
     // exactly when Σ label stops decreasing — one aggregate over the
-    // checkpointed frame per round instead of a join-based change count.
+    // truncated frame per round instead of a join-based change count.
     def labelSum(df: DataFrame): Long = {
       // sum over an EMPTY frame is SQL NULL (a corpus with zero duplicate
       // pairs) — coalesce to 0 so the loop converges immediately.
       val row = df.agg(sum(col("label"))).head
       if (row.isNullAt(0)) 0L else row.getLong(0)
     }
-    var prevSum = labelSum(labels)
+    var prevSum = labelSum(labels) // materializes labels → edges → pairs
+    pairsRdd.unpersist(blocking = false) // both edge directions are cached now
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       val prop = edges.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("label"))
-      val next = labels.unionByName(prop)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      val s = labelSum(next)
+      val (next, nextRdd) = truncate(
+        labels.unionByName(prop)
+          .groupBy(col("node")).agg(min(col("label")).as("label")))
+      val s = labelSum(next) // materializes next; old labels never read again
+      labelsRdd.unpersist(blocking = false)
+      labels = next
+      labelsRdd = nextRdd
       converged = s == prevSum
       prevSum = s
-      labels = next
       round += 1
     }
+    if (!converged)
+      log.warn(s"d7: min-label propagation hit the $maxRounds-round cap without " +
+        "converging — a duplicate cluster has diameter > cap and its component " +
+        "labels are PARTIAL (one true cluster reported as several components)")
+    edgesRdd.unpersist(blocking = false)
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 

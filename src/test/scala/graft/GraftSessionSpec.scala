@@ -45,6 +45,12 @@ class GraftSessionSpec extends AnyFunSuite {
     // shared SparkContext once the active/default session slots are cleared;
     // they are restored afterwards so other suites are unaffected.
     import org.apache.spark.sql.SparkSession
+    // Force the shared session BEFORE clearing the slots: run in isolation,
+    // the lazy TestSpark.spark would otherwise be created inside the
+    // cleared-slot window (no master configured → builder error, and the
+    // `ne` assertion would compare extSession against itself).
+    val shared = spark
+    assert(shared != null)
     val active = SparkSession.getActiveSession
     val default = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
