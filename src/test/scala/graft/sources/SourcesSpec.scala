@@ -15,6 +15,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(ds.collect().map(_.trim.toLong).sum == 15L)
   }
 
+  test("B1: text source reads gzip-compressed files transparently (codec path)") {
+    // The reference's line reader honors Hadoop compression codecs
+    // (GuaguaLineRecordReader); Spark's text source inherits the same codec
+    // factory, keyed off the .gz extension.
+    val dir = Files.createTempDirectory("graft-gz")
+    val f = dir.resolve("lines.txt.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(f))
+    out.write("7\n11\n24\n".getBytes("UTF-8"))
+    out.close()
+    val ds = Sources.text(spark, dir.toString)
+    assert(ds.collect().map(_.trim.toLong).sorted.toSeq == Seq(7L, 11L, 24L))
+  }
+
   test("B2: SequenceFile as-text round-trips") {
     val dir = Files.createTempDirectory("graft-seq").resolve("data").toString
     val sc = spark.sparkContext
