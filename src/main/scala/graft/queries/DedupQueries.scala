@@ -18,7 +18,7 @@ import graft.operators.TextOps
   * The banded frame is persisted across the self-join so the signature
   * pipeline runs once, not once per join side.
   */
-private[queries] object MinhashLsh {
+private[graft] object MinhashLsh {
   val nHashes = 8
   val bandSize = 2
   val nBands: Int = nHashes / bandSize
