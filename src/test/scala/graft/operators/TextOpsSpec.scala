@@ -43,6 +43,41 @@ class TextOpsSpec extends AnyFunSuite {
     assert(vals.getLong(1) != vals.getLong(2), "seeds must decorrelate")
   }
 
+  test("hashed shingles match an independent Scala reimplementation bit-for-bit") {
+    // Independent arithmetic: md5 via MessageDigest, 15-hex-char prefix,
+    // token hashes mod 2^31-1, two 31-bit linear combines packed to 62 bits
+    // — written from the SPEC in TextOps's scaladoc, not from its Column
+    // code, so a silent refactor of either side breaks this before the
+    // DuckDB oracle round would catch it.
+    val P = 2147483647L
+    val cA = Seq(1299709L, 15485863L, 32452843L)
+    val cB = Seq(86028121L, 104395301L, 122949823L)
+    def md5hash60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def reference(text: String): Seq[Long] = {
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      val ht = toks.map(t => md5hash60(t) % P)
+      if (ht.length < 3) Seq.empty
+      else ht.sliding(3).map { w =>
+        val a = w.zip(cA).map { case (h, c) => (h * c) % P }.sum % P
+        val b = w.zip(cB).map { case (h, c) => (h * c) % P }.sum % P
+        a * (P + 1) + b
+      }.toSeq
+    }
+    for (text <- Seq(
+        "the quick brown fox jumps over the lazy dog",
+        "a b c", "a b", "", "Repeat repeat REPEAT repeat words",
+        "numbers 123 mix4ed 567 and punctuation!!!")) {
+      val got = one(text)
+        .select(TextOps.shingleHashes(TextOps.tokenHashes(TextOps.tokens(col("text"))), 3))
+        .head.getSeq[Long](0)
+      assert(got == reference(text), s"mismatch for: '$text'")
+    }
+  }
+
   test("identical texts get identical minhash signatures (exact dups always become candidates)") {
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
