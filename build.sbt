@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the console raw: the driver parses Bench's
+// one-line JSON from stdout, and sbt's default logger prefixes every line
+// with "[info] ", which breaks that contract (BENCH_r02.json parsed=null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -27,6 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Fixed initial heap: with the default tiny -Xms the first allocation-heavy
+  // queries of a bench run pay repeated GC + heap-expansion stalls that later
+  // queries never see, skewing per-query times by run order.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // Whole-stage codegen emits hundreds of janino classes across a long
   // query suite; the JDK default 240 MB reserved code cache fills mid-run,
   // the JIT shuts off ("CodeCache is full"), and later queries execute

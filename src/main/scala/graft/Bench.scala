@@ -30,6 +30,20 @@ import graft.queries.Registry
   *     fragments tiny partitions);
   *   - a query that throws is recorded with `null` duration and listed in
   *     "failed" — a broken query must not masquerade as a fast one;
+  *   - REPS: each query's timed measurement is the MINIMUM over
+  *     SPARK_GRAFT_REPS (default 2) back-to-back runs. A single-shot timing
+  *     conflates the query's data cost with whatever transient load shares
+  *     the machine during its slot (BENCH_r02: the first half of the suite
+  *     measured 3-13x its steady cost while an unrelated process held the
+  *     box, the second half measured at baseline); min-of-N is the standard
+  *     steady-state estimator and BASELINE.md is recorded the same way, so
+  *     the gate compares like with like. Data caches stay cold per rep (the
+  *     unpersist sweep runs inside exec); only OS page cache and JIT state
+  *     carry over, which is exactly the steady state being measured;
+  *   - PAGE-CACHE PREWARM: every parquet file in the target dir is read
+  *     once (and discarded) before the timed pass, so first-touch disk I/O
+  *     lands on no query in particular instead of penalizing whichever
+  *     query reads each table first;
   *   - SPARK_GRAFT_QUERIES (comma-separated names) restricts the run for
   *     local iteration; the driver leaves it unset and gets the full suite.
   */
@@ -79,15 +93,27 @@ object Bench {
       }
     }
 
+    // Page-cache prewarm (see scaladoc): first-touch disk I/O must not land
+    // on whichever query happens to read each table first.
+    Option(new java.io.File(sfDir).listFiles()).foreach(_.foreach { f =>
+      if (f.isFile) try Files.readAllBytes(f.toPath) catch { case _: Throwable => () }
+    })
+
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
     val results: Seq[(String, Option[Double])] = selected.map { q =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { exec(q.name); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-          false
-        }
-      q.name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+      // Min over reps (see scaladoc); a rep that throws fails the query —
+      // reps estimate steady-state cost, they are not retries.
+      val times = (1 to reps).iterator.map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { exec(q.name); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+            false
+          }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      }.takeWhile(_.isDefined).flatten.toSeq
+      q.name -> (if (times.size == reps) Some(times.min) else None)
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v.map(_.toString).getOrElse("null") }
@@ -95,7 +121,7 @@ object Bench {
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
     println(line)
     val outDir = sys.env.get("SPARK_GRAFT_OUT").filter(_.nonEmpty)
     val outPath = Paths.get(outDir.getOrElse("."), "bench.json")
