@@ -22,7 +22,15 @@ object Verify {
     // round. The job group lets the watchdog cancel the stuck Spark jobs so
     // their resources free up before the next query runs.
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "600").toLong
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Same restriction knob Bench has, for local iteration on one query;
+    // the driver leaves it unset and always dumps the full suite.
+    val selected = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(csv) =>
+        val want = csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        SparkEntry.queries.filter { case (n, _) => want(n) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       val task = new java.util.concurrent.FutureTask[Unit](() =>
         try {
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
@@ -63,6 +71,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -357,3 +357,81 @@ object S4AnnIvf extends GraftQuery {
          |FROM rr WHERE rank <= $k""".stripMargin)
   }
 }
+
+/** s5: int8-QUANTIZED similarity search — the memory-side scale lever the
+  * LSH/IVF paths (s2/s4) don't touch: a 64-dim float32 embedding is 256
+  * bytes, its int8 quantization 64 bytes + one float scale, so a 100 TB
+  * vector corpus scans (and caches) at a quarter the bytes, with scoring in
+  * cheap integer arithmetic. This is scalar quantization as vector stores
+  * ship it (per-vector symmetric max-abs scaling); the score is the
+  * dequantized dot product q_a·q_b·s_a·s_b.
+  *
+  * Determinism/parity: the quantized codes are exact integers on both
+  * engines — s = max|x|/127 and x/s are correctly-rounded double ops,
+  * floor(x/s + 0.5) is exact, so codes match bit-for-bit; the integer dot
+  * product is exact; the final two multiplies are correctly-rounded doubles
+  * evaluated left-to-right on both sides. Ranking ties break on neighbor id.
+  *
+  * HOF note: the per-row scale `s` is referenced inside the quantize lambda;
+  * it is bound through a single-element struct array (the TextOps
+  * shingleHashes trick) so CollapseProject cannot inline the 64-term
+  * max-abs reduction into every one of the 64 lambda evaluations.
+  */
+object S5AnnQuantized extends GraftQuery {
+  val name = "s5_ann_quant"
+  val describe = "int8 scalar-quantized ANN: max-abs per-vector scale, integer dot, top-10"
+
+  private val k = 10
+  private val nQueries = 5
+  private val d = Embeddings.dims
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val scale = array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127.0
+    val e0 = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), scale.as("s"))
+    // Quantize with `s` bound once per row (see scaladoc); a zero vector
+    // (s = 0) quantizes to zeros instead of NaN codes.
+    val quantized = flatten(transform(
+      array(struct(col("embedding").as("e"), col("s").as("sc"))),
+      p => transform(p.getField("e"),
+        x => when(p.getField("sc") === 0.0, lit(0L))
+          .otherwise(floor(x.cast("double") / p.getField("sc") + 0.5).cast("long")))))
+    val e = e0.select(col("vec_id"), col("s"), quantized.as("qv"))
+    val qdot = aggregate(
+      zip_with(col("q.qv"), col("n.qv"), (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
+    e.alias("q").filter(col("vec_id") < nQueries)
+      .join(e.alias("n"), col("q.vec_id") =!= col("n.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("n.vec_id").as("neighbor_id"),
+        (qdot * col("q.s") * col("n.s")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 6).as("qscore"))
+  }
+
+  val oracle = {
+    val qdot = (1 to d).map(i => s"q.qv[$i] * n.qv[$i]").mkString(" + ")
+    Some(
+      s"""WITH e0 AS (
+         |  SELECT vec_id, embedding,
+         |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+         |  FROM embeddings),
+         |e AS (
+         |  SELECT vec_id, s,
+         |         CASE WHEN s = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+         |              ELSE list_transform(embedding,
+         |                     x -> CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS BIGINT)) END AS qv
+         |  FROM e0),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |         ($qdot) * q.s * n.s AS score
+         |  FROM e q JOIN e n ON q.vec_id < $nQueries AND q.vec_id <> n.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, score,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(score, 6) AS qscore
+         |FROM ranked WHERE rank <= $k""".stripMargin)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Semantic pins for the round-3 pipeline operators (d8/t8/t9/s5) beyond
+  * the DuckDB hash gate: Bloom's no-false-negative guarantee, plain-Scala
+  * reimplementations of the repetition and LM scores (independent of every
+  * Catalyst expression the queries use), and the quantized-ANN recall floor.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def docTexts(): Map[Long, String] =
+    graft.Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  private def tokenize(text: String): Seq[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+
+  private def normalize(text: String): String =
+    text.toLowerCase.replaceAll("\\s+", " ").trim
+
+  test("d8: probe matches an independent Bloom reimplementation (⟹ zero false negatives)") {
+    // Independent arithmetic from the SPEC in D8BloomDedup's scaladoc — md5
+    // via MessageDigest, 15-hex-char prefix, 12-bit slices at offsets
+    // 0/20/40 — not from the query's Column code. Functional equivalence to
+    // this model implies the no-false-negative guarantee (a member's bits
+    // are all set by construction), which this fixture cannot witness
+    // directly: the corpus has near-duplicates but no EXACT cross-parity
+    // duplicates, so every probe's ground truth here is "fresh".
+    def md5hash60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def positions(text: String): Seq[Long] = {
+      val h = md5hash60(normalize(text))
+      Seq(0, 20, 40).map(o => (h >> o) & 4095L)
+    }
+    val texts = docTexts()
+    val refBits = texts.collect { case (id, t) if id % 2 == 0 => positions(t) }
+      .flatten.toSet
+    val expected = texts.collect { case (id, t) if id % 2 == 1 =>
+      id -> positions(t).forall(refBits)
+    }
+    val got = D8BloomDedup.run(spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.keySet == expected.keySet)
+    for ((id, exp) <- expected)
+      assert(got(id) == exp, s"doc $id: query says ${got(id)}, independent Bloom says $exp")
+    // All probes are fresh here, so every hit is a false positive.
+    val fpRate = got.values.count(identity).toDouble / got.size
+    info(f"bloom false-positive rate at sf0.001: $fpRate%.4f over ${got.size} fresh docs")
+    // ~125 ref docs × 3 bits in 4096 → ~9% fill → FP ≈ 0.09³ ≈ 1e-3.
+    assert(fpRate <= 0.10, f"false-positive rate $fpRate%.3f implausibly high")
+  }
+
+  test("t8: fractions match a plain-Scala reimplementation") {
+    val texts = docTexts()
+    val got = T8Repetition.run(spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.size == texts.size)
+    for ((id, text) <- texts) {
+      val toks = tokenize(text)
+      val (nTok, dwf, tbf) = got(id)
+      assert(nTok == toks.size, s"doc $id token count")
+      val expDwf = if (toks.isEmpty) 0.0 else 1.0 - toks.distinct.size.toDouble / toks.size
+      assert(math.abs(dwf - expDwf) < 1e-6, s"doc $id dup_word_frac: $dwf vs $expDwf")
+      val bgs = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val expTbf =
+        if (bgs.isEmpty) 0.0
+        else bgs.groupBy(identity).values.map(_.size).max.toDouble / bgs.size
+      assert(math.abs(tbf - expTbf) < 1e-6, s"doc $id top_bigram_frac: $tbf vs $expTbf")
+    }
+  }
+
+  test("t9: avg log-prob matches a plain-Scala bigram LM") {
+    val texts = docTexts()
+    val allToks = texts.view.mapValues(tokenize).toMap
+    val uniCounts = allToks.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val bigramCounts = allToks.values
+      .flatMap(_.sliding(2).filter(_.size == 2).map(b => (b(0), b(1))))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val v = uniCounts.size
+    val got = T9BigramLm.run(spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val scoreable = allToks.filter(_._2.size >= 2)
+    assert(got.keySet == scoreable.keySet, "exactly the docs with >= 2 tokens are scored")
+    for ((id, toks) <- scoreable) {
+      val bgs = toks.sliding(2).filter(_.size == 2).map(b => (b(0), b(1))).toSeq
+      val exp = bgs.map { case (w1, w2) =>
+        math.log((bigramCounts((w1, w2)) + 1.0) / (uniCounts(w1) + v))
+      }.sum / bgs.size
+      val (nBg, avgLogp) = got(id)
+      assert(nBg == bgs.size, s"doc $id bigram count")
+      assert(math.abs(avgLogp - exp) < 1e-4, s"doc $id avg_logp: $avgLogp vs $exp")
+      assert(avgLogp < 0.0, "log-probabilities are negative")
+    }
+  }
+
+  test("s5: quantized top-10 keeps high recall against the exact ranking") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(S1AnnBrute.run(spark, TestSpark.sf0001))
+    val quant = pairs(S5AnnQuantized.run(spark, TestSpark.sf0001))
+    assert(exact.nonEmpty)
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    info(f"s5 recall vs s1 at sf0.001: $recall%.3f")
+    // int8 max-abs quantization perturbs cosines by ~1e-2 relative — far
+    // tighter than the bucketed ANN paths; the floor reflects that. NOTE:
+    // s5 ranks by dequantized DOT PRODUCT while s1 ranks by COSINE, so the
+    // gap measures quantization + normalization together.
+    assert(recall >= 0.60, f"s5 recall $recall%.3f fell below the 0.60 floor")
+  }
+}

@@ -112,4 +112,20 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Exchange"), s"${q.name} shuffles a pure per-row pipeline:\n$p")
     }
   }
+
+  test("d8: the Bloom word table broadcasts; the probe side never shuffles by word") {
+    val p = plan(D8BloomDedup)
+    assert(p.contains("BroadcastHashJoin"), s"bloom word table not broadcast:\n$p")
+    // Exactly one word-keyed exchange is legitimate: the BUILD side's
+    // m/32-row bit_or combine. A second would mean the probe (100 TB) side
+    // was hash-partitioned by word, i.e. the join stopped broadcasting.
+    val wordExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning(word"))
+    assert(wordExchanges <= 1, s"probe side shuffled by word:\n$p")
+    assert(p.contains("BroadcastExchange"), s"no broadcast of the word table:\n$p")
+  }
+
+  test("t9: LM scoring joins on n-gram keys, never all-pairs") {
+    val p = plan(T9BigramLm)
+    assert(!p.contains("CartesianProduct"), s"LM join degenerated:\n$p")
+  }
 }
