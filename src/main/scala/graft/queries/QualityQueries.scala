@@ -26,17 +26,24 @@ object T8Repetition extends GraftQuery {
   private val topBigramMax = 0.1
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    val base = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), toks.as("toks"))
+    // The token array feeds three derived columns and two consumer branches;
+    // persist the tokenized frame so the regex tokenization runs once, not
+    // once per reference (CollapseProject inlines non-cheap HOF trees into
+    // every reference and codegen CSE cannot hoist them — the d4 pattern).
+    // Bench/Verify sweep persistent RDDs after every query.
+    val toksFrame = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .persist()
+    val base = toksFrame
       .select(col("doc_id"), size(col("toks")).as("n_tok"),
-        size(array_distinct(col("toks"))).as("n_uniq"),
-        TextOps.shingles(col("toks"), 2).as("bgs"))
+        size(array_distinct(col("toks"))).as("n_uniq"))
     // Per-document bigram mode: count per (doc, bigram), then max/total per
     // doc. Documents with < 2 tokens have no bigrams — the left join puts
-    // them back with share 0.
-    val bigramTop = base
-      .select(col("doc_id"), explode(col("bgs")).as("g"))
+    // them back with share 0. Each branch reads the cached tokens and
+    // computes only its own derivation (the word stats never carry the
+    // bigram array through the join).
+    val bigramTop = toksFrame
+      .select(col("doc_id"), explode(TextOps.shingles(col("toks"), 2)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg((max(col("c")).cast("double") / sum(col("c"))).as("tb"))
@@ -98,9 +105,11 @@ object T9BigramLm extends GraftQuery {
   val describe = "bigram LM (add-1 smoothed, corpus-trained) avg log-prob per document"
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
+    // Tokenized once, read by the occurrence, bigram-count, and
+    // unigram-count branches from cache (see t8's note).
     val docToks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .persist()
     // One row per bigram OCCURRENCE (position), with its prefix token.
     val m = size(col("toks")) - 1
     val occ = docToks
