@@ -23,9 +23,12 @@ import graft.queries.Registry
   *     predicts cluster-scale behavior — rather than one-time compilation
   *     (measured: d2's sf0.001 "cost" is 3.8 s, ~90% compile; its warm
   *     sf0.1 cost is ~1.7 s). Same methodology as BASELINE.md's table, so
-  *     ratios compare like with like. SPARK_GRAFT_WARM=none skips ALL
-  *     warmup and measures fully-cold single-shot costs (session/JIT init
-  *     lands on whichever query runs first);
+  *     ratios compare like with like. SPARK_GRAFT_WARM=none disables ALL
+  *     warm state — the codegen warm pass, the page-cache prewarm, AND the
+  *     multi-rep minimum (reps default to 1 in that mode unless
+  *     SPARK_GRAFT_REPS is set explicitly) — so it measures fully-cold
+  *     single-shot costs (session/JIT init lands on whichever query runs
+  *     first);
   *   - shuffle partitions = cpu count (local mode; the 200 default just
   *     fragments tiny partitions);
   *   - a query that throws is recorded with `null` duration and listed in
@@ -81,7 +84,8 @@ object Bench {
     // Warmup (untimed, smallest SF): fills codegen/JIT caches for every
     // query's plan shapes so the timed pass measures data cost (see
     // scaladoc). Falls back to the target SF dir if the small one is absent.
-    if (sys.env.getOrElse("SPARK_GRAFT_WARM", "all") != "none") {
+    val warm = sys.env.getOrElse("SPARK_GRAFT_WARM", "all") != "none"
+    if (warm) {
       val warmDir = {
         val small = sfDir.replaceAll("/+$", "").replaceAll("sf[0-9.]+$", "sf0.001")
         if (new java.io.File(small).isDirectory) small else sfDir
@@ -91,15 +95,23 @@ object Bench {
         try exec(q.name, warmDir)
         catch { case _: Throwable => () }
       }
+      // Page-cache prewarm (see scaladoc): first-touch disk I/O must not
+      // land on whichever query happens to read each table first. Streamed
+      // through a fixed buffer — a whole-file readAllBytes would burn heap
+      // (and an ignored OOME would silently skip the table) at large SFs.
+      val buf = new Array[Byte](1 << 20)
+      Option(new java.io.File(sfDir).listFiles()).foreach(_.foreach { f =>
+        if (f.isFile) {
+          val in = Files.newInputStream(f.toPath)
+          try { while (in.read(buf) >= 0) () } finally in.close()
+        }
+      })
     }
 
-    // Page-cache prewarm (see scaladoc): first-touch disk I/O must not land
-    // on whichever query happens to read each table first.
-    Option(new java.io.File(sfDir).listFiles()).foreach(_.foreach { f =>
-      if (f.isFile) try Files.readAllBytes(f.toPath) catch { case _: Throwable => () }
-    })
-
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
+    // Cold mode (warm=none) defaults to single-shot — a min over reps would
+    // smuggle rep-2 warm state back into a "fully cold" measurement.
+    val reps = math.max(1,
+      sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(if (warm) 2 else 1))
     val results: Seq[(String, Option[Double])] = selected.map { q =>
       // Min over reps (see scaladoc); a rep that throws fails the query —
       // reps estimate steady-state cost, they are not retries.

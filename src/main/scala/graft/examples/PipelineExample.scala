@@ -4,25 +4,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.queries.{D1ExactDedup, D4NgramJaccard, D8BloomDedup, T1LangId, T8Repetition, T9BigramLm}
+import graft.functions.Portable
+import graft.queries.{D7DupClusters, D8BloomDedup, T1LangId, T8Repetition, T9BigramLm}
 
 /** End-to-end training-data curation pipeline composed from the engine's
   * own operators — the workflow a 100 TB corpus actually goes through, in
   * the order that minimizes bytes touched by the expensive stages:
   *
-  *   1. QUALITY GATE (cheap, per-row, scan-bound): language id (t1),
-  *      repetition filters (t8) — drops degenerate docs before anything
-  *      that shuffles.
-  *   2. INCREMENTAL ADMISSION (broadcast probe): Bloom filter (d8 shape)
-  *      against the "already ingested" half — a miss proves the doc new.
-  *   3. NEAR-DEDUP (bucketed): minhash-LSH + exact Jaccard verify (d4) on
-  *      the survivors; keep the smallest doc_id of each duplicate pair's
-  *      component.
+  *   1. QUALITY GATE (cheap, per-row, scan-bound): language-consistency
+  *      check (t1's detected language must agree with the declared `lang`
+  *      metadata — mislabeled docs poison language-filtered training sets)
+  *      and repetition filters (t8) — drops degenerate docs before
+  *      anything that shuffles.
+  *   2. INCREMENTAL ADMISSION (broadcast probe + verify): Bloom filter
+  *      (d8) against the "already ingested" even half. A miss proves the
+  *      doc new — admitted outright, nothing else touches it. Only the
+  *      hits (true duplicates + Bloom false positives) pay the exact
+  *      check: a content-hash semi-join against the reference half, which
+  *      at scale runs over the tiny hit subset, not the corpus.
+  *   3. NEAR-DEDUP (bucketed LSH + components): d7's connected components
+  *      over the verified duplicate pairs; the survivor of each cluster is
+  *      its minimum doc_id (transitively, not per-pair).
   *   4. RANKING (two grouped counts + an n-gram join): bigram-LM score
   *      (t9), highest-quality survivors first.
   *
   * Each stage reads the previous stage's output frame — no intermediate
   * hits the driver; the only driver-side values are the printed counts.
+  * Stage outputs that feed both a count and the next stage are persisted,
+  * so each stage computes once.
   * Run: sbt "runMain graft.examples.PipelineExample"
   */
 object PipelineExample {
@@ -37,23 +46,39 @@ object PipelineExample {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val total = Tables.documents(spark, sfDir).count()
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.count()
 
-    // 1. Quality gate: confident-language docs that aren't repetitive.
-    val lang = T1LangId.run(spark, sfDir).select(col("doc_id"), col("pred_lang"))
+    // 1. Quality gate: language metadata consistent with the detector, and
+    // not repetition-flagged.
+    val langOk = T1LangId.run(spark, sfDir)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .filter(col("pred_lang") === col("lang"))
+      .select(col("doc_id"))
     val rep = T8Repetition.run(spark, sfDir).filter(!col("flagged")).select(col("doc_id"))
-    val quality = lang.join(rep, "doc_id")
+    val quality = langOk.join(rep, "doc_id").persist()
 
-    // 2. Incremental admission: of the quality survivors in the probe half,
-    // keep Bloom misses outright; hits go to exact verification (d1's
-    // content-hash groupBy on the hit subset only — the point of the probe).
-    val bloom = D8BloomDedup.run(spark, sfDir)
-    val admitted = quality.join(bloom, "doc_id")
+    // 2. Incremental admission. Bloom misses are admitted with no further
+    // work; hits are exactly verified — admitted only if their normalized
+    // content hash does NOT actually occur in the reference half.
+    val fp = docs.select(col("doc_id"),
+      Portable.md5Hex(Portable.normalizedText(col("text"))).as("fp"))
+    val refFps = fp.filter(col("doc_id") % 2 === 0).select(col("fp")).distinct()
+    val hitsVerified = D8BloomDedup.run(spark, sfDir).filter(col("bloom_hit"))
+      .join(fp, "doc_id")
+      .join(refFps, Seq("fp"), "left_semi")
+      .select(col("doc_id"))
+    val probeIds = docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"))
+    val admitted = quality
+      .join(probeIds, "doc_id")
+      .join(hitsVerified, Seq("doc_id"), "left_anti")
+      .persist()
 
-    // 3. Near-dedup over admitted docs: drop the larger id of every
-    // verified duplicate pair (survivor = smallest id, transitively).
-    val dupPairs = D4NgramJaccard.run(spark, sfDir).select(col("doc_b").as("doc_id")).distinct()
-    val deduped = admitted.join(dupPairs, Seq("doc_id"), "left_anti")
+    // 3. Near-dedup: keep only each duplicate cluster's survivor (min-label
+    // component id); docs in no cluster are trivially survivors.
+    val survivors = D7DupClusters.run(spark, sfDir)
+      .filter(col("doc_id") =!= col("component")).select(col("doc_id"))
+    val deduped = admitted.join(survivors, Seq("doc_id"), "left_anti").persist()
 
     // 4. Rank survivors by LM quality score, best first.
     val ranked = T9BigramLm.run(spark, sfDir)
@@ -61,12 +86,13 @@ object PipelineExample {
       .orderBy(col("avg_logp").desc)
 
     val nQuality = quality.count()
-    val nAdmitted = admitted.filter(!col("bloom_hit")).count()
+    val nAdmitted = admitted.count()
     val nDeduped = deduped.count()
     val top = ranked.select(col("doc_id"), col("avg_logp")).limit(3).collect()
       .map(r => s"${r.getLong(0)}:${r.getDouble(1)}").mkString(", ")
-    println(s"corpus=$total -> quality=$nQuality -> bloom-fresh=$nAdmitted " +
+    println(s"corpus=$total -> quality=$nQuality -> admitted=$nAdmitted " +
       s"-> post-dedup=$nDeduped; top docs by LM score: $top")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     spark.stop()
   }
 }

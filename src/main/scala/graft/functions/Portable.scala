@@ -37,4 +37,16 @@ object Portable {
 
   def hash60Sql(expr: String, seed: Int): String =
     hash60Sql(s"'$seed:' || $expr")
+
+  /** Whitespace-normalized lowercase content — the canonical pre-fingerprint
+    * normalization shared by t4 (fingerprint column) and d8 (Bloom probe):
+    * one definition, so the two can never drift apart. DuckDB regexp_replace
+    * replaces only the first match unless the 'g' flag is passed; Spark
+    * always replaces all — hence the explicit flag in the SQL mirror.
+    */
+  def normalizedText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  def normalizedTextSql(expr: String): String =
+    s"trim(regexp_replace(lower($expr), '\\s+', ' ', 'g'))"
 }

@@ -48,10 +48,10 @@ object D8BloomDedup extends GraftQuery {
   private val sliceOffsets = Seq(0, 20, 40)
 
   private def fingerprint(text: org.apache.spark.sql.Column) =
-    Portable.hash60(trim(regexp_replace(lower(text), "\\s+", " ")))
+    Portable.hash60(Portable.normalizedText(text))
 
   private def fingerprintSql(text: String) =
-    Portable.hash60Sql(s"trim(regexp_replace(lower($text), '\\s+', ' ', 'g'))")
+    Portable.hash60Sql(Portable.normalizedTextSql(text))
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)

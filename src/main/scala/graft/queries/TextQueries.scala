@@ -42,13 +42,11 @@ object T4Fingerprint extends GraftQuery {
   def run(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(
       col("doc_id"),
-      Portable.md5Hex(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+      Portable.md5Hex(Portable.normalizedText(col("text"))).as("fp"))
 
-  // DuckDB regexp_replace replaces only the first match unless the 'g' flag
-  // is passed; Spark always replaces all — hence the explicit flag here.
   val oracle = Some(
-    """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-      |FROM documents""".stripMargin)
+    s"""SELECT doc_id, md5(${Portable.normalizedTextSql("text")}) AS fp
+       |FROM documents""".stripMargin)
 }
 
 /** t7: POLYNOMIAL ROLLING fingerprint — order-sensitive token-sequence hash

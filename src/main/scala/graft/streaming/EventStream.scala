@@ -101,6 +101,66 @@ object EventStream {
       .drop("__sig")
   }
 
+  /** Streaming quality gate: t8's repetition filters (dup-word fraction +
+    * top-bigram share) as a pure per-row projection — STATELESS, so it
+    * applies to an unbounded document stream with no watermark, no state
+    * store, and no shuffle; the natural first stage of a streaming
+    * ingestion pipeline (cheap gate before any stateful dedup).
+    *
+    * The batch t8 computes the bigram mode with explode + grouped counts
+    * (the right engine for a bounded corpus); a stream can't shuffle a
+    * whole corpus per row, so here the mode folds over the row's own sorted
+    * bigram array (longest equal run of sort_array(bgs) — O(n log n) per
+    * document). StreamingQualityGateSpec asserts the two forms agree
+    * column-for-column on the same data, which is how this path inherits
+    * t8's DuckDB gate.
+    *
+    * HOF hygiene: tokens and bigrams are bound once per row through nested
+    * single-element struct arrays (the TextOps.shingleHashes pattern) — the
+    * run-length fold and both fractions read bound variables, so the
+    * tokenizer and shingler run once per document no matter how the
+    * optimizer collapses projections.
+    */
+  def qualityGate(
+      docs: DataFrame,
+      textCol: String = "text",
+      dupWordMax: Double = graft.queries.T8Repetition.dupWordMax,
+      topBigramMax: Double = graft.queries.T8Repetition.topBigramMax): DataFrame = {
+    import graft.operators.TextOps
+    def statsOf(t: org.apache.spark.sql.Column) = {
+      def inner(q: org.apache.spark.sql.Column) = {
+        val toks = q.getField("t")
+        val bgs = q.getField("b")
+        val n = size(toks)
+        val acc0 = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+        def bump(a: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) =
+          when(x === a.getField("prev"), a.getField("run") + 1).otherwise(lit(1L))
+        val modeCnt = aggregate(sort_array(bgs), acc0,
+          (a, x) => struct(x.as("prev"), bump(a, x).as("run"),
+            greatest(a.getField("best"), bump(a, x)).as("best")),
+          a => a.getField("best"))
+        struct(
+          n.as("n_tok"),
+          when(n > 0, lit(1.0) - size(array_distinct(toks)).cast("double") / n)
+            .otherwise(0.0).as("dup_word_frac"),
+          when(size(bgs) > 0, modeCnt.cast("double") / size(bgs))
+            .otherwise(0.0).as("top_bigram_frac"))
+      }
+      // Two nested one-element binds: tokens once, then bigrams once.
+      flatten(transform(array(struct(t.as("t"))), p =>
+        transform(array(struct(p.getField("t").as("t"),
+          TextOps.shingles(p.getField("t"), 2).as("b"))), q => inner(q))))
+    }
+    docs
+      .withColumn("__st", element_at(statsOf(TextOps.tokens(col(textCol))), 1))
+      .withColumn("n_tok", col("__st.n_tok"))
+      .withColumn("dup_word_frac", round(col("__st.dup_word_frac"), 6))
+      .withColumn("top_bigram_frac", round(col("__st.top_bigram_frac"), 6))
+      .withColumn("flagged",
+        col("__st.dup_word_frac") > dupWordMax || col("__st.top_bigram_frac") > topBigramMax)
+      .drop("__st")
+  }
+
   final case class OpenSession(startSec: Long, lastSec: Long, nEvents: Long)
   final case class OpenSessions(sessions: List[OpenSession])
   final case class FinalizedSession(

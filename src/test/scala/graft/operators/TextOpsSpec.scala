@@ -52,11 +52,7 @@ class TextOpsSpec extends AnyFunSuite {
     val P = 2147483647L
     val cA = Seq(1299709L, 15485863L, 32452843L)
     val cB = Seq(86028121L, 104395301L, 122949823L)
-    def md5hash60(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
-    }
+    import graft.IndependentHash.md5hash60
     def reference(text: String): Seq[Long] = {
       val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
       val ht = toks.map(t => md5hash60(t) % P)

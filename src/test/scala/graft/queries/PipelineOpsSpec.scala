@@ -25,17 +25,14 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("d8: probe matches an independent Bloom reimplementation (⟹ zero false negatives)") {
     // Independent arithmetic from the SPEC in D8BloomDedup's scaladoc — md5
-    // via MessageDigest, 15-hex-char prefix, 12-bit slices at offsets
-    // 0/20/40 — not from the query's Column code. Functional equivalence to
-    // this model implies the no-false-negative guarantee (a member's bits
-    // are all set by construction), which this fixture cannot witness
-    // directly: the corpus has near-duplicates but no EXACT cross-parity
-    // duplicates, so every probe's ground truth here is "fresh".
-    def md5hash60(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
-    }
+    // via MessageDigest ([[graft.IndependentHash]]), 12-bit slices at
+    // offsets 0/20/40 — not from the query's Column code. Functional
+    // equivalence to this model implies the no-false-negative guarantee (a
+    // member's bits are all set by construction), which this fixture cannot
+    // witness directly: the corpus has near-duplicates but no EXACT
+    // cross-parity duplicates, so every probe's ground truth here is
+    // "fresh".
+    import graft.IndependentHash.md5hash60
     def positions(text: String): Seq[Long] = {
       val h = md5hash60(normalize(text))
       Seq(0, 20, 40).map(o => (h >> o) & 4095L)
