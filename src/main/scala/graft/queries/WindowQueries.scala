@@ -76,3 +76,87 @@ object W2Sessions extends GraftQuery {
        |FROM t
        |GROUP BY user_id""".stripMargin)
 }
+
+/** w6: conversion funnel with an attribution window — the ORDERED
+  * sequential pattern view → click within 6 h of a view → purchase within
+  * 6 h of such a click, per user, counted by deepest stage reached.
+  * Sequence analytics is the events-table workload windowed aggregation
+  * (w1) and sessionization (w2) don't cover: stage n counts only when it
+  * happens strictly AFTER a qualifying stage-(n−1) event and inside the
+  * attribution window, so plain conditional aggregation (min/max per
+  * type) is wrong — a purchase before the first view, or a week after the
+  * last qualifying click, must not convert. (Without the window every
+  * user in this dense corpus trivially converts; 6 h splits the fixture
+  * 32/100/18 across stages at sf0.01.)
+  *
+  * Shape: two chained "latest qualifying predecessor timestamp" window
+  * columns over the same (user_id; ts, event_id) ordering — the
+  * strictly-prior frame (UNBOUNDED PRECEDING .. 1 PRECEDING) encodes
+  * "after", the chaining encodes the order, the sec-difference bound the
+  * window — then one per-user max and a tiny stage histogram. Both
+  * WindowExecs and the per-user aggregate share ONE hash partitioning on
+  * user_id and ONE per-partition sort: single exchange end-to-end
+  * (scale-wise identical to w2; skewed bot users would salt the same way).
+  */
+object W6Funnel extends GraftQuery {
+  val name = "w6_funnel"
+  val describe = "view->click->purchase funnel (6h attribution): users by deepest stage"
+
+  private val windowSec = 21600L
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rowStage = greatest(
+      when(col("purchase_ok") === 1, 3).otherwise(0),
+      when(col("click_ok") === 1, 2).otherwise(0),
+      when(col("event_type") === "view", 1).otherwise(0))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+        col("event_id"), col("event_type"))
+      .withColumn("last_view",
+        max(when(col("event_type") === "view", col("sec"))).over(wPrev))
+      .withColumn("click_ok",
+        when(col("event_type") === "click" && col("last_view").isNotNull &&
+          col("sec") - col("last_view") <= windowSec, 1).otherwise(0))
+      .withColumn("last_qclick",
+        max(when(col("click_ok") === 1, col("sec"))).over(wPrev))
+      .withColumn("purchase_ok",
+        when(col("event_type") === "purchase" && col("last_qclick").isNotNull &&
+          col("sec") - col("last_qclick") <= windowSec, 1).otherwise(0))
+      .groupBy(col("user_id")).agg(max(rowStage).as("stage"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+      .select(col("stage").as("funnel_stage"), col("n_users"))
+  }
+
+  val oracle = Some(
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type
+       |  FROM events),
+       |s1 AS (
+       |  SELECT *, max(CASE WHEN event_type = 'view' THEN sec END)
+       |           OVER (PARTITION BY user_id ORDER BY sec, event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view
+       |  FROM e),
+       |s2 AS (
+       |  SELECT *, CASE WHEN event_type = 'click' AND last_view IS NOT NULL
+       |                  AND sec - last_view <= $windowSec THEN 1 ELSE 0 END AS click_ok
+       |  FROM s1),
+       |s3 AS (
+       |  SELECT *, max(CASE WHEN click_ok = 1 THEN sec END)
+       |           OVER (PARTITION BY user_id ORDER BY sec, event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_qclick
+       |  FROM s2),
+       |s4 AS (
+       |  SELECT *, CASE WHEN event_type = 'purchase' AND last_qclick IS NOT NULL
+       |                  AND sec - last_qclick <= $windowSec THEN 1 ELSE 0 END AS purchase_ok
+       |  FROM s3),
+       |us AS (
+       |  SELECT user_id,
+       |         max(greatest(CASE WHEN purchase_ok = 1 THEN 3 ELSE 0 END,
+       |                      CASE WHEN click_ok = 1 THEN 2 ELSE 0 END,
+       |                      CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)) AS stage
+       |  FROM s4 GROUP BY user_id)
+       |SELECT stage AS funnel_stage, count(*) AS n_users
+       |FROM us GROUP BY stage""".stripMargin)
+}

@@ -128,4 +128,12 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(T9BigramLm)
     assert(!p.contains("CartesianProduct"), s"LM join degenerated:\n$p")
   }
+
+  test("w6: both windows and the per-user agg share one user_id exchange") {
+    val p = plan(W6Funnel)
+    val userExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges == 1,
+      s"expected one user_id exchange feeding windows+agg, got $userExchanges:\n$p")
+  }
 }
