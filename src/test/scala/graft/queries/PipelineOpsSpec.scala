@@ -98,6 +98,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d9: cross-parity near-duplicates are always flagged contaminated") {
+    // Theorem: for a verified pair (a, b) with shingle-Jaccard J ≥ 0.5 where
+    // a is in the reference half and b in the probe half,
+    // overlap_frac(b) ≥ |a∩b|/|b| ≥ |a∩b|/|a∪b| = J ≥ 0.5 = the flag
+    // threshold — so d9 must flag b, whatever else the reference contains.
+    import org.apache.spark.sql.functions.col
+    val pairs = D4NgramJaccard.run(spark, TestSpark.sf0001)
+      .filter(col("jaccard") >= 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val crossParity = pairs.collect {
+      case (a, b) if a % 2 == 0 && b % 2 == 1 => b
+      case (a, b) if a % 2 == 1 && b % 2 == 0 => a
+    }.toSet
+    assert(crossParity.nonEmpty, "fixture should contain cross-parity near-dups")
+    val flagged = D9Contamination.run(spark, TestSpark.sf0001)
+      .filter(col("contaminated")).collect().map(_.getLong(0)).toSet
+    val missed = crossParity -- flagged
+    assert(missed.isEmpty,
+      s"near-duplicates of reference docs not flagged contaminated: $missed")
+    info(s"${crossParity.size} cross-parity near-dups, ${flagged.size} flagged total")
+  }
+
   test("s5: quantized top-10 keeps high recall against the exact ranking") {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("query_id", "neighbor_id").collect()
