@@ -102,8 +102,14 @@ object Bench {
       val buf = new Array[Byte](1 << 20)
       Option(new java.io.File(sfDir).listFiles()).foreach(_.foreach { f =>
         if (f.isFile) {
-          val in = Files.newInputStream(f.toPath)
-          try { while (in.read(buf) >= 0) () } finally in.close()
+          // Per-file tolerance: an unreadable file (broken symlink, perms)
+          // must degrade to "that table not prewarmed", not abort the bench.
+          try {
+            val in = Files.newInputStream(f.toPath)
+            try { while (in.read(buf) >= 0) () } finally in.close()
+          } catch { case e: java.io.IOException =>
+            System.err.println(s"[bench] prewarm skipped $f: ${e.getMessage}")
+          }
         }
       })
     }

@@ -4,8 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.Portable
-import graft.queries.{D7DupClusters, D8BloomDedup, T1LangId, T8Repetition, T9BigramLm}
+import graft.queries.{D7DupClusters, D8BloomDedup, T1LangId, T4Fingerprint, T8Repetition, T9BigramLm}
 
 /** End-to-end training-data curation pipeline composed from the engine's
   * own operators — the workflow a 100 TB corpus actually goes through, in
@@ -23,8 +22,10 @@ import graft.queries.{D7DupClusters, D8BloomDedup, T1LangId, T8Repetition, T9Big
   *      check: a content-hash semi-join against the reference half, which
   *      at scale runs over the tiny hit subset, not the corpus.
   *   3. NEAR-DEDUP (bucketed LSH + components): d7's connected components
-  *      over the verified duplicate pairs; the survivor of each cluster is
-  *      its minimum doc_id (transitively, not per-pair).
+  *      over the verified duplicate pairs; each cluster keeps its smallest
+  *      ADMITTED member (transitively, not per-pair — and never losing a
+  *      cluster's content just because its global-min member was rejected
+  *      upstream).
   *   4. RANKING (two grouped counts + an n-gram join): bigram-LM score
   *      (t9), highest-quality survivors first.
   *
@@ -60,9 +61,9 @@ object PipelineExample {
 
     // 2. Incremental admission. Bloom misses are admitted with no further
     // work; hits are exactly verified — admitted only if their normalized
-    // content hash does NOT actually occur in the reference half.
-    val fp = docs.select(col("doc_id"),
-      Portable.md5Hex(Portable.normalizedText(col("text"))).as("fp"))
+    // content hash (t4's fingerprint, the exact operator d8's probe hash
+    // derives from) does NOT actually occur in the reference half.
+    val fp = T4Fingerprint.run(spark, sfDir)
     val refFps = fp.filter(col("doc_id") % 2 === 0).select(col("fp")).distinct()
     val hitsVerified = D8BloomDedup.run(spark, sfDir).filter(col("bloom_hit"))
       .join(fp, "doc_id")
@@ -74,11 +75,21 @@ object PipelineExample {
       .join(hitsVerified, Seq("doc_id"), "left_anti")
       .persist()
 
-    // 3. Near-dedup: keep only each duplicate cluster's survivor (min-label
-    // component id); docs in no cluster are trivially survivors.
-    val survivors = D7DupClusters.run(spark, sfDir)
-      .filter(col("doc_id") =!= col("component")).select(col("doc_id"))
-    val deduped = admitted.join(survivors, Seq("doc_id"), "left_anti").persist()
+    // 3. Near-dedup: keep ONE admitted representative per duplicate cluster
+    // — the smallest ADMITTED doc_id of each component, not the component's
+    // global min label: a cluster whose min-id member was itself rejected
+    // upstream (quality gate, admission) must still keep its content
+    // through a surviving representative, not lose it entirely.
+    val components = D7DupClusters.run(spark, sfDir)
+    val withComponent = admitted
+      .join(components, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val keepers = withComponent.groupBy(col("component"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val deduped = withComponent
+      .join(keepers, Seq("component", "doc_id"), "left_semi")
+      .drop("component")
+      .persist()
 
     // 4. Rank survivors by LM quality score, best first.
     val ranked = T9BigramLm.run(spark, sfDir)

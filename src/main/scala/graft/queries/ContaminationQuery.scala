@@ -42,14 +42,23 @@ object D9Contamination extends GraftQuery {
     val refShingles = shs.filter(col("doc_id") % 2 === 0)
       .select(explode(col("shs")).as("sh")).distinct()
       .withColumn("present", lit(1))
+    // Every probe doc appears in the output — a document too short to have
+    // shingles (< 3 tokens) is reported explicitly with n_shingles = 0 and
+    // NULL score/flag ("unscorable at this granularity"), never silently
+    // omitted: a consumer must be able to tell "scored clean" from "never
+    // scored". (explode alone would drop those rows on both engines.)
+    val probeDocs = shs.filter(col("doc_id") % 2 === 1).select(col("doc_id"))
     val probe = shs.filter(col("doc_id") % 2 === 1)
       .select(col("doc_id"), explode(col("shs")).as("sh"))
-    probe
+    val scored = probe
       .join(refShingles, Seq("sh"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("present"), lit(0))).as("n_overlap"))
-      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+    probeDocs.join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         round(col("n_overlap").cast("double") / col("n_shingles"), 6).as("overlap_frac"),
         (col("n_overlap").cast("double") / col("n_shingles") >= threshold).as("contaminated"))
   }
@@ -66,8 +75,11 @@ object D9Contamination extends GraftQuery {
        |         CAST(sum(CASE WHEN r.sh IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_overlap
        |  FROM probe p LEFT JOIN ref r ON p.sh = r.sh
        |  GROUP BY p.doc_id)
-       |SELECT doc_id, n_shingles, n_overlap,
-       |       round(CAST(n_overlap AS DOUBLE) / n_shingles, 6) AS overlap_frac,
-       |       (CAST(n_overlap AS DOUBLE) / n_shingles >= $threshold) AS contaminated
-       |FROM ov""".stripMargin)
+       |SELECT d.doc_id,
+       |       COALESCE(o.n_shingles, 0) AS n_shingles,
+       |       COALESCE(o.n_overlap, 0) AS n_overlap,
+       |       round(CAST(o.n_overlap AS DOUBLE) / o.n_shingles, 6) AS overlap_frac,
+       |       (CAST(o.n_overlap AS DOUBLE) / o.n_shingles >= $threshold) AS contaminated
+       |FROM (SELECT doc_id FROM shs WHERE doc_id % 2 = 1) d
+       |LEFT JOIN ov o ON d.doc_id = o.doc_id""".stripMargin)
 }

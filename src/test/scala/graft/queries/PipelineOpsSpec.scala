@@ -99,13 +99,17 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("d9: cross-parity near-duplicates are always flagged contaminated") {
-    // Theorem: for a verified pair (a, b) with shingle-Jaccard J ≥ 0.5 where
+    // Theorem: for a verified pair (a, b) with shingle-Jaccard J > 0.5 where
     // a is in the reference half and b in the probe half,
-    // overlap_frac(b) ≥ |a∩b|/|b| ≥ |a∩b|/|a∪b| = J ≥ 0.5 = the flag
+    // overlap_frac(b) ≥ |a∩b|/|b| ≥ |a∩b|/|a∪b| = J > 0.5 = the flag
     // threshold — so d9 must flag b, whatever else the reference contains.
+    // Strict >: d4's jaccard column is ROUNDED to 6 decimals, so a pair
+    // displaying exactly 0.500000 could have true J = 0.4999996 and
+    // legitimately fall below the unrounded flag threshold; rounded > 0.5
+    // implies true J ≥ 0.5000005 > 0.5, which keeps the bound airtight.
     import org.apache.spark.sql.functions.col
     val pairs = D4NgramJaccard.run(spark, TestSpark.sf0001)
-      .filter(col("jaccard") >= 0.5).collect()
+      .filter(col("jaccard") > 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val crossParity = pairs.collect {
       case (a, b) if a % 2 == 0 && b % 2 == 1 => b
