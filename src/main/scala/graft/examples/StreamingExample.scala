@@ -8,9 +8,10 @@ import org.apache.spark.sql.types._
 
 import graft.streaming.EventStream
 
-/** Runnable example: drive the streaming windowed aggregation from a real
-  * file source (parquet files landing in a directory — the standard
-  * ingestion pattern), not a test harness stream.
+/** Runnable example: drive the streaming windowed aggregation AND the
+  * stateless document quality gate from real file sources (parquet files
+  * landing in a directory — the standard ingestion pattern), not a test
+  * harness stream.
   */
 object StreamingExample {
   def main(args: Array[String]): Unit = {
@@ -37,13 +38,31 @@ object StreamingExample {
     val q = EventStream.windowedAgg(events).writeStream
       .format("memory").queryName("windowed").outputMode("complete").start()
 
-    // Simulate a file arriving in the landing directory.
+    // Documents land in their own directory and flow through the stateless
+    // quality gate — no watermark, no state store; the stream is just the
+    // batch expressions applied row by row as files arrive.
+    val docLanding = Files.createTempDirectory("graft_stream_docs")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = spark.readStream.schema(docSchema).parquet(docLanding.toString)
+    val gate = EventStream.qualityGate(docs)
+      .filter(!col("flagged")).select(col("doc_id"))
+      .writeStream.format("memory").queryName("gated").outputMode("append").start()
+
+    // Simulate files arriving in the landing directories.
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
       landing.resolve("batch0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      docLanding.resolve("batch0.parquet"), StandardCopyOption.REPLACE_EXISTING)
     q.processAllAvailable()
+    gate.processAllAvailable()
     val n = spark.table("windowed").count()
     val top = spark.table("windowed").orderBy(col("n_events").desc).limit(1).collect()(0)
-    println(s"DRIVE-STREAM windows=$n top=${top.mkString(",")}")
+    val passed = spark.table("gated").count()
+    println(s"DRIVE-STREAM windows=$n top=${top.mkString(",")} gate_passed=$passed")
+    gate.stop()
     q.stop()
     spark.stop()
   }
