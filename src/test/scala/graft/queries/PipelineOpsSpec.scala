@@ -124,6 +124,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     info(s"${crossParity.size} cross-parity near-dups, ${flagged.size} flagged total")
   }
 
+  test("d9: a probe doc too short to shingle is reported, not omitted") {
+    // The test corpus has no <3-token documents, so the oracle never
+    // exercises this branch — pin it on a crafted fixture: the short doc
+    // must appear with n_shingles = 0 and NULL score/flag ("unscorable"),
+    // never be silently dropped.
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "alpha beta gamma delta epsilon", "en", "src0", 30L), // reference
+      (1L, "alpha beta gamma delta epsilon", "en", "src0", 30L), // contaminated probe
+      (3L, "tiny doc", "en", "src0", 8L)) // probe, 2 tokens -> no shingles
+    val dir = java.nio.file.Files.createTempDirectory("d9_fixture").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = D9Contamination.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L, 3L), s"probe docs missing: ${got.keySet}")
+    assert(got(1L).getBoolean(4), "identical probe doc must be contaminated")
+    val short = got(3L)
+    assert(short.getLong(1) == 0L && short.isNullAt(3) && short.isNullAt(4),
+      s"short doc must be (0 shingles, NULL score, NULL flag), got $short")
+  }
+
   test("s5: quantized top-10 keeps high recall against the exact ranking") {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("query_id", "neighbor_id").collect()
