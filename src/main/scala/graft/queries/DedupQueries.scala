@@ -252,9 +252,15 @@ object D7DupClusters extends GraftQuery {
       pairs.union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst")
         .repartition(8, col("src")))
+    // Seed labels at min(node, min neighbor) instead of node: any init that
+    // is ≥ the fixpoint and ≤ the node's own id converges to the same
+    // component minimum, and this one puts every DIRECT pair (the vast
+    // majority of duplicate clusters — 2-cliques) at its fixpoint before
+    // the loop starts, saving one full propagation round.
     var (labels, labelsRdd) = truncate(
-      edges.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node")))
+      edges.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src").as("node"), least(col("mn"), col("src")).as("label")))
     // Labels are monotonically non-increasing, so the fixpoint is reached
     // exactly when Σ label stops decreasing — one aggregate over the
     // truncated frame per round instead of a join-based change count.
