@@ -42,10 +42,10 @@ object StreamingExample {
     // quality gate — no watermark, no state store; the stream is just the
     // batch expressions applied row by row as files arrive.
     val docLanding = Files.createTempDirectory("graft_stream_docs")
-    val docSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
+    // Schema derived from the table itself (no nanos workaround needed here,
+    // unlike events above) — a hand-rolled copy would drift silently if the
+    // generator ever changed a column.
+    val docSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
     val docs = spark.readStream.schema(docSchema).parquet(docLanding.toString)
     val gate = EventStream.qualityGate(docs)
       .filter(!col("flagged")).select(col("doc_id"))
