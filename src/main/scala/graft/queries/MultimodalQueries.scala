@@ -46,9 +46,21 @@ object M1MultimodalMeta extends GraftQuery {
   * video-shaped half of the multimodal surface ([[graft.operators.Multimodal
   * .sampleFrames]]): every 2nd "frame" chunk of each payload, downscaled 4×,
   * emitted as (doc_id, frame_idx, n_bytes). The decode/chunk stub runs
-  * inside a typed `mapPartitions` flatMap, so this op is NOT SQL-expressible
-  * and carries no DuckDB oracle — the driver records the rows-only check,
-  * and MultimodalSpec pins the per-doc frame counts and determinism.
+  * inside a typed `mapPartitions` flatMap — the EXECUTION is not
+  * SQL-expressible, but its arithmetic contract is: the stub's FNV-ish
+  * rolling hash is mod-2^64 integer math, which DuckDB reproduces with
+  * HUGEINT intermediates (Java long multiplication wraps; DuckDB BIGINT
+  * errors on overflow, so the fold runs in 128-bit and reduces mod 2^64 —
+  * see the parity playbook's overflow rule taken to its limit). The oracle
+  * replays hash → frames → width → stride/resize lengths exactly, so even
+  * the typed-flatMap operator gets the full three-way hash gate instead of
+  * a rows-only check.
+  *
+  * Oracle validity note: the fake payload is the document's UTF-8 text and
+  * this corpus is pure ASCII, so `ord(substr(text, i, 1))` enumerates the
+  * payload BYTES; a production binary payload would not round-trip through
+  * SQL string functions (the oracle is for the fixture, the operator is for
+  * production).
   *
   * Scale: flatMap fan-out happens executor-side after columnar pruning has
   * already limited the scan to (doc_id, payload); output partitioning
@@ -56,7 +68,7 @@ object M1MultimodalMeta extends GraftQuery {
   */
 object M2FrameSample extends GraftQuery {
   val name = "m2_frame_sample"
-  val describe = "payload frame sampling (stride 2) + 4x resize stub; rows-only check"
+  val describe = "payload frame sampling (stride 2) + 4x resize stub, hash-replayed oracle"
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -66,5 +78,28 @@ object M2FrameSample extends GraftQuery {
       .select(col("doc_id"), col("frame_idx"), col("n_bytes"))
   }
 
-  val oracle = None
+  val oracle = Some(
+    """WITH b AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS len,
+      |         list_transform(range(1, length(text) + 1),
+      |                        i -> CAST(ord(substr(text, i, 1)) AS HUGEINT)) AS bytes
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, len,
+      |         list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), bytes),
+      |                     (a, x) -> (a * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS hh
+      |  FROM b WHERE len > 0),
+      |g AS (
+      |  SELECT doc_id, len,
+      |         CAST(hh % CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS pos
+      |  FROM h),
+      |f AS (
+      |  SELECT doc_id, len, CAST(1 + ((pos >> 20) % 16) AS BIGINT) AS frames FROM g),
+      |w AS (
+      |  SELECT doc_id, len, frames, greatest(1, len // greatest(1, frames)) AS width FROM f),
+      |fr AS (
+      |  SELECT doc_id, len, width, unnest(range(0, frames, 2)) AS fi FROM w)
+      |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+      |       CAST(((least(len, fi * width + width) - fi * width) + 3) // 4 AS INT) AS n_bytes
+      |FROM fr WHERE fi * width < len""".stripMargin)
 }
