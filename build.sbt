@@ -31,13 +31,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // Fixed initial heap: with the default tiny -Xms the first allocation-heavy
-  // queries of a bench run pay repeated GC + heap-expansion stalls that later
-  // queries never see, skewing per-query times by run order.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // Whole-stage codegen emits hundreds of janino classes across a long
   // query suite; the JDK default 240 MB reserved code cache fills mid-run,
   // the JIT shuts off ("CodeCache is full"), and later queries execute
   // interpreted with random 10x+ stalls. 1 GiB keeps the JIT alive.
   "-XX:ReservedCodeCacheSize=1g",
 )
+// Fixed initial heap for `run` (Bench/Verify) only: with the default tiny
+// -Xms the first allocation-heavy queries of a bench run pay repeated GC +
+// heap-expansion stalls that later queries never see, skewing per-query
+// times by run order. Scoped to run — committing 8 GB at startup for every
+// test JVM would fail to launch on a smaller host where growing-from-small
+// degrades gracefully.
+run / javaOptions += s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"

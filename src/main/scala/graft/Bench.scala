@@ -33,12 +33,18 @@ import graft.queries.Registry
   *     fragments tiny partitions);
   *   - a query that throws is recorded with `null` duration and listed in
   *     "failed" — a broken query must not masquerade as a fast one;
-  *   - REPS: each query's timed measurement is the MINIMUM over
-  *     SPARK_GRAFT_REPS (default 2) back-to-back runs. A single-shot timing
-  *     conflates the query's data cost with whatever transient load shares
-  *     the machine during its slot (BENCH_r02: the first half of the suite
-  *     measured 3-13x its steady cost while an unrelated process held the
-  *     box, the second half measured at baseline); min-of-N is the standard
+  *   - REPS, INTERLEAVED: each query's timed measurement is the MINIMUM over
+  *     SPARK_GRAFT_REPS (default 3) runs, and the reps are INTERLEAVED —
+  *     the whole suite runs rep 1, then the whole suite runs rep 2, ... —
+  *     rather than back-to-back per query. A single-shot timing conflates
+  *     the query's data cost with whatever transient load shares the machine
+  *     during its slot (BENCH_r02: the first half of the suite measured
+  *     3-13x its steady cost while an unrelated process held the box, the
+  *     second half measured at baseline). Back-to-back reps only defend
+  *     against load shorter than one query; interleaving puts the reps of
+  *     each query MINUTES apart, so a contention burst poisons at most one
+  *     rep of any query and the min survives (BENCH_r03: adjacent-slot d8/d9
+  *     measured 2-3x with back-to-back min-of-2). Min-of-N is the standard
   *     steady-state estimator and BASELINE.md is recorded the same way, so
   *     the gate compares like with like. Data caches stay cold per rep (the
   *     unpersist sweep runs inside exec); only OS page cache and JIT state
@@ -100,8 +106,12 @@ object Bench {
       // through a fixed buffer — a whole-file readAllBytes would burn heap
       // (and an ignored OOME would silently skip the table) at large SFs.
       val buf = new Array[Byte](1 << 20)
-      Option(new java.io.File(sfDir).listFiles()).foreach(_.foreach { f =>
-        if (f.isFile) {
+      // Recursive walk: a directory-layout parquet table (the standard Spark
+      // writer output — part files under a table directory) must prewarm
+      // too, not just single-file tables at the top level.
+      def prewarm(f: java.io.File): Unit =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(prewarm)
+        else if (f.isFile) {
           // Per-file tolerance: an unreadable file (broken symlink, perms)
           // must degrade to "that table not prewarmed", not abort the bench.
           try {
@@ -111,27 +121,42 @@ object Bench {
             System.err.println(s"[bench] prewarm skipped $f: ${e.getMessage}")
           }
         }
-      })
+      prewarm(new java.io.File(sfDir))
     }
 
     // Cold mode (warm=none) defaults to single-shot — a min over reps would
     // smuggle rep-2 warm state back into a "fully cold" measurement.
     val reps = math.max(1,
-      sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(if (warm) 2 else 1))
-    val results: Seq[(String, Option[Double])] = selected.map { q =>
-      // Min over reps (see scaladoc); a rep that throws fails the query —
-      // reps estimate steady-state cost, they are not retries.
-      val times = (1 to reps).iterator.map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { exec(q.name); true }
-          catch { case e: Throwable =>
+      sys.env.get("SPARK_GRAFT_REPS").flatMap { s =>
+        val n = s.trim.toIntOption
+        if (n.isEmpty)
+          System.err.println(s"[bench] ignoring malformed SPARK_GRAFT_REPS='$s', using default")
+        n
+      }.getOrElse(if (warm) 3 else 1))
+    // Interleaved reps (see scaladoc): pass p runs every query once, in
+    // suite order; per-query result is the min across passes. A rep that
+    // throws fails the query in ALL passes — reps estimate steady-state
+    // cost, they are not retries.
+    val timesByQuery = scala.collection.mutable.Map.empty[String, List[Double]]
+    val failedSet = scala.collection.mutable.Set.empty[String]
+    for (pass <- 1 to reps) {
+      System.err.println(s"[bench] timed pass $pass/$reps")
+      selected.foreach { q =>
+        if (!failedSet(q.name)) {
+          val t0 = System.nanoTime()
+          try {
+            exec(q.name)
+            timesByQuery(q.name) =
+              ((System.nanoTime() - t0) / 1e9) :: timesByQuery.getOrElse(q.name, Nil)
+          } catch { case e: Throwable =>
             System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-            false
+            failedSet += q.name
           }
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
-      }.takeWhile(_.isDefined).flatten.toSeq
-      q.name -> (if (times.size == reps) Some(times.min) else None)
+        }
+      }
+    }
+    val results: Seq[(String, Option[Double])] = selected.map { q =>
+      q.name -> timesByQuery.get(q.name).filter(_ => !failedSet(q.name)).map(_.min)
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v.map(_.toString).getOrElse("null") }
