@@ -225,7 +225,27 @@ object D7DupClusters extends GraftQuery {
   private val log = org.slf4j.LoggerFactory.getLogger("graft.queries.D7DupClusters")
   private val maxRounds = 50
 
-  def run(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Default edge-partition count for the test scales. At corpus scale,
+    * compute it with [[edgePartitionsFor]] and pass it to [[run]] — the
+    * scale-up is an argument, not an edit.
+    */
+  val defaultEdgePartitions = 8
+
+  /** Sizing rule for the propagation loop's partitioning: the working set is
+    * the PAIR list (both directions), not the corpus, so partition by edge
+    * count — ceil(2·pairs·bytesPerEdge / partitionBudget). E.g. a 0.1% dup
+    * rate over 1B docs ≈ 1M pairs ≈ 2M directed edges × 24 B ≈ 48 MB → a
+    * handful of 128 MB partitions, NOT the thousands the corpus scan used.
+    */
+  def edgePartitionsFor(pairs: Long, bytesPerEdge: Long = 24L,
+      partitionBudget: Long = 128L << 20): Int =
+    math.max(1, math.ceil(2.0 * pairs * bytesPerEdge / partitionBudget).toInt)
+
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir, defaultEdgePartitions)
+
+  def run(spark: SparkSession, sfDir: String, edgePartitions: Int): DataFrame = {
+    require(edgePartitions >= 1, s"edgePartitions must be >= 1, got $edgePartitions")
     // Lineage truncation per round: without it every round's Catalyst plan
     // embeds the full d4 pipeline PLUS all prior rounds, and re-analysis/
     // re-optimization of that growing tree — not the data — dominates
@@ -244,14 +264,14 @@ object D7DupClusters extends GraftQuery {
     // The edge list is duplicate PAIRS — orders of magnitude smaller than
     // the corpus (0.1% dup rate of 1B docs ≈ 1M edges). Materialize d4
     // ONCE (both union branches read the persisted pair RDD), partitioned
-    // at a granularity matched to its size, not the corpus scan's. (At
-    // true 100 TB scale, size the partition count from the pair count.)
+    // at a granularity matched to its size, not the corpus scan's (see
+    // edgePartitionsFor for the pair-count-driven sizing at true scale).
     val (pairs, pairsRdd) = truncate(
       D4NgramJaccard.run(spark, sfDir).select(col("doc_a"), col("doc_b")))
     val (edges, edgesRdd) = truncate(
       pairs.union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst")
-        .repartition(8, col("src")))
+        .repartition(edgePartitions, col("src")))
     // Seed labels at min(node, min neighbor) instead of node: any init that
     // is ≥ the fixpoint and ≤ the node's own id converges to the same
     // component minimum, and this one puts every DIRECT pair (the vast

@@ -42,14 +42,28 @@ object D5EmbedDedup extends GraftQuery {
   private val threshold = 0.35
   private val d = Embeddings.dims
 
-  /** Block count: 8 blocks → 36 tiles, each holding ~2N/8 vectors. Sized so
-    * a tile fits comfortably in one task at the test scales; at corpus scale
-    * raise B (tile memory shrinks as 1/B while shuffle grows as B).
+  /** Default block count for the test scales (8 blocks → 36 tiles, each
+    * holding ~2N/8 vectors). At corpus scale, compute it with [[blocksFor]]
+    * and pass it to [[run]] — the scale-up is an argument, not an edit.
     */
-  private val blocks = 8
+  val defaultBlocks = 8
 
-  def run(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Sizing rule for the block count: a tile holds vectors from two blocks
+    * (~2N/B of them) and must fit one task's memory, so
+    * B = ceil(2·N·bytesPerVector / tileMemoryBudget). Shuffled bytes grow
+    * linearly in B (each vector is replicated to B tiles) while per-tile
+    * memory shrinks as 1/B — pick the smallest B that fits the budget.
+    * E.g. 1B vectors × 512 B at a 1 GiB tile budget → B ≈ 954.
+    */
+  def blocksFor(corpusVectors: Long, bytesPerVector: Long, tileMemoryBudget: Long): Int =
+    math.max(1, math.ceil(2.0 * corpusVectors * bytesPerVector / tileMemoryBudget).toInt)
+
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir, defaultBlocks)
+
+  def run(spark: SparkSession, sfDir: String, blocks: Int): DataFrame = {
     import spark.implicits._
+    require(blocks >= 1, s"blocks must be >= 1, got $blocks")
     val B = blocks
     val t = threshold
     val base = Tables.embeddings(spark, sfDir).select(
