@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+
+import graft.Tables
+import graft.operators.VectorOps
+
+/** s6: the TRAINED IVF quantizer on the oracle surface — the k-means-trained
+  * counterpart of s4's pinned coarse centroids, closing the one ANN path that
+  * previously existed only as a spec (AnnRecallSpec's 0.60 → 0.70 recall
+  * demonstration). The quantizer is trained exactly the way the reference
+  * trains k-means (C3: per-iteration worker aggregate + master fold + halt
+  * after a fixed iteration budget, KMeansWorker.java:107-245,
+  * KMeansMaster.java:49-160): `iterations` cosine Lloyd rounds over the full
+  * embedding corpus, seeded from the same pinned corpus vectors s4 uses, with
+  * per-iteration centroid rounding to 6 decimals — the q9 determinism
+  * contract that keeps Spark and the oracle's unrolled-CTE trajectory
+  * bit-aligned despite summation-order differences.
+  *
+  * Output: per-trained-list assignment counts plus the rounded cosine mass
+  * (Σ cos(vector, its centroid)) — 16 rows that are only right if every one
+  * of the n·16·iterations cosine comparisons agreed across engines.
+  *
+  * Scale shape (identical to s4's, run `iterations`+1 times): centroids are a
+  * broadcast 16-row dimension; assignment is one map-side-combined max-struct
+  * argmax per vector (no window over data); the centroid update is a
+  * posexplode + (list_id, dim) partial+final aggregate whose shuffle is
+  * O(lists·dims) rows per upstream partition, collected to the driver as the
+  * O(k·d) master fold. nlist grows with the corpus; nothing here is O(n²) or
+  * driver-bound.
+  *
+  * Determinism: embeddings are widened to double once; every cosine is the
+  * fused CosineSimilarity expression whose left-to-right accumulation is
+  * IEEE-identical to the oracle's unrolled per-dimension SQL (s1/s4
+  * precedent); ties break toward the smaller list id on both engines
+  * (max(struct(cos, -list_id)) ≙ row_number ORDER BY cos DESC, list_id ASC);
+  * an empty list keeps its previous centroid on both engines (Spark fallback
+  * ≙ the oracle's LEFT JOIN + coalesce).
+  */
+object S6AnnIvfTrained extends GraftQuery {
+  val name = "s6_ann_ivf_trained"
+  val describe = "IVF quantizer trained in-loop (2 cosine Lloyd rounds, 16 seeded lists), per-list counts + cos mass"
+
+  private val d = Embeddings.dims
+  private val centLo = 100L
+  private val nList = 16
+  private val iterations = 2
+
+  private def centsDf(spark: SparkSession, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row]
+    cents.foreach { case (li, v) => rows.add(Row(li, v)) }
+    val schema = StructType(Seq(
+      StructField("list_id", IntegerType, nullable = false),
+      StructField("cemb", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** One assignment pass: (vec_id, emb, list_id, cos-to-assigned-centroid). */
+  private def assign(spark: SparkSession, e: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    org.apache.spark.sql.graft.CosineSimilarity.register(spark)
+    val cos = org.apache.spark.sql.graft.CosineSimilarity.cosineSimilarity(
+      col("emb"), col("cemb"))
+    e.join(broadcast(centsDf(spark, cents)))
+      .select(col("vec_id"), col("emb"), col("list_id"), cos.as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("list_id")).as("nid"))).as("m"),
+        first(col("emb")).as("emb"))
+      .select(col("vec_id"), col("emb"),
+        (-col("m.nid")).cast("int").as("list_id"), col("m.cos").as("cos"))
+  }
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir).select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("emb"))
+    // Seed centroids = the pinned corpus vectors (s4's), collected once —
+    // K rows, the master's init state, not a data collect.
+    var cents: Seq[(Int, Seq[Double])] =
+      e.filter(col("vec_id") >= centLo && col("vec_id") < centLo + nList)
+        .collect()
+        .map(r => ((r.getLong(0) - centLo).toInt, r.getSeq[Double](1)))
+        .sortBy(_._1).toSeq
+    var it = 0
+    while (it < iterations) {
+      // Centroid update: per-(list, dim) partial+final sums; the collect is
+      // the O(k·d) master fold (16×64 rows), mirroring KMeansMaster's merge.
+      val sums = assign(spark, e, cents)
+        .select(col("list_id"), posexplode(col("emb")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("c"))
+        .collect()
+      val byList = sums.groupBy(_.getInt(0))
+      cents = cents.map { case (li, old) =>
+        byList.get(li) match {
+          case Some(rs) =>
+            val byPos = rs.map(r => r.getInt(1) -> (r.getDouble(2), r.getLong(3))).toMap
+            li -> (0 until d).map { p =>
+              val (s, c) = byPos(p)
+              graft.functions.Rounding.roundTo(s / c, 6)
+            }
+          case None => li -> old // empty list keeps its centroid (q9 guard)
+        }
+      }
+      it += 1
+    }
+    assign(spark, e, cents)
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("cos")), 6).as("cos_mass"))
+  }
+
+  val oracle = {
+    val dot = VectorOps.dotSql("v.emb", "c.cemb", d)
+    val nv = VectorOps.normSql("v.emb", d)
+    val nc = VectorOps.normSql("c.cemb", d)
+    def scoreBlock(it: String, prev: String) =
+      s""",
+         |s$it AS (
+         |  SELECT v.vec_id, v.emb, c.list_id, ($dot) / (($nv) * ($nc)) AS cos
+         |  FROM e v CROSS JOIN $prev c),
+         |a$it AS (
+         |  SELECT vec_id, emb, list_id, cos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, list_id ASC) AS rk
+         |    FROM s$it) WHERE rk = 1)""".stripMargin
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |dims AS (SELECT unnest(range(1, ${d + 1})) AS dim),
+         |c0 AS (
+         |  SELECT CAST(vec_id - $centLo AS INT) AS list_id, emb AS cemb
+         |  FROM e WHERE vec_id >= $centLo AND vec_id < ${centLo + nList})""".stripMargin
+    for (it <- 1 to iterations) {
+      sb ++= scoreBlock(it.toString, s"c${it - 1}")
+      sb ++=
+        s""",
+           |m$it AS (
+           |  SELECT a.list_id, t.dim, round(sum(a.emb[t.dim]) / count(*), 6) AS m
+           |  FROM a$it a CROSS JOIN dims t GROUP BY a.list_id, t.dim),
+           |c$it AS (
+           |  SELECT p.list_id, coalesce(n.cemb, p.cemb) AS cemb
+           |  FROM c${it - 1} p LEFT JOIN (
+           |    SELECT list_id, list(m ORDER BY dim) AS cemb FROM m$it GROUP BY list_id) n
+           |  ON p.list_id = n.list_id)""".stripMargin
+    }
+    sb ++= scoreBlock("F", s"c$iterations")
+    sb ++=
+      s"""
+         |SELECT list_id, count(*) AS cnt, round(sum(cos), 6) AS cos_mass
+         |FROM aF GROUP BY list_id""".stripMargin
+    Some(sb.toString)
+  }
+}
