@@ -57,6 +57,50 @@ class BaggingSpec extends AnyFunSuite {
     assert(close, "parallel scheduling changed the models beyond fp noise")
   }
 
+  test("straggler-stuck job killed after master success and counted successful " +
+      "(GuaguaMapReduceClient kill-as-success semantics)") {
+    val hungInterrupted = new java.util.concurrent.CountDownLatch(1)
+    val bag = Bagging.runKillable[GDState](
+      nJobs = 2, stragglerKillMillis = 200L, pollMillis = 10L) { (i, h) =>
+      val r = trainOne(100 + i)
+      h.masterDone(r.master)
+      if (i == 1) {
+        // Master result is published; now the job hangs (a straggler that
+        // never drains). The client must kill it and keep the model.
+        try Thread.sleep(60000L)
+        catch { case _: InterruptedException => hungInterrupted.countDown(); throw new RuntimeException("killed") }
+      }
+      r
+    }
+    assert(bag.results.length == 2, "killed-as-success job must still contribute its model")
+    assert(bag.failed.isEmpty)
+    assert(bag.killedAsSuccess == Seq(1))
+    assert(hungInterrupted.await(5, java.util.concurrent.TimeUnit.SECONDS),
+      "kill must actually interrupt the hung job thread")
+    bag.results.foreach { m =>
+      assert(math.abs(m.weights(0) - 1.0) < 0.05)
+      assert(math.abs(m.weights(1) - 2.0) < 0.05)
+    }
+  }
+
+  test("killed-as-success job is not retried; true failures keep retry semantics") {
+    val calls = new AtomicInteger(0)
+    val bag = Bagging.runKillable[GDState](
+      nJobs = 2, retries = 1, stragglerKillMillis = 100L, pollMillis = 10L) { (i, h) =>
+      if (i == 1) {
+        calls.incrementAndGet()
+        throw new RuntimeException("fails before master success")
+      }
+      val r = trainOne(7)
+      h.masterDone(r.master)
+      r
+    }
+    assert(bag.results.length == 1)
+    assert(bag.failed.map(_._1) == Seq(1))
+    assert(bag.killedAsSuccess.isEmpty)
+    assert(calls.get() == 2, "pre-master failure should be attempted exactly twice")
+  }
+
   test("metrics listener records one entry per iteration") {
     val ml = new MetricsListener[Long]
     graft.core.Iterate.run[Long, Long, Long](
