@@ -21,5 +21,21 @@ trait GraftQuery {
 
   def run(spark: SparkSession, sfDir: String): DataFrame
 
+  /** [[run]] with the cache lifetime owned by the QUERY instead of the
+    * caller: materialize through `sink`, then unpersist exactly the frames
+    * this call pinned (d4/t8/t9/d9 persist intermediates that outlive the
+    * returned plan). Snapshot-diff on RDD ids — caches the application held
+    * before the call survive untouched, so a long-lived session can
+    * interleave managed queries with its own cached state. Bench/Verify keep
+    * their blanket sweep (they own the whole session); library callers get
+    * this.
+    */
+  def runManaged[T](spark: SparkSession, sfDir: String)(sink: DataFrame => T): T = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try sink(run(spark, sfDir))
+    finally spark.sparkContext.getPersistentRDDs
+      .foreach { case (id, rdd) => if (!before.contains(id)) rdd.unpersist(false) }
+  }
+
   def oracle: Option[String]
 }
