@@ -37,15 +37,21 @@ object Skew {
     * left rows scatter across `salts` sub-keys; the right side is replicated
     * `salts`× (explode of a literal range). Equivalent to the plain join,
     * with the hot key's work spread over `salts` tasks.
+    *
+    * `joinType` supports the left-preserving forms too ("left"/"left_outer"):
+    * every right key exists at every salt value, so a left row matches under
+    * salting iff it matches in the plain join, and unmatched left rows
+    * survive with NULL right columns exactly as unsalted.
     */
   def saltedJoin(
       skewedLeft: DataFrame,
       right: DataFrame,
       key: String,
-      salts: Int = 16): DataFrame = {
+      salts: Int = 16,
+      joinType: String = "inner"): DataFrame = {
     val l = skewedLeft.withColumn("__salt", pmod(spark_partition_id(), lit(salts)))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
-    l.join(r, Seq(key, "__salt")).drop("__salt")
+    l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
   }
 }

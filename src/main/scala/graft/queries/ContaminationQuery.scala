@@ -37,7 +37,19 @@ object D9Contamination extends GraftQuery {
 
   private val threshold = 0.5
 
-  def run(spark: SparkSession, sfDir: String): DataFrame = {
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir, joinSalts = 1)
+
+  /** `joinSalts > 1` routes the probe→reference shingle join through
+    * [[graft.operators.Skew.saltedJoin]] — the mitigation for a hot shingle
+    * key (a stopword 3-gram occurring in a large fraction of probe docs)
+    * whose fan-in would otherwise pile onto one reducer at corpus scale.
+    * Salting only respreads rows; the per-document aggregate is exact
+    * integer arithmetic, so results are identical (pinned by
+    * D9SaltedJoinSpec on a deliberately skewed fixture).
+    */
+  def run(spark: SparkSession, sfDir: String, joinSalts: Int): DataFrame = {
+    require(joinSalts >= 1, s"joinSalts must be >= 1, got $joinSalts")
     val shs = TextOps.shingleHashSets(Tables.documents(spark, sfDir)).persist()
     val refShingles = shs.filter(col("doc_id") % 2 === 0)
       .select(explode(col("shs")).as("sh")).distinct()
@@ -50,8 +62,10 @@ object D9Contamination extends GraftQuery {
     val probeDocs = shs.filter(col("doc_id") % 2 === 1).select(col("doc_id"))
     val probe = shs.filter(col("doc_id") % 2 === 1)
       .select(col("doc_id"), explode(col("shs")).as("sh"))
-    val scored = probe
-      .join(refShingles, Seq("sh"), "left")
+    val joined =
+      if (joinSalts <= 1) probe.join(refShingles, Seq("sh"), "left")
+      else graft.operators.Skew.saltedJoin(probe, refShingles, "sh", joinSalts, "left")
+    val scored = joined
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("present"), lit(0))).as("n_overlap"))
