@@ -74,9 +74,18 @@ object Bench {
     def exec(name: String, dir: String = sfDir): Unit = {
       Registry.byName(name).run(spark, dir)
         .write.mode("overwrite").format("noop").save()
-      // Drop any intermediates a query persisted: keeps measurements
-      // order-independent (no query benefits from a predecessor's cache)
-      // and prevents cache creep across the run.
+      // Drop EVERYTHING a query cached: keeps measurements order-independent
+      // (no query — and no later REP of the same query — benefits from a
+      // predecessor's cache). clearCache() evicts SQL CacheManager entries
+      // with their blocks; the RDD sweep catches raw-RDD persists (d7).
+      // The RDD sweep ALONE is not enough: it drops blocks but leaves the
+      // CacheManager's plan→InMemoryRelation mapping, and the next identical
+      // plan fragment silently reads the stale cache — through round 4 that
+      // leak handed every rep>1 of a persisting query (d2/d4/d6/d9/q6/t8/t9)
+      // its predecessor's cache, recording d6 at 0.44 s vs its honest ~2 s
+      // (the structurally impossible d6 < d3 baseline row the round-3/4
+      // verdicts flagged).
+      spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
 

@@ -56,6 +56,10 @@ object Verify {
       }
       // Queries may persist intermediates (LSH band frames); drop them so
       // no query's cache lingers into (or influences) the next one.
+      // clearCache() evicts SQL-cache ENTRIES too — the RDD sweep alone
+      // leaves CacheManager mappings that silently rewrite later identical
+      // plan fragments onto stale caches (see Bench.exec).
+      spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -50,7 +50,8 @@ object D9Contamination extends GraftQuery {
     */
   def run(spark: SparkSession, sfDir: String, joinSalts: Int): DataFrame = {
     require(joinSalts >= 1, s"joinSalts must be >= 1, got $joinSalts")
-    val shs = TextOps.shingleHashSets(Tables.documents(spark, sfDir)).persist()
+    val shs = graft.CacheScope.persisted(
+      TextOps.shingleHashSets(Tables.documents(spark, sfDir)))
     val refShingles = shs.filter(col("doc_id") % 2 === 0)
       .select(explode(col("shs")).as("sh")).distinct()
       .withColumn("present", lit(1))

@@ -37,10 +37,9 @@ private[graft] object MinhashLsh {
         (col(s"m${b * bandSize}") * (TextOps.MinhashPrime + 1) +
           col(s"m${b * bandSize + 1}")).as("key"))
     }
-    val bands = sig
+    val bands = graft.CacheScope.persisted(sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .persist()
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key")))
     bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -161,9 +160,11 @@ object D4NgramJaccard extends GraftQuery {
     // bigint-array intersection is far cheaper than string-array at scale.
     // Cache lifetime: the frame stays persisted after the query returns (a
     // lazy DataFrame can't unpersist its own inputs); Bench/Verify sweep
-    // persistent RDDs after every query, and long-lived sessions composing
-    // these queries should do the same or call spark.catalog.clearCache().
-    val shs = TextOps.shingleHashSets(Tables.documents(spark, sfDir)).persist()
+    // with spark.catalog.clearCache() after every query, and library
+    // callers use runManaged, whose CacheScope unpersists exactly this
+    // frame (entry + blocks) after the sink.
+    val shs = graft.CacheScope.persisted(
+      TextOps.shingleHashSets(Tables.documents(spark, sfDir)))
     val cand = MinhashLsh.candidatePairsFrom(shs)
     val sets = shs.select(col("doc_id"), col("shs").as("toks"), size(col("shs")).as("ntok"))
     val inter = size(array_intersect(col("a.toks"), col("b.toks")))

@@ -22,17 +22,25 @@ trait GraftQuery {
   def run(spark: SparkSession, sfDir: String): DataFrame
 
   /** [[run]] with the cache lifetime owned by the QUERY instead of the
-    * caller: materialize through `sink`, then unpersist exactly the frames
-    * this call pinned (d4/t8/t9/d9 persist intermediates that outlive the
-    * returned plan). Snapshot-diff on RDD ids — caches the application held
-    * before the call survive untouched, so a long-lived session can
-    * interleave managed queries with its own cached state. Bench/Verify keep
-    * their blanket sweep (they own the whole session); library callers get
-    * this.
+    * caller: materialize through `sink`, then evict exactly the caches this
+    * call created (d4/t8/t9/d9 persist intermediates that outlive the
+    * returned plan). Two mechanisms, both scoped to this call so caches the
+    * application held before survive untouched:
+    *
+    *   - DataFrame persists go through [[graft.CacheScope]], whose
+    *     `Dataset.unpersist` evicts the CacheManager ENTRY as well as the
+    *     blocks — an RDD-level sweep alone leaves the entry registered and
+    *     a later identical plan fragment silently reads the stale cache
+    *     (the round-5 d6-baseline bug; see CacheScope's scaladoc);
+    *   - raw RDD persists (d7's per-round lineage truncation) are swept by
+    *     snapshot-diff on RDD ids.
+    *
+    * Bench/Verify instead sweep with `spark.catalog.clearCache()` — they
+    * own their whole session. Library callers get this.
     */
   def runManaged[T](spark: SparkSession, sfDir: String)(sink: DataFrame => T): T = {
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    try sink(run(spark, sfDir))
+    try graft.CacheScope.scoped(sink(run(spark, sfDir)))
     finally spark.sparkContext.getPersistentRDDs
       .foreach { case (id, rdd) => if (!before.contains(id)) rdd.unpersist(false) }
   }

@@ -184,10 +184,9 @@ object Q6KMeansSeed extends GraftQuery {
     // scale-unsafe window.
     val sortKey = Seq(col("norm"), col("l_orderkey"), col("l_linenumber"))
     val parts = spark.sparkContext.defaultParallelism
-    val ranged = f.withColumn("norm", norm)
+    val ranged = graft.CacheScope.persisted(f.withColumn("norm", norm)
       .repartitionByRange(parts, sortKey: _*)
-      .withColumn("pid", spark_partition_id())
-      .persist()
+      .withColumn("pid", spark_partition_id()))
     val cnts = ranged.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val nc = cnts.map(_._2).sum

@@ -34,9 +34,8 @@ object T8Repetition extends GraftQuery {
     // once per reference (CollapseProject inlines non-cheap HOF trees into
     // every reference and codegen CSE cannot hoist them — the d4 pattern).
     // Bench/Verify sweep persistent RDDs after every query.
-    val toksFrame = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .persist()
+    val toksFrame = graft.CacheScope.persisted(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")))
     val base = toksFrame
       .select(col("doc_id"), size(col("toks")).as("n_tok"),
         size(array_distinct(col("toks"))).as("n_uniq"))
@@ -110,9 +109,8 @@ object T9BigramLm extends GraftQuery {
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     // Tokenized once, read by the occurrence, bigram-count, and
     // unigram-count branches from cache (see t8's note).
-    val docToks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .persist()
+    val docToks = graft.CacheScope.persisted(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")))
     // One row per bigram OCCURRENCE (position), with its prefix token.
     val m = size(col("toks")) - 1
     val occ = docToks

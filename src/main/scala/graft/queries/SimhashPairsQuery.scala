@@ -27,10 +27,9 @@ object D6SimhashPairs extends GraftQuery {
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * 8).bitwiseAND(255).as("key"))
     }
-    val bands = sig
+    val bands = graft.CacheScope.persisted(sig
       .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .persist()
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key")))
     bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

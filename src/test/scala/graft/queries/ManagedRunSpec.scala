@@ -31,15 +31,23 @@ class ManagedRunSpec extends AnyFunSuite {
     mine.unpersist(false)
   }
 
-  test("managed d7 run (RDD-pinning driver loop) leaves no persistent RDDs") {
+  test("managed d7 run (RDD-pinning driver loop) leaves no persistent RDDs or cache entries") {
+    spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     val rows = D7DupClusters.runManaged(spark, TestSpark.sf0001)(_.count())
     assert(rows > 0)
     assert(persistedIds.isEmpty,
       s"d7 managed run left pinned RDDs: $persistedIds")
+    // CacheManager-level eviction matters as much as block-level: a stale
+    // entry silently rewrites the next identical plan fragment onto the old
+    // cache (the round-5 d6-baseline bug). d7 runs d4 inside, so this
+    // exercises CacheScope's tracking through a nested query.
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "d7 managed run left SQL CacheManager entries registered")
   }
 
   test("managed run unpersists even when the sink throws") {
+    spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     intercept[RuntimeException] {
       D4NgramJaccard.runManaged(spark, TestSpark.sf0001) { df =>
@@ -48,5 +56,7 @@ class ManagedRunSpec extends AnyFunSuite {
       }
     }
     assert(persistedIds.isEmpty)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "failed managed run left SQL CacheManager entries registered")
   }
 }

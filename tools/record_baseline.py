@@ -1,0 +1,133 @@
+#!/usr/bin/env python3
+"""Re-record BASELINE.md's measured table under the CURRENT bench harness.
+
+The baseline and per-round BENCH_r{N} runs must share one methodology or the
+2x gate manufactures phantoms (round 4: q6 read 2.28x with zero code change
+because the baseline predated the interleaved-reps estimator). This script is
+the recording procedure:
+
+  1. run graft.Bench at the driver's config (sf0.1, local[32], 32 shuffle
+     partitions, interleaved SPARK_GRAFT_REPS=3, recursive page-cache
+     prewarm, fixed heap);
+  2. enforce PLAUSIBILITY ASSERTS before accepting the numbers — a query
+     that executes a strict superset of another query's work cannot be
+     cheaper than it at steady state:
+       d6_simhash_pairs >= d3_simhash      (d6 runs D3SimHash.run as stage 1)
+       d4_ngram_jaccard >= d2_minhash_lsh  (d4 = d2's candidate gen + verify)
+       d7_dup_clusters  >= d4_ngram_jaccard (d7 materializes d4 + propagates)
+     A violation means a contention burst or cold-path landed on the
+     subset-query's reps: the run is REJECTED (exit 2) — re-record, never
+     hand-edit;
+  3. splice the per-query table + total into BASELINE.md's
+     "### Recorded" section.
+
+Usage:
+  tools/record_baseline.py            # run bench, check, rewrite BASELINE.md
+  tools/record_baseline.py --from-json PATH   # splice an existing bench.json
+"""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASELINE = os.path.join(REPO, "BASELINE.md")
+MARKER = "### Recorded"
+
+# (superset, subset): superset's steady-state time must be >= subset's.
+PLAUSIBILITY = [
+    ("d6_simhash_pairs", "d3_simhash"),
+    ("d4_ngram_jaccard", "d2_minhash_lsh"),
+    ("d7_dup_clusters", "d4_ngram_jaccard"),
+]
+
+REPS = "3"
+CPUS = "32"
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def run_bench():
+    out = tempfile.mkdtemp(prefix="baseline_rec_")
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=SF_DIR,
+               SPARK_GRAFT_REPS=REPS,
+               SPARK_GRAFT_CPUS=CPUS,
+               SPARK_GRAFT_OUT=out)
+    print(f"[record] running bench (sf={SF_DIR}, reps={REPS}, cpus={CPUS}) ...",
+          flush=True)
+    r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                       cwd=REPO, env=env,
+                       stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    sys.stdout.buffer.write(r.stdout[-2000:])
+    if r.returncode != 0:
+        sys.exit(f"[record] bench failed with rc={r.returncode}")
+    return os.path.join(out, "bench.json")
+
+
+def check(data):
+    if data.get("failed"):
+        sys.exit(f"[record] REJECT: failed queries {data['failed']}")
+    q = data["queries"]
+    bad = []
+    for sup, sub in PLAUSIBILITY:
+        if q[sup] < q[sub]:
+            bad.append(f"{sup}={q[sup]:.2f}s < {sub}={q[sub]:.2f}s")
+    if bad:
+        print("[record] REJECT — superset measured cheaper than its prefix "
+              "(contention/cold-path artifact); re-record:")
+        for b in bad:
+            print(f"  {b}")
+        sys.exit(2)
+    print("[record] plausibility asserts passed "
+          f"({', '.join(f'{a}>={b}' for a, b in PLAUSIBILITY)})")
+
+
+def splice(data):
+    q = data["queries"]
+    total = sum(q.values())
+    with open(BASELINE) as f:
+        head = f.read().split(MARKER)[0].rstrip() + "\n"
+    rows = "\n".join(f"| {name} | {q[name]:.2f} |" for name in sorted(q))
+    section = f"""
+{MARKER} numbers (sf0.1, local[{CPUS}], -Xmx8g=-Xms, {CPUS} shuffle partitions, interleaved reps={REPS})
+
+Recorded by `tools/record_baseline.py` — the same Bench harness the driver
+runs (codegen warm pass at sf0.001, recursive page-cache prewarm, per-query
+minimum over {REPS} INTERLEAVED passes, fixed heap, per-rep unpersist sweep;
+see Bench.scala's scaladoc for why each knob exists). Round 4 changed the
+estimator to interleaved reps, so the round-3 back-to-back table was
+re-recorded here under the new methodology: comparing across estimators
+manufactured phantom regressions (q6 read 2.28x with untouched code) and had
+preserved one structurally impossible row (d6 at 0.44 s — 3x cheaper than
+the d3 stage it runs as its own first step).
+
+Acceptance gate applied at recording time (violation = the run is rejected
+and repeated, never hand-edited): a query executing a strict superset of
+another's work must not measure cheaper — d6 >= d3, d4 >= d2, d7 >= d4.
+
+Total wall-clock for the {len(q)}-query timed pass (sum of per-query
+minima): {total:.1f} s. Per query (seconds):
+
+| query | sec |
+|---|---|
+{rows}
+"""
+    with open(BASELINE, "w") as f:
+        f.write(head + section)
+    print(f"[record] BASELINE.md rewritten: {len(q)} queries, total {total:.1f}s")
+
+
+def main():
+    if len(sys.argv) == 3 and sys.argv[1] == "--from-json":
+        path = sys.argv[2]
+    else:
+        path = run_bench()
+    with open(path) as f:
+        data = json.load(f)
+    check(data)
+    splice(data)
+
+
+if __name__ == "__main__":
+    main()
