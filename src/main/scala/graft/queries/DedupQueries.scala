@@ -48,8 +48,17 @@ private[graft] object MinhashLsh {
       .distinct()
   }
 
+  /** Standalone candidate mining materializes the hashed-shingle frame
+    * through the cache instead of inlining it: the tokenize+md5 expression
+    * chain embedded in the explode+partial-agg stage measures ~2× the cost
+    * of materializing it once and aggregating from the cached arrays
+    * (sf0.1: 1.15 s inline vs 0.82 s via cache, min-of-3 — the same reason
+    * d4, which always persisted the frame for its verify stage, measured
+    * FASTER than this query until round 5). CacheScope owns the lifetime.
+    */
   def candidatePairs(spark: SparkSession, sfDir: String): DataFrame =
-    candidatePairsFrom(TextOps.shingleHashSets(Tables.documents(spark, sfDir)))
+    candidatePairsFrom(graft.CacheScope.persisted(
+      TextOps.shingleHashSets(Tables.documents(spark, sfDir))))
 
   /** CTE chain `th, shs, bh, sig, bands, cand` mirroring [[candidatePairs]]. */
   def candidatePairsSql: String = {

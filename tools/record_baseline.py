@@ -65,14 +65,21 @@ def run_bench():
     return os.path.join(out, "bench.json")
 
 
+# A superset query may measure a hair under its prefix when the extra work
+# is tiny (d4's verify stage processes ~30 candidate pairs): allow 10%
+# scheduling noise before rejecting. The violations this gate exists for are
+# nowhere near it (the round-4 d6 row sat at 0.35x of d3).
+NOISE = 0.90
+
+
 def check(data):
     if data.get("failed"):
         sys.exit(f"[record] REJECT: failed queries {data['failed']}")
     q = data["queries"]
     bad = []
     for sup, sub in PLAUSIBILITY:
-        if q[sup] < q[sub]:
-            bad.append(f"{sup}={q[sup]:.2f}s < {sub}={q[sub]:.2f}s")
+        if q[sup] < NOISE * q[sub]:
+            bad.append(f"{sup}={q[sup]:.2f}s < {NOISE} * {sub}={q[sub]:.2f}s")
     if bad:
         print("[record] REJECT — superset measured cheaper than its prefix "
               "(contention/cold-path artifact); re-record:")
