@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components by iterative min-label propagation over an
+  * undirected pair list — the step that turns pairwise dedup output into
+  * actionable clusters ("delete all but the survivor") for ANY pair source:
+  * d7 runs it over d4's verified Jaccard pairs, d10 over d5's embedding-
+  * cosine pairs (SemDeDup-style semantic clusters). Extracted from d7
+  * (round 5) so the propagation engine exists once.
+  *
+  * Algorithm: labels(node) ← min(label(node), min over neighbors' labels)
+  * until fixpoint. Every iteration is a key join + grouped min (shuffles on
+  * node id only); convergence takes O(cluster diameter) rounds and
+  * duplicate clusters are shallow, so 2-4 rounds in practice with a hard
+  * cap — the same driver-loop shape as the kernel's k1/q9.
+  *
+  * Scale: the working set is the PAIR list — orders of magnitude smaller
+  * than the corpus — partitioned by `edgePartitions` (size with the
+  * caller's pair-count rule, e.g. d7's `edgePartitionsFor`). Per-round
+  * lineage truncation goes through an RDD boundary (persist + rebuild
+  * DataFrame): the Catalyst plan stays constant-size instead of embedding
+  * every prior round (measured 10.5 s → ~4 s cold at sf0.1 on d7), RDD
+  * lineage keeps partitions recomputable on executor loss (which
+  * localCheckpoint would sacrifice), and each round unpersists its
+  * predecessor precisely.
+  */
+object ConnectedComponents {
+
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.operators.ConnectedComponents")
+
+  /** Label every node of `pairs` (two columns, one undirected edge per row)
+    * with its component's minimum node id. Returns columns (node, label).
+    */
+  def minLabel(
+      spark: SparkSession,
+      pairsIn: DataFrame,
+      edgePartitions: Int,
+      maxRounds: Int = 50,
+      name: String = "connected-components"): DataFrame = {
+    require(edgePartitions >= 1, s"edgePartitions must be >= 1, got $edgePartitions")
+    import org.apache.spark.storage.StorageLevel
+    def truncate(df: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    // Materialize the pair source ONCE (both union branches read the
+    // persisted pair RDD), partitioned at a granularity matched to the
+    // edge-list size, not the corpus scan's.
+    val (pairs, pairsRdd) = truncate(pairsIn.toDF("pa", "pb"))
+    val (edges, edgesRdd) = truncate(
+      pairs.union(pairs.select(col("pb"), col("pa")))
+        .toDF("src", "dst")
+        .repartition(edgePartitions, col("src")))
+    // Seed labels at min(node, min neighbor) instead of node: any init that
+    // is ≥ the fixpoint and ≤ the node's own id converges to the same
+    // component minimum, and this one puts every DIRECT pair (the vast
+    // majority of duplicate clusters — 2-cliques) at its fixpoint before
+    // the loop starts, saving one full propagation round.
+    var (labels, labelsRdd) = truncate(
+      edges.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src").as("node"), least(col("mn"), col("src")).as("label")))
+    // Labels are monotonically non-increasing, so the fixpoint is reached
+    // exactly when Σ label stops decreasing — one aggregate over the
+    // truncated frame per round instead of a join-based change count.
+    def labelSum(df: DataFrame): Long = {
+      // sum over an EMPTY frame is SQL NULL (zero input pairs) — coalesce
+      // to 0 so the loop converges immediately.
+      val row = df.agg(sum(col("label"))).head
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+    var prevSum = labelSum(labels) // materializes labels → edges → pairs
+    pairsRdd.unpersist(blocking = false) // both edge directions are cached now
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val prop = edges.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"))
+      val (next, nextRdd) = truncate(
+        labels.unionByName(prop)
+          .groupBy(col("node")).agg(min(col("label")).as("label")))
+      val s = labelSum(next) // materializes next; old labels never read again
+      labelsRdd.unpersist(blocking = false)
+      labels = next
+      labelsRdd = nextRdd
+      converged = s == prevSum
+      prevSum = s
+      round += 1
+    }
+    if (!converged)
+      log.warn(s"$name: min-label propagation hit the $maxRounds-round cap without " +
+        "converging — a cluster has diameter > cap and its component " +
+        "labels are PARTIAL (one true cluster reported as several components)")
+    edgesRdd.unpersist(blocking = false)
+    labels
+  }
+}

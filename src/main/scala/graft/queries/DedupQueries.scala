@@ -254,77 +254,15 @@ object D7DupClusters extends GraftQuery {
   def run(spark: SparkSession, sfDir: String): DataFrame =
     run(spark, sfDir, defaultEdgePartitions)
 
-  def run(spark: SparkSession, sfDir: String, edgePartitions: Int): DataFrame = {
-    require(edgePartitions >= 1, s"edgePartitions must be >= 1, got $edgePartitions")
-    // Lineage truncation per round: without it every round's Catalyst plan
-    // embeds the full d4 pipeline PLUS all prior rounds, and re-analysis/
-    // re-optimization of that growing tree — not the data — dominates
-    // (measured 10.5 s → ~4 s cold at sf0.1). Truncation goes through an
-    // RDD boundary (persist the RDD, rebuild a DataFrame over it): the
-    // Catalyst plan collapses to a constant-size LogicalRDD while RDD
-    // lineage keeps partitions recomputable on executor loss (which
-    // localCheckpoint would sacrifice), and the handle lets each round
-    // unpersist its predecessor precisely.
-    import org.apache.spark.storage.StorageLevel
-    def truncate(df: DataFrame)
-        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      (spark.createDataFrame(rdd, df.schema), rdd)
-    }
-    // The edge list is duplicate PAIRS — orders of magnitude smaller than
-    // the corpus (0.1% dup rate of 1B docs ≈ 1M edges). Materialize d4
-    // ONCE (both union branches read the persisted pair RDD), partitioned
-    // at a granularity matched to its size, not the corpus scan's (see
-    // edgePartitionsFor for the pair-count-driven sizing at true scale).
-    val (pairs, pairsRdd) = truncate(
-      D4NgramJaccard.run(spark, sfDir).select(col("doc_a"), col("doc_b")))
-    val (edges, edgesRdd) = truncate(
-      pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst")
-        .repartition(edgePartitions, col("src")))
-    // Seed labels at min(node, min neighbor) instead of node: any init that
-    // is ≥ the fixpoint and ≤ the node's own id converges to the same
-    // component minimum, and this one puts every DIRECT pair (the vast
-    // majority of duplicate clusters — 2-cliques) at its fixpoint before
-    // the loop starts, saving one full propagation round.
-    var (labels, labelsRdd) = truncate(
-      edges.groupBy(col("src"))
-        .agg(min(col("dst")).as("mn"))
-        .select(col("src").as("node"), least(col("mn"), col("src")).as("label")))
-    // Labels are monotonically non-increasing, so the fixpoint is reached
-    // exactly when Σ label stops decreasing — one aggregate over the
-    // truncated frame per round instead of a join-based change count.
-    def labelSum(df: DataFrame): Long = {
-      // sum over an EMPTY frame is SQL NULL (a corpus with zero duplicate
-      // pairs) — coalesce to 0 so the loop converges immediately.
-      val row = df.agg(sum(col("label"))).head
-      if (row.isNullAt(0)) 0L else row.getLong(0)
-    }
-    var prevSum = labelSum(labels) // materializes labels → edges → pairs
-    pairsRdd.unpersist(blocking = false) // both edge directions are cached now
-    var round = 0
-    var converged = false
-    while (!converged && round < maxRounds) {
-      val prop = edges.join(labels, col("src") === col("node"))
-        .select(col("dst").as("node"), col("label"))
-      val (next, nextRdd) = truncate(
-        labels.unionByName(prop)
-          .groupBy(col("node")).agg(min(col("label")).as("label")))
-      val s = labelSum(next) // materializes next; old labels never read again
-      labelsRdd.unpersist(blocking = false)
-      labels = next
-      labelsRdd = nextRdd
-      converged = s == prevSum
-      prevSum = s
-      round += 1
-    }
-    if (!converged)
-      log.warn(s"d7: min-label propagation hit the $maxRounds-round cap without " +
-        "converging — a duplicate cluster has diameter > cap and its component " +
-        "labels are PARTIAL (one true cluster reported as several components)")
-    edgesRdd.unpersist(blocking = false)
-    labels.select(col("node").as("doc_id"), col("label").as("component"))
-  }
+  def run(spark: SparkSession, sfDir: String, edgePartitions: Int): DataFrame =
+    // The propagation engine lives in operators.ConnectedComponents (shared
+    // with d10's semantic clusters); this query binds it to d4's verified
+    // Jaccard pairs.
+    graft.operators.ConnectedComponents.minLabel(
+      spark,
+      D4NgramJaccard.run(spark, sfDir).select(col("doc_a"), col("doc_b")),
+      edgePartitions, maxRounds, name)
+      .select(col("node").as("doc_id"), col("label").as("component"))
 
   val oracle = Some(
     s"""WITH RECURSIVE ${D4NgramJaccard.pairsCtesSql},

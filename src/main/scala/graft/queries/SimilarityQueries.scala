@@ -120,15 +120,22 @@ object D5EmbedDedup extends GraftQuery {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
   }
 
-  val oracle = {
+  /** CTE chain `e, d5` (d5 = the similar-pair set) for reuse by dependent
+    * oracles (d10's semantic clusters), mirroring d4's pairsCtesSql shape.
+    */
+  private[queries] val pairsCtesSql: String = {
     val en = s"list_transform(embedding, x -> CAST(x AS DOUBLE) / ${VectorOps.normSql("embedding", d)})"
     val dot = (0 until d).map(i => s"a.en[${i + 1}] * b.en[${i + 1}]").mkString(" + ")
-    Some(
-      s"""WITH e AS (SELECT vec_id, $en AS en FROM embeddings)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($dot, 6) AS cosine
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |WHERE $dot >= $threshold""".stripMargin)
+    s"""e AS (SELECT vec_id, $en AS en FROM embeddings),
+       |d5 AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($dot, 6) AS cosine
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |  WHERE $dot >= $threshold)""".stripMargin
   }
+
+  val oracle = Some(
+    s"""WITH $pairsCtesSql
+       |SELECT vec_a, vec_b, cosine FROM d5""".stripMargin)
 }
 
 /** s1: brute-force cosine top-k neighbours for a pinned query set — the
