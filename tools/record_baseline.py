@@ -15,6 +15,7 @@ the recording procedure:
        d6_simhash_pairs >= d3_simhash      (d6 runs D3SimHash.run as stage 1)
        d4_ngram_jaccard >= d2_minhash_lsh  (d4 = d2's candidate gen + verify)
        d7_dup_clusters  >= d4_ngram_jaccard (d7 materializes d4 + propagates)
+       d10_semantic_clusters >= d5_embed_dup (d10 materializes d5 + propagates)
      A violation means a contention burst or cold-path landed on the
      subset-query's reps: the run is REJECTED (exit 2) — re-record, never
      hand-edit;
@@ -40,6 +41,7 @@ PLAUSIBILITY = [
     ("d6_simhash_pairs", "d3_simhash"),
     ("d4_ngram_jaccard", "d2_minhash_lsh"),
     ("d7_dup_clusters", "d4_ngram_jaccard"),
+    ("d10_semantic_clusters", "d5_embed_dup"),
 ]
 
 REPS = "3"
