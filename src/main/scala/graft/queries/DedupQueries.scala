@@ -120,7 +120,12 @@ object D3SimHash extends GraftQuery {
   private val bits = 32
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
-    val ex = TextOps.shingleHashSets(Tables.documents(spark, sfDir))
+    // Same measured tradeoff as d2 (see MinhashLsh.candidatePairs): the
+    // tokenize+md5 chain inlined into the explode+partial-agg stage costs
+    // ~2x its materialized form, so the hashed-shingle frame goes through
+    // the cache (sf0.1: 1.36 s inline vs 0.78 s via cache, min-of-3).
+    val ex = graft.CacheScope.persisted(
+      TextOps.shingleHashSets(Tables.documents(spark, sfDir)))
       .select(col("doc_id"), explode(col("shs")).as("h"))
     val bitSums = (0 until bits).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(1)).as(s"s$j"))

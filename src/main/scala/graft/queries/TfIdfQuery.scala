@@ -35,6 +35,9 @@ object T10TfIdf extends GraftQuery {
   private val topK = 3
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
+    // Unlike the md5-hashing dedup frames (d2/d3), the token frame is NOT
+    // worth caching here: tokens are one cheap regex pass and t10's cost
+    // lives in the joins/window (measured 1.00 s persisted vs 0.98 inline).
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
     val occ = docs.select(col("doc_id"), explode(col("toks")).as("term"))
