@@ -57,7 +57,7 @@ object PipelineExample {
       .filter(col("pred_lang") === col("lang"))
       .select(col("doc_id"))
     val rep = T8Repetition.run(spark, sfDir).filter(!col("flagged")).select(col("doc_id"))
-    val quality = langOk.join(rep, "doc_id").persist()
+    val quality = graft.CacheScope.persisted(langOk.join(rep, "doc_id"))
 
     // 2. Incremental admission. Bloom misses are admitted with no further
     // work; hits are exactly verified — admitted only if their normalized
@@ -70,10 +70,9 @@ object PipelineExample {
       .join(refFps, Seq("fp"), "left_semi")
       .select(col("doc_id"))
     val probeIds = docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"))
-    val admitted = quality
+    val admitted = graft.CacheScope.persisted(quality
       .join(probeIds, "doc_id")
-      .join(hitsVerified, Seq("doc_id"), "left_anti")
-      .persist()
+      .join(hitsVerified, Seq("doc_id"), "left_anti"))
 
     // 3. Near-dedup: keep ONE admitted representative per duplicate cluster
     // — the smallest ADMITTED doc_id of each component, not the component's
@@ -86,10 +85,9 @@ object PipelineExample {
       .withColumn("component", coalesce(col("component"), col("doc_id")))
     val keepers = withComponent.groupBy(col("component"))
       .agg(min(col("doc_id")).as("doc_id"))
-    val deduped = withComponent
+    val deduped = graft.CacheScope.persisted(withComponent
       .join(keepers, Seq("component", "doc_id"), "left_semi")
-      .drop("component")
-      .persist()
+      .drop("component"))
 
     // 4. Rank survivors by LM quality score, best first.
     val ranked = T9BigramLm.run(spark, sfDir)
