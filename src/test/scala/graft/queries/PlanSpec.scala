@@ -129,6 +129,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"LM join degenerated:\n$p")
   }
 
+  test("s6: trained-IVF assignment broadcasts the centroid set each pass; partial-aggregated counts") {
+    val p = plan(S6AnnIvfTrained)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"trained centroid set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"trained assignment degenerated to a cartesian:\n$p")
+    assert(p.contains("HashAggregate") && p.contains("partial"),
+      s"per-list counts not map-side combined:\n$p")
+  }
+
+  test("t10: tf/df joins are key joins; the only nested-loop is the broadcast 1-row corpus count") {
+    val p = plan(T10TfIdf)
+    assert(!p.contains("CartesianProduct"), s"TF-IDF join degenerated:\n$p")
+    val nested = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nested <= 1, s"expected at most the 1-row N broadcast, got $nested nested-loop joins:\n$p")
+    // Per-doc ranking must shuffle on doc_id (bounded per-doc lists), never
+    // sort globally.
+    assert(!p.linesIterator.exists(l => l.contains("Sort ") && l.contains("global=true")),
+      s"global sort materialized for per-doc ranking:\n$p")
+  }
+
+  test("d5: tiled pair mining is a grouped fold, never a join over vector pairs") {
+    // The scale guarantee d10 inherits for its stage 1: no join operator at
+    // all — pairs come from per-tile in-memory loops after a keyed exchange.
+    val p = plan(D5EmbedDedup)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"d5 should have no join operator (tiled groupByKey shape):\n$p")
+    assert(p.contains("Exchange hashpartitioning"),
+      s"tiles should be distributed by a keyed exchange:\n$p")
+  }
+
   test("w6: both windows and the per-user agg share one user_id exchange") {
     val p = plan(W6Funnel)
     val userExchanges = p.linesIterator.count(l =>
