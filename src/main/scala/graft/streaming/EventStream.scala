@@ -266,4 +266,95 @@ object EventStream {
           UserSessions(uid, st.nSessions, st.nEvents)
       }
   }
+
+  /** Bit offsets of the three position slices within the 62-bit shingle
+    * hash (double-hashing shortcut, same construction as d8's fingerprint
+    * Bloom). With mBits ≤ 2^20 the three 20-bit windows at 0/20/40 are
+    * independent slices of one strong hash.
+    */
+  private val BloomSliceOffsets = Seq(0, 20, 40)
+
+  /** DISTRIBUTED shingle-Bloom build over a reference corpus: k=3 positions
+    * per distinct 3-gram shingle hash, OR-folded into mBits/64 words
+    * (partial `bit_or` on every partition, tiny final merge — the d8 build
+    * shape at shingle granularity), collected to the driver as the "model":
+    * mBits/64 longs, e.g. 2^20 bits = 16 K longs = 128 KB. Ship it to the
+    * stream side via [[contaminationGate]].
+    */
+  def shingleBloomWords(refDocs: DataFrame, mBits: Int, n: Int = 3): Array[Long] = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"mBits must be a power of two >= 64, got $mBits")
+    require(mBits <= (1 << 20), s"slice offsets cover 20-bit positions, got mBits=$mBits")
+    val pos = explode(array(BloomSliceOffsets.map(o =>
+      shiftright(col("sh"), o).bitwiseAND(mBits - 1)): _*)).as("pos")
+    val words = graft.operators.TextOps.shingleHashSets(refDocs, n)
+      .select(explode(col("shs")).as("sh"))
+      .distinct()
+      .select(pos)
+      .select(shiftright(col("pos"), 6).as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos & 63 AS INT))").as("mask"))
+      .groupBy(col("word")).agg(bit_or(col("mask")).as("bits"))
+      .collect()
+    val arr = new Array[Long](mBits / 64)
+    words.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** STATELESS streaming contamination gate — d9's train/eval
+    * decontamination semantics at ingest time: for each streamed document,
+    * the fraction of its distinct 3-gram shingles probing positive in a
+    * Bloom filter built from the reference corpus ([[shingleBloomWords]]).
+    *
+    * Why Bloom instead of the batch join: a stream cannot shuffle against a
+    * 100 TB reference per micro-batch, but it CAN carry a 128 KB bit array
+    * to every task. The Bloom is one-sided: a reference shingle ALWAYS
+    * probes positive, so the streamed fraction is an UPPER bound on d9's
+    * exact overlap_frac and a contaminated document is NEVER missed (zero
+    * false negatives); false positives inflate the fraction by ~FPR and are
+    * re-checked by the exact batch d9 offline. No state store, no
+    * watermark, no shuffle — a pure per-row projection, composable in front
+    * of the stateful dedup stages.
+    *
+    * HOF hygiene: the shingle array is bound once through a single-element
+    * struct array (the TextOps pattern) — `size` and the probe `filter`
+    * both read the bound variable, so the tokenize+hash chain runs once per
+    * document. The bit test shifts by a COLUMN amount via
+    * `call_function("shiftleft", ...)` (the Scala functions API only takes
+    * literal shift amounts).
+    */
+  def contaminationGate(
+      docs: DataFrame,
+      textCol: String,
+      bloomWords: Array[Long],
+      mBits: Int,
+      threshold: Double = 0.5,
+      n: Int = 3): DataFrame = {
+    require(bloomWords.length.toLong * 64 == mBits,
+      s"bloomWords has ${bloomWords.length} words; expected ${mBits / 64}")
+    val words = typedLit(bloomWords.toSeq)
+    val shsRaw = array_distinct(
+      graft.operators.TextOps.shingleHashes(
+        graft.operators.TextOps.tokenHashes(
+          graft.operators.TextOps.tokens(col(textCol))), n))
+    def probeHit(sh: org.apache.spark.sql.Column) =
+      BloomSliceOffsets.map { o =>
+        val pos = shiftright(sh, o).bitwiseAND(mBits - 1)
+        val word = element_at(words, (shiftright(pos, 6) + 1).cast("int"))
+        word.bitwiseAND(
+          call_function("shiftleft", lit(1L), pos.bitwiseAND(lit(63L)).cast("int"))) =!= 0
+      }.reduce(_ && _)
+    val bound = transform(
+      array(struct(shsRaw.as("s"))),
+      p => struct(
+        size(p.getField("s")).as("n_shingles"),
+        size(filter(p.getField("s"), probeHit(_))).as("n_hit")))
+    docs
+      .withColumn("__c", element_at(bound, 1))
+      .withColumn("n_shingles", col("__c.n_shingles").cast("long"))
+      .withColumn("overlap_frac_ub",
+        when(col("n_shingles") > 0,
+          col("__c.n_hit").cast("double") / col("n_shingles")))
+      .withColumn("contaminated", col("overlap_frac_ub") >= threshold)
+      .drop("__c")
+  }
 }
