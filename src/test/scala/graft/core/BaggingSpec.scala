@@ -83,6 +83,22 @@ class BaggingSpec extends AnyFunSuite {
     }
   }
 
+  test("parallel submission: hung job still killed-as-success, others unaffected") {
+    val bag = Bagging.runKillable[GDState](
+      nJobs = 3, parallel = true, stragglerKillMillis = 200L, pollMillis = 10L) { (i, h) =>
+      val r = trainOne(200 + i)
+      h.masterDone(r.master)
+      if (i == 2) {
+        try Thread.sleep(60000L)
+        catch { case _: InterruptedException => throw new RuntimeException("killed") }
+      }
+      r
+    }
+    assert(bag.results.length == 3)
+    assert(bag.failed.isEmpty)
+    assert(bag.killedAsSuccess == Seq(2))
+  }
+
   test("killed-as-success job is not retried; true failures keep retry semantics") {
     val calls = new AtomicInteger(0)
     val bag = Bagging.runKillable[GDState](
