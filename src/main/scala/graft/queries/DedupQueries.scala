@@ -166,19 +166,26 @@ object D4NgramJaccard extends GraftQuery {
 
   private val threshold = 0.3
 
-  def run(spark: SparkSession, sfDir: String): DataFrame = {
+  def run(spark: SparkSession, sfDir: String): DataFrame =
     // One persisted hashed-shingle frame feeds BOTH the LSH candidate stage
     // and the exact verify stage — the tokenize+md5 pass runs once, not
     // twice (the round-1 shape re-tokenized the corpus for `sets`).
-    // Jaccard runs over hashed shingle sets: identical in both engines, and
-    // bigint-array intersection is far cheaper than string-array at scale.
     // Cache lifetime: the frame stays persisted after the query returns (a
     // lazy DataFrame can't unpersist its own inputs); Bench/Verify sweep
     // with spark.catalog.clearCache() after every query, and library
     // callers use runManaged, whose CacheScope unpersists exactly this
     // frame (entry + blocks) after the sink.
-    val shs = graft.CacheScope.persisted(
-      TextOps.shingleHashSets(Tables.documents(spark, sfDir)))
+    verifiedPairsFrom(graft.CacheScope.persisted(
+      TextOps.shingleHashSets(Tables.documents(spark, sfDir))))
+
+  /** LSH candidates + exact-Jaccard verify over an already-persisted
+    * hashed-shingle frame — the full d4 pipeline minus the corpus binding,
+    * so p1 can run it on the post-filter survivor set instead of the whole
+    * corpus. Jaccard runs over hashed shingle sets: identical in both
+    * engines, and bigint-array intersection is far cheaper than
+    * string-array at scale.
+    */
+  private[queries] def verifiedPairsFrom(shs: DataFrame): DataFrame = {
     val cand = MinhashLsh.candidatePairsFrom(shs)
     val sets = shs.select(col("doc_id"), col("shs").as("toks"), size(col("shs")).as("ntok"))
     val inter = size(array_intersect(col("a.toks"), col("b.toks")))

@@ -74,25 +74,55 @@ object T2Quality extends GraftQuery {
 
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it")
 
+  /** The logistic quality blend as a single Column over the raw text —
+    * shared with p1's admission gate so the pipeline filters on EXACTLY the
+    * score this query reports (one formula, two consumers).
+    */
+  private[queries] def score(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    val nTok = size(toks).cast("double")
+    val nChar = length(text).cast("double")
+    val nPunct = (length(text) -
+      length(regexp_replace(text, "[.,;:!?]", ""))).cast("double")
+    val nStop = size(array_intersect(array_distinct(toks),
+      array(stopwords.map(lit): _*))).cast("double")
+    val meanWordLen =
+      length(regexp_replace(text, "\\s+", "")).cast("double") / nTok
+    val z = lit(0.5) * log(nTok + 1.0) - lit(4.0) * (nPunct / nChar) +
+      lit(2.0) * (nStop / lit(stopwords.length.toDouble)) - lit(0.3) * meanWordLen
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** DuckDB mirror of [[score]] as a CTE `<out>(doc_id, text, quality)`
+    * over relation `<src>(doc_id, text, ...)` — term order matches the
+    * Column expression exactly so round-6 canonicalization agrees.
+    */
+  private[queries] def scoreSqlCte(src: String, out: String): String = {
+    val toks = TextOps.tokensSql("text")
+    val stopLit = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""$out AS (
+       |  SELECT doc_id, text,
+       |         1.0 / (1.0 + exp(-(0.5 * ln(CAST(len($toks) AS DOUBLE) + 1.0)
+       |           - 4.0 * (CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))
+       |           + 2.0 * (CAST(len(list_intersect(list_distinct($toks), $stopLit)) AS DOUBLE) / ${stopwords.length}.0)
+       |           - 0.3 * (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / CAST(len($toks) AS DOUBLE))))) AS quality
+       |  FROM $src)""".stripMargin
+  }
+
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     val nTok = size(toks).cast("double")
     val nChar = length(col("text")).cast("double")
     val nPunct = (length(col("text")) -
       length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("double")
-    val nStop = size(array_intersect(array_distinct(toks),
-      array(stopwords.map(lit): _*))).cast("double")
     val meanWordLen =
       length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok
-    val z = lit(0.5) * log(nTok + 1.0) - lit(4.0) * (nPunct / nChar) +
-      lit(2.0) * (nStop / lit(stopwords.length.toDouble)) - lit(0.3) * meanWordLen
-    val quality = lit(1.0) / (lit(1.0) + exp(-z))
     Tables.documents(spark, sfDir).select(
       col("doc_id"),
       nTok.cast("long").as("n_tokens"),
       round(nPunct / nChar, 6).as("punct_ratio"),
       round(meanWordLen, 6).as("mean_word_len"),
-      round(quality, 6).as("quality"))
+      round(score(col("text")), 6).as("quality"))
   }
 
   val oracle = {
