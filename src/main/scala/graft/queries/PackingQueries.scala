@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable
+import graft.operators.TextOps
+
+/** p2: sequence packing — the concatenate-and-chunk step that turns a
+  * cleaned corpus into fixed-length training sequences: documents are laid
+  * out in a deterministic shuffled order (hash of doc_id — the training-
+  * order randomization pass folded into the same scan), their token streams
+  * concatenated, and the stream cut every `seqLen` tokens. Each document
+  * reports the chunk span it lands in and its offset inside its first
+  * chunk, which is exactly what a packed-dataset writer needs to emit
+  * boundary metadata (and what an attention-mask builder consumes).
+  *
+  * Scale shape: the global running token count is a distributed prefix sum,
+  * NOT a single-partition window — range-partition on the shuffle key,
+  * cumulative-sum WITHIN each partition (a keyed window; every partition
+  * sorts only its own slice), and exact cross-partition offsets folded on
+  * the driver from the O(P) per-partition token totals (metadata, not
+  * data — the q6 ranking pattern). Partition count is an argument with the
+  * default tied to the session's parallelism, so the scale-up is a knob,
+  * not an edit.
+  *
+  * Determinism: token counts and cumulative sums are exact integers; the
+  * order key is the portable md5-backed hash, so chunk ids hash-match the
+  * oracle bit-for-bit. Empty-token documents are dropped on both sides
+  * (they occupy zero tokens of the stream, and giving them a chunk id
+  * would be arbitrary).
+  */
+object P2SequencePack extends GraftQuery {
+  val name = "p2_sequence_pack"
+  val describe = "sequence packing: deterministic shuffle, global token prefix-sum, seqLen-chunk spans"
+
+  /** Tokens per packed training sequence. */
+  val seqLen = 512
+
+  private val orderHash = Portable.hash60(concat(lit("pack:"), col("doc_id").cast("string")))
+  private def orderHashSql = Portable.hash60Sql("'pack:' || CAST(doc_id AS VARCHAR)")
+
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir, spark.sparkContext.defaultParallelism)
+
+  def run(spark: SparkSession, sfDir: String, partitions: Int): DataFrame = {
+    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        orderHash.as("h"))
+      .filter(col("n_tokens") > 0)
+    // Distributed prefix sum over the (h, doc_id) total order: within-range
+    // cumsum + driver-folded range offsets (exact whatever boundaries the
+    // range sampler picks, because the key is a total order).
+    // Persisted because two jobs read it (the O(P) totals, then the ranked
+    // output); unpersisted by the caller's sweep (runManaged/Bench/Verify).
+    val ranged = graft.CacheScope.persisted(
+      toks.repartitionByRange(partitions, col("h").asc, col("doc_id").asc)
+        .withColumn("pid", spark_partition_id()))
+    val totals = ranged.groupBy(col("pid")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
+    val offExpr = totals.map(_._1).zip(offsets.map(_._2)).foldLeft(lit(0L)) {
+      case (acc, (pid, off)) => when(col("pid") === pid, off).otherwise(acc)
+    }
+    val inPart = Window.partitionBy(col("pid")).orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("cum_end", offExpr + sum(col("n_tokens")).over(inPart))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"(cum_end - n_tokens) div $seqLen").as("start_chunk"),
+        expr(s"(cum_end - 1) div $seqLen").as("end_chunk"),
+        expr(s"(cum_end - n_tokens) % $seqLen").as("start_offset"))
+  }
+
+  val oracle = Some(
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |         CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_tokens,
+       |         $orderHashSql AS h
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(sum(n_tokens) OVER (
+       |           ORDER BY h ASC, doc_id ASC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_end
+       |  FROM tok WHERE n_tokens > 0)
+       |SELECT doc_id, n_tokens,
+       |       (cum_end - n_tokens) // $seqLen AS start_chunk,
+       |       (cum_end - 1) // $seqLen AS end_chunk,
+       |       (cum_end - n_tokens) % $seqLen AS start_offset
+       |FROM c""".stripMargin)
+}
+
+/** p3: mixture sampling — deterministic down-sampling of a multi-source
+  * corpus to TARGET MIXTURE WEIGHTS (the "data mixing" step that sets how
+  * much of each source a training run sees). Each source gets an integer
+  * quota proportional to its weight out of a global document budget, and
+  * fills it with its hash-rank-first documents — so membership is
+  * recomputable from the row alone, stable under reruns, and adding new
+  * data to one source never reshuffles another source's picks.
+  *
+  * Weights here derive from the source name (index mod 4, +1 → 1..4) so
+  * the query is self-contained over the test corpus; in production the
+  * weight table is a tiny config DataFrame joined the same way.
+  *
+  * Scale shape: corpus size and total weight are two 1-row broadcast
+  * aggregates (t9/t10's pattern); quota arithmetic is exact integer math;
+  * the per-source ranking window sorts each source's slice only. At extreme
+  * per-source cardinality the rank-filter becomes threshold selection on
+  * the same hash (compute the quota-th smallest hash, filter below it) —
+  * same semantics, no full sort.
+  */
+object P3MixtureSample extends GraftQuery {
+  val name = "p3_mixture_sample"
+  val describe = "data mixing: weighted per-source quotas from a global budget, hash-rank fill"
+
+  /** Budget = total docs / budgetDiv (integer division). */
+  private val budgetDiv = 2
+
+  private val sampleHash = Portable.hash60(concat(lit("mix:"), col("doc_id").cast("string")))
+  private def sampleHashSql = Portable.hash60Sql("'mix:' || CAST(doc_id AS VARCHAR)")
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val w = (expr("CAST(substr(source, 4) AS INT)") % 4 + 1).cast("long")
+    val n = docs.agg(count(lit(1)).as("n"))
+    val weights = docs.select(col("source")).distinct().withColumn("w", w)
+    val totalW = weights.agg(sum(col("w")).as("tw"))
+    val rk = Window.partitionBy(col("source"))
+      .orderBy(sampleHash.asc, col("doc_id").asc)
+    docs
+      .withColumn("rk", row_number().over(rk).cast("long"))
+      .join(broadcast(weights), Seq("source"))
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(totalW))
+      .withColumn("quota", expr(s"(n div $budgetDiv) * w div tw"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("source"), col("quota"), col("rk"), col("doc_id"))
+  }
+
+  val oracle = Some(
+    s"""WITH w AS (
+       |  SELECT DISTINCT source,
+       |         CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS w
+       |  FROM documents),
+       |tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |ranked AS (
+       |  SELECT source, doc_id,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY source
+       |           ORDER BY $sampleHashSql ASC, doc_id ASC) AS BIGINT) AS rk
+       |  FROM documents)
+       |SELECT r.source,
+       |       (n.n // $budgetDiv) * w.w // tw.tw AS quota,
+       |       r.rk, r.doc_id
+       |FROM ranked r JOIN w USING (source) CROSS JOIN n CROSS JOIN tw
+       |WHERE r.rk <= (n.n // $budgetDiv) * w.w // tw.tw""".stripMargin)
+}

@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** g1: PageRank over the semantic-similarity graph — centrality scores for
+  * the vectors participating in d5's cosine-pair edges. This is the
+  * survivor-selection refinement of dedup: d10 collapses a semantic
+  * cluster to its MIN vec_id; ranking cluster members by PageRank instead
+  * picks the most CENTRAL exemplar (the member most similar to the rest),
+  * which is what SemDeDup-style curation actually keeps. It also exercises
+  * one more reference-shaped iteration: like C3's k-means loop, each round
+  * is a single keyed aggregate (neighbour contributions) folded with a
+  * broadcast-scale constant — A6's driver loop over declarative rounds, no
+  * graph library needed.
+  *
+  * Scale shape: the adjacency list (edges + out-degrees) is built once,
+  * persisted, and every round is one hash-partitioned join + aggregate on
+  * vec_id — working set proportional to the edge list, contributions
+  * partially aggregated map-side, nothing driver-side but the loop counter
+  * (rank frames stay distributed; only the O(P) metadata of the d5 stage
+  * ever visits the driver). Rounds are fixed (5), so lineage stays bounded
+  * without checkpointing; a convergence-driven variant would reuse d7's
+  * per-round truncation.
+  *
+  * Determinism: contribution sums are rounded to 9 decimals each round
+  * BEFORE damping (the s6 per-iteration-rounding precedent), so
+  * summation-order differences between engines stay below the oracle's
+  * 6-decimal surface; degrees and the node count are exact integers and
+  * every division is the same IEEE double op on both sides.
+  */
+object G1PageRank extends GraftQuery {
+  val name = "g1_pagerank"
+  val describe = "PageRank centrality over d5 cosine-pair graph (central-exemplar survivor ranking)"
+
+  private val iterations = 5
+  private val damping = 0.85
+  private val roundScale = 9
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = D5EmbedDedup.run(spark, sfDir).select(col("vec_a"), col("vec_b"))
+    // Undirected graph: each pair contributes both directions, so every
+    // node has degree >= 1 and receives mass every round.
+    val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // Adjacency with the sender's degree attached once, read 5 times.
+    val adj = graft.CacheScope.persisted(
+      edges.join(deg, "src").select(col("src"), col("dst"), col("deg")))
+    val n = adj.select(col("src")).distinct().count()
+    val teleport = (1.0 - damping) / n
+
+    var ranks = adj.select(col("src").as("id")).distinct()
+      .withColumn("pr", round(lit(1.0 / n), roundScale))
+    for (_ <- 1 to iterations) {
+      val contrib = adj.join(ranks, adj("src") === ranks("id"))
+        .groupBy(col("dst"))
+        .agg(round(sum(col("pr") / col("deg")), roundScale).as("mass"))
+      ranks = contrib.select(
+        col("dst").as("id"),
+        round(lit(teleport) + lit(damping) * col("mass"), roundScale).as("pr"))
+    }
+    ranks.join(deg, ranks("id") === deg("src"))
+      .select(col("id").as("vec_id"), col("deg").as("degree"),
+        round(col("pr"), 6).as("pagerank"))
+  }
+
+  val oracle = {
+    val nSub = "(SELECT n FROM n)"
+    val iters = (1 to iterations).map { i =>
+      s"""pr$i AS (
+         |  SELECT e.dst AS id,
+         |         round((1.0 - $damping) / $nSub
+         |               + $damping * round(sum(p.pr / d.deg), $roundScale),
+         |               $roundScale) AS pr
+         |  FROM edges e
+         |  JOIN pr${i - 1} p ON e.src = p.id
+         |  JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    Some(
+      s"""WITH ${D5EmbedDedup.pairsCtesSql},
+         |edges AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM d5
+         |  UNION ALL SELECT vec_b, vec_a FROM d5),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+         |n AS (SELECT count(*) AS n FROM deg),
+         |pr0 AS (SELECT src AS id, round(1.0 / $nSub, $roundScale) AS pr FROM deg),
+         |$iters
+         |SELECT d.src AS vec_id, d.deg AS degree, round(p.pr, 6) AS pagerank
+         |FROM pr$iterations p JOIN deg d ON p.id = d.src""".stripMargin)
+  }
+}

@@ -42,6 +42,7 @@ PLAUSIBILITY = [
     ("d4_ngram_jaccard", "d2_minhash_lsh"),
     ("d7_dup_clusters", "d4_ngram_jaccard"),
     ("d10_semantic_clusters", "d5_embed_dup"),
+    ("g1_pagerank", "d5_embed_dup"),  # g1 runs D5EmbedDedup.run as stage 1
 ]
 
 REPS = "3"
