@@ -185,4 +185,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pipeline degenerated to O(n^2) somewhere:\n$p")
   }
+
+  test("p2: every window is range-partition-local — no single-partition global sort") {
+    val df = P2SequencePack.run(spark, TestSpark.sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // The scale contract: the prefix sum must NOT plan as
+    // Window.orderBy(...) over Exchange SinglePartition.
+    assert(!p.contains("Exchange SinglePartition") || !p.contains("Window"),
+      s"global token cumsum collapsed to a single partition:\n$p")
+    assert(p.contains("Exchange rangepartitioning"),
+      s"prefix sum lost its range partitioning:\n$p")
+  }
+
+  test("p3: corpus size and weights arrive by broadcast; ranking is per-source") {
+    val p = plan(P3MixtureSample)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"1-row aggregates not broadcast:\n$p")
+    // The only SinglePartition exchanges allowed are the 1-row broadcast
+    // aggregates (n, total weight); the ranking window itself must sit on
+    // the source-keyed hash partitioning.
+    assert(p.contains("Exchange hashpartitioning(source"),
+      s"per-source ranking lost its source-keyed partitioning:\n$p")
+    assert(!p.contains("CartesianProduct"), s"mixture quota degenerated to cartesian:\n$p")
+  }
+
+  test("s7: PQ encode joins the broadcast codebook; no shuffle of vector pairs") {
+    val p = plan(S7AnnPq)
+    assert(p.contains("BroadcastHashJoin"), s"codebook not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"PQ encode degenerated to O(n^2):\n$p")
+  }
+
+  test("w7: both aggregates are map-side combined (partial before the exchange)") {
+    val p = plan(W7Retention)
+    assert(p.contains("partial"), s"no partial aggregation in retention:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Exchange SinglePartition"),
+      s"retention matrix planned a scale-unsafe operator:\n$p")
+  }
 }
