@@ -56,4 +56,32 @@ object Sources {
   /** The engine's native columnar source. */
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** JSON-lines corpus source — the interchange format LLM training
+    * corpora actually arrive in (one JSON document per line, usually
+    * gzipped). Contract for unbounded dirty corpora:
+    *
+    *   - the schema is EXPLICIT (no sampling pass over 100 TB to infer it,
+    *     and no silent schema drift between shards);
+    *   - malformed lines are QUARANTINED, not fatal and not dropped:
+    *     PERMISSIVE mode routes them to `corruptCol` with every declared
+    *     column null, so the caller can count/inspect rejects
+    *     (`jsonl(...).filter(col("_corrupt").isNotNull)`) — the same
+    *     tolerance posture as the reference's empty-gzip-split drop
+    *     (GuaguaInputFormat.java:131-144), but with the evidence kept.
+    *     Spark refuses a query that references ONLY the corrupt column of
+    *     a raw JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — callers
+    *     auditing rejects alone should `.cache()` the parsed frame first;
+    *   - compression codecs apply transparently as in [[text]].
+    */
+  def jsonl(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      corruptCol: String = "_corrupt"): DataFrame =
+    spark.read
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
 }

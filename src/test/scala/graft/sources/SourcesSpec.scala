@@ -56,4 +56,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.count() == 3)
     assert(df.schema.fields.forall(_.dataType.typeName == "integer"))
   }
+
+  test("JSONL corpus source: explicit schema, malformed lines quarantined not dropped") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val dir = Files.createTempDirectory("graft-jsonl")
+    Files.writeString(dir.resolve("shard-00.jsonl"),
+      """{"doc_id": 1, "text": "a good document", "source": "srcA"}
+        |{"doc_id": 2, "text": "another fine one", "source": "srcB"}
+        |{not json at all
+        |{"doc_id": 3, "text": "after the bad line", "source": "srcA"}
+        |""".stripMargin)
+    val schema = new StructType()
+      .add("doc_id", LongType).add("text", StringType).add("source", StringType)
+    // Cached before inspection: Spark refuses queries that reference ONLY
+    // the corrupt column of a raw JSON scan (see Sources.jsonl scaladoc).
+    val df = Sources.jsonl(spark, dir.toString, schema).cache()
+    val good = df.filter(col("_corrupt").isNull)
+    val bad = df.filter(col("_corrupt").isNotNull)
+    assert(good.count() == 3, "well-formed lines lost")
+    assert(bad.count() == 1, "malformed line not quarantined")
+    assert(bad.select("_corrupt").collect().head.getString(0).startsWith("{not json"),
+      "quarantined payload should carry the raw line for inspection")
+    assert(good.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
 }
