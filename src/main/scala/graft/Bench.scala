@@ -94,6 +94,13 @@ object Bench {
     def sweep(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // Level the heap in the UNTIMED gap: without this, an allocation-heavy
+      // query hands its GC debt to whichever query runs next in suite order
+      // (d1→d2 was the documented slot effect — d2 measured 1.3-2.2× its
+      // dedup-subset cost and tripped the baseline plausibility gate twice
+      // purely on inherited young-gen pressure). Collecting here moves that
+      // debt into harness bookkeeping, where eviction already lives.
+      System.gc()
     }
 
     val selected = sys.env.get("SPARK_GRAFT_QUERIES") match {

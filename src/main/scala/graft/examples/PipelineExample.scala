@@ -94,13 +94,32 @@ object PipelineExample {
       .join(deduped, "doc_id")
       .orderBy(col("avg_logp").desc)
 
+    // 5. Mixture sampling: weight the SURVIVOR set to the target source
+    // mix (p3's library form over the cleaned frame, not the raw corpus).
+    val mixed = graft.queries.P3MixtureSample.sample(
+      deduped.join(docs.select(col("doc_id"), col("source")), "doc_id"))
+      .select(col("doc_id"))
+
+    // 6. Sequence packing: lay the mixed survivors out as seqLen-token
+    // training chunks (p2's library form — deterministic shuffled order,
+    // distributed token prefix-sum).
+    val packed = graft.queries.P2SequencePack.pack(
+      spark,
+      mixed.join(graft.queries.T3TokenCount.run(spark, sfDir)
+        .select(col("doc_id"), col("ws_tokens").as("n_tokens")), "doc_id"),
+      partitions = spark.sparkContext.defaultParallelism)
+
     val nQuality = quality.count()
     val nAdmitted = admitted.count()
     val nDeduped = deduped.count()
+    val nMixed = mixed.count()
+    val nChunks = packed.agg(max(col("end_chunk"))).collect()(0).getLong(0) + 1
     val top = ranked.select(col("doc_id"), col("avg_logp")).limit(3).collect()
       .map(r => s"${r.getLong(0)}:${r.getDouble(1)}").mkString(", ")
     println(s"corpus=$total -> quality=$nQuality -> admitted=$nAdmitted " +
-      s"-> post-dedup=$nDeduped; top docs by LM score: $top")
+      s"-> post-dedup=$nDeduped -> mixed=$nMixed -> packed into $nChunks " +
+      s"chunks of ${graft.queries.P2SequencePack.seqLen} tokens; " +
+      s"top docs by LM score: $top")
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     spark.stop()
   }

@@ -45,12 +45,19 @@ object P2SequencePack extends GraftQuery {
   def run(spark: SparkSession, sfDir: String): DataFrame =
     run(spark, sfDir, spark.sparkContext.defaultParallelism)
 
-  def run(spark: SparkSession, sfDir: String, partitions: Int): DataFrame = {
+  def run(spark: SparkSession, sfDir: String, partitions: Int): DataFrame =
+    pack(spark,
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+      partitions)
+
+  /** Library form: pack any (doc_id, n_tokens) frame — e.g. a cleaned
+    * survivor set (PipelineExample stage 6) — into seqLen-token chunks.
+    */
+  def pack(spark: SparkSession, docTokens: DataFrame, partitions: Int): DataFrame = {
     require(partitions >= 1, s"partitions must be >= 1, got $partitions")
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
-        orderHash.as("h"))
+    val toks = docTokens
+      .select(col("doc_id"), col("n_tokens"), orderHash.as("h"))
       .filter(col("n_tokens") > 0)
     // Distributed prefix sum over the (h, doc_id) total order: within-range
     // cumsum + driver-folded range offsets (exact whatever boundaries the
@@ -124,8 +131,13 @@ object P3MixtureSample extends GraftQuery {
   private val sampleHash = Portable.hash60(concat(lit("mix:"), col("doc_id").cast("string")))
   private def sampleHashSql = Portable.hash60Sql("'mix:' || CAST(doc_id AS VARCHAR)")
 
-  def run(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    sample(Tables.documents(spark, sfDir).select(col("doc_id"), col("source")))
+
+  /** Library form: mix any (doc_id, source) frame — e.g. a cleaned
+    * survivor set — down to the weighted per-source quotas.
+    */
+  def sample(docs: DataFrame): DataFrame = {
     val w = (expr("CAST(substr(source, 4) AS INT)") % 4 + 1).cast("long")
     val n = docs.agg(count(lit(1)).as("n"))
     val weights = docs.select(col("source")).distinct().withColumn("w", w)
