@@ -44,11 +44,13 @@ import graft.queries.Registry
   *     against load shorter than one query; interleaving puts the reps of
   *     each query MINUTES apart, so a contention burst poisons at most one
   *     rep of any query and the min survives (BENCH_r03: adjacent-slot d8/d9
-  *     measured 2-3x with back-to-back min-of-2). Passes are additionally
-  *     ROTATED (each pass starts 1/reps further into the suite) so no query
-  *     keeps the same predecessor across passes — a predecessor-pinned
-  *     GC/slot effect otherwise survives the min because it poisons every
-  *     rep identically. Min-of-N is the standard
+  *     measured 2-3x with back-to-back min-of-2). Each pass additionally
+  *     runs a deterministic PERMUTATION of the suite (seed = pass number)
+  *     so no query keeps the same predecessor across passes — a
+  *     predecessor-pinned GC/slot effect otherwise survives the min because
+  *     it poisons every rep identically (measured: d2 at 1.26-1.74 s in
+  *     fixed suite order vs 0.94 s isolated, same build — entirely
+  *     inherited d1 allocation debt). Min-of-N is the standard
   *     steady-state estimator and BASELINE.md is recorded the same way, so
   *     the gate compares like with like. Data caches stay cold per rep (the
   *     untimed sweep runs after every exec); only OS page cache and JIT state
@@ -164,19 +166,21 @@ object Bench {
     // Interleaved reps (see scaladoc): pass p runs every query once; the
     // per-query result is the min across passes. A rep that throws fails the
     // query in ALL passes — reps estimate steady-state cost, they are not
-    // retries. Each pass ROTATES the suite order (pass p starts 1/reps
-    // further into the list): with a fixed order, every query keeps the same
-    // predecessor in every pass, so a predecessor-pinned effect (d1 hands
-    // its GC/allocation debt to d2 in slot order — the effect that tripped
-    // the baseline plausibility gate three times) hits ALL reps and the min
-    // cannot dodge it. Rotation gives each query `reps` different
-    // predecessors and the min keeps the clean slot.
+    // retries. Each pass runs a DETERMINISTIC PERMUTATION of the suite
+    // (seed = pass number): with a fixed order — or a mere rotation, which
+    // preserves cyclic adjacency — every query keeps the same predecessor
+    // in every pass, so a predecessor-pinned effect hits ALL reps and the
+    // min cannot dodge it (d1 hands its allocation/GC debt to d2: d2
+    // measured 1.26-1.74 s in fixed suite order vs 0.94 s isolated, the
+    // effect that tripped the baseline plausibility gate three times).
+    // Shuffling gives each query `reps` unrelated predecessors; the min
+    // keeps the cleanest slot, which is the per-query steady state a
+    // cluster deployment would see.
     val timesByQuery = scala.collection.mutable.Map.empty[String, List[Double]]
     val failedSet = scala.collection.mutable.Set.empty[String]
     for (pass <- 1 to reps) {
       System.err.println(s"[bench] timed pass $pass/$reps")
-      val offset = ((pass - 1) * selected.size) / reps
-      val ordered = selected.drop(offset) ++ selected.take(offset)
+      val ordered = new scala.util.Random(pass).shuffle(selected)
       ordered.foreach { q =>
         if (!failedSet(q.name)) {
           val t0 = System.nanoTime()

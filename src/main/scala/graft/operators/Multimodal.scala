@@ -82,6 +82,7 @@ object Multimodal {
   }
 
   final case class FrameSample(doc_id: Long, frame_idx: Int, n_bytes: Int, frame: Array[Byte])
+  final case class FrameFeature(doc_id: Long, frame_idx: Int, n_resized: Int, score: Long)
 
   /** RESIZE STUB — stands in for an image downscale: keeps every k-th byte.
     * A real implementation swaps the body for a codec resize; callers see
@@ -122,6 +123,42 @@ object Multimodal {
             val until = math.min(r.payload.length, from + width)
             val frame = resizeStub(java.util.Arrays.copyOfRange(r.payload, from, until), resize)
             FrameSample(r.doc_id, f, frame.length, frame)
+          }
+      }
+    }
+  }
+
+  /** Per-frame FEATURE EXTRACTION: decode → resize → score, the pipeline
+    * order a production keyframe selector uses (score an embedding of the
+    * downscaled frame, not the full-resolution one). The stub score is the
+    * integer byte-sum of the RESIZED frame — deterministic, exactly
+    * replayable in SQL, and integer so downstream aggregation/comparison is
+    * associative and engine-exact (no float-order hazards). Swap the score
+    * line for a real frame-embedding call; the (payload in → small typed
+    * rows out) mapPartitions contract is the production shape, and the
+    * heavy payload bytes never leave the scan partition — only O(frames)
+    * integers per video continue into the pooling aggregate.
+    */
+  def frameFeatures(
+      media: Dataset[MediaRecord],
+      stride: Int = 2,
+      resize: Int = 4): Dataset[FrameFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // Per-partition decoder/scorer setup would go here.
+      it.flatMap { r =>
+        val (_, _, frames, _) = decodeStub(r.payload)
+        val width = math.max(1, r.payload.length / math.max(1, frames))
+        (0 until frames by stride).iterator
+          .takeWhile(f => f * width < r.payload.length)
+          .map { f =>
+            val from = f * width
+            val until = math.min(r.payload.length, from + width)
+            val resized = resizeStub(java.util.Arrays.copyOfRange(r.payload, from, until), resize)
+            var s = 0L
+            var i = 0
+            while (i < resized.length) { s += resized(i) & 0xff; i += 1 }
+            FrameFeature(r.doc_id, f, resized.length, s)
           }
       }
     }

@@ -103,3 +103,95 @@ object M2FrameSample extends GraftQuery {
       |       CAST(((least(len, fi * width + width) - fi * width) + 3) // 4 AS INT) AS n_bytes
       |FROM fr WHERE fi * width < len""".stripMargin)
 }
+
+/** m3: keyframe selection + per-video feature pooling — the feature-extract
+  * stage of the multimodal surface ([[graft.operators.Multimodal
+  * .frameFeatures]]): decode → resize → per-frame integer saliency score
+  * (stub: byte-sum of the resized frame), then ONE partial+final aggregate
+  * pools per video: frame count, resized byte count, score totals, the
+  * keyframe (max score, ties to the SMALLEST frame index via struct
+  * ordering on (score, -frame_idx)), and a rounded mean-byte summary.
+  *
+  * Engine-exactness: every aggregated quantity is an integer (associative,
+  * order-free — no float-accumulation hazard across engines); the only
+  * float, mean_byte, is a single division of two exact integers per group,
+  * which IEEE defines exactly, rounded to 6 decimals on both sides. The
+  * oracle replays the m2 hash → frames → width arithmetic in HUGEINT and
+  * scores each resized frame with a per-frame list_reduce.
+  *
+  * Scale: the payload column is pruned away right after the executor-side
+  * flatMap — only O(frames-per-video) integer rows shuffle into the
+  * doc_id-keyed aggregate (map-side partials make that ~1 row per video per
+  * partition). The keyframe argmax rides the same aggregate as a struct
+  * max, not a separate window pass.
+  */
+object M3KeyframePool extends GraftQuery {
+  val name = "m3_keyframe"
+  val describe = "frame features (resized byte-sum saliency) pooled per video + keyframe argmax"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    Multimodal.frameFeatures(
+      Multimodal.attachPayload(Tables.documents(spark, sfDir)).as[Multimodal.MediaRecord])
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_frames"),
+        sum(col("n_resized")).as("resized_bytes"),
+        sum(col("score")).as("sum_bytes"),
+        max(struct(col("score").as("s"), (-col("frame_idx")).as("nfi"))).as("mx"))
+      .select(
+        col("doc_id"),
+        col("n_frames"),
+        col("resized_bytes"),
+        col("sum_bytes"),
+        (-col("mx.nfi")).cast("int").as("keyframe_idx"),
+        col("mx.s").as("keyframe_score"),
+        round(col("sum_bytes").cast("double") / col("resized_bytes"), 6).as("mean_byte"))
+  }
+
+  val oracle = Some(
+    """WITH b AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS len,
+      |         list_transform(range(1, length(text) + 1),
+      |                        i -> CAST(ord(substr(text, i, 1)) AS HUGEINT)) AS bytes
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, len, bytes,
+      |         list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), bytes),
+      |                     (a, x) -> (a * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS hh
+      |  FROM b WHERE len > 0),
+      |g AS (
+      |  SELECT doc_id, len, bytes,
+      |         CAST(hh % CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS pos
+      |  FROM h),
+      |w AS (
+      |  SELECT doc_id, len, bytes,
+      |         greatest(1, len // greatest(1, CAST(1 + ((pos >> 20) % 16) AS BIGINT))) AS width,
+      |         CAST(1 + ((pos >> 20) % 16) AS BIGINT) AS frames
+      |  FROM g),
+      |fr AS (
+      |  SELECT doc_id, len, bytes, width, unnest(range(0, frames, 2)) AS fi
+      |  FROM w),
+      |ff AS (
+      |  SELECT doc_id, fi,
+      |         list_transform(range(fi * width, least(len, fi * width + width), 4),
+      |                        p -> bytes[CAST(p AS INT) + 1]) AS rb
+      |  FROM fr WHERE fi * width < len),
+      |sc AS (
+      |  SELECT doc_id, fi, len(rb) AS nres,
+      |         CAST(list_reduce(rb, (a, x) -> a + x) AS BIGINT) AS score
+      |  FROM ff),
+      |rk AS (
+      |  SELECT doc_id, fi, nres, score,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, fi ASC) AS rn
+      |  FROM sc)
+      |SELECT doc_id,
+      |       CAST(COUNT(*) AS INT) AS n_frames,
+      |       CAST(SUM(nres) AS BIGINT) AS resized_bytes,
+      |       CAST(SUM(score) AS BIGINT) AS sum_bytes,
+      |       CAST(MAX(CASE WHEN rn = 1 THEN fi END) AS INT) AS keyframe_idx,
+      |       MAX(CASE WHEN rn = 1 THEN score END) AS keyframe_score,
+      |       round(CAST(SUM(score) AS DOUBLE) / SUM(nres), 6) AS mean_byte
+      |FROM rk GROUP BY doc_id""".stripMargin)
+}

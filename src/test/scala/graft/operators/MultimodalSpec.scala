@@ -68,6 +68,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.resizeStub(Array.empty[Byte], 3).isEmpty)
   }
 
+  test("frame features agree with sampled frames; m3 pools the smallest-index argmax keyframe") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val media = Multimodal.attachPayload(docs).as[Multimodal.MediaRecord]
+    // The feature path must score exactly the frames the sampling path
+    // emits: same grid, same resize, score = byte-sum of the resized frame.
+    val samples = Multimodal.sampleFrames(media, stride = 2, resize = 4).collect()
+      .map(f => (f.doc_id, f.frame_idx) -> f).toMap
+    val feats = Multimodal.frameFeatures(media).collect()
+    assert(feats.nonEmpty && feats.length == samples.size)
+    feats.foreach { ff =>
+      val s = samples((ff.doc_id, ff.frame_idx))
+      assert(ff.n_resized == s.n_bytes)
+      assert(ff.score == s.frame.map(b => (b & 0xff).toLong).sum)
+    }
+    // m3's struct-max argmax == independent per-doc fold: max score, ties
+    // to the smallest frame index.
+    val pooled = graft.queries.M3KeyframePool.run(spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    feats.groupBy(_.doc_id).foreach { case (id, fs) =>
+      val best = fs.minBy(f => (-f.score, f.frame_idx))
+      val r = pooled(id)
+      assert(r.getInt(1) == fs.length)
+      assert(r.getInt(4) == best.frame_idx)
+      assert(r.getLong(5) == best.score)
+    }
+  }
+
   test("payload bytes equal UTF-8 text length for ASCII corpus") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     import org.apache.spark.sql.functions._

@@ -223,4 +223,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("Exchange SinglePartition"),
       s"retention matrix planned a scale-unsafe operator:\n$p")
   }
+
+  test("m3: keyframe pooling partial-aggregates the O(frames) feature rows; payload never shuffles") {
+    val p = plan(M3KeyframePool)
+    // The pooling aggregate must combine map-side: only ~1 row per video per
+    // partition crosses the exchange, and the argmax rides the same
+    // aggregate (a struct max), not a separate window pass.
+    assert(p.contains("partial"), s"no partial aggregation in keyframe pooling:\n$p")
+    assert(!p.contains("Window"), s"keyframe argmax planned a window pass:\n$p")
+    // The binary payload exists only below the flatMap — after it, rows are
+    // (doc_id, frame_idx, n_resized, score); no payload column may appear in
+    // any exchange.
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("payload"), s"payload crosses a shuffle:\n$exchanges")
+    assert(!p.contains("CartesianProduct") && !p.contains("Exchange SinglePartition"),
+      s"keyframe pooling planned a scale-unsafe operator:\n$p")
+  }
 }
