@@ -112,7 +112,7 @@ runs (codegen warm pass at sf0.001, recursive page-cache prewarm, per-query
 minimum over {REPS} INTERLEAVED passes, fixed heap, UNTIMED cache sweep
 between queries; see Bench.scala's scaladoc for why each knob exists).
 
-Two round-5 harness fixes make this table differ from round 3's:
+Three round-5 harness fixes make this table differ from round 3's:
 
 1. **The cache-leak fix raised every persisting query's row to its honest
    cost.** Through round 4 the sweep was RDD-level only, which drops blocks
@@ -125,13 +125,20 @@ Two round-5 harness fixes make this table differ from round 3's:
    bookkeeping, and timing it put 0.3-0.5 s of block-manager noise on
    whichever persisting query ran next (d2 spanned 0.7-1.2 s across JVMs
    with the sweep timed; 0.767 vs 0.769 with it untimed).
+3. **Each interleaved pass runs a deterministic permutation of the suite**
+   (seed = pass number). With a fixed order, a predecessor-pinned effect
+   poisons every rep identically and the min cannot dodge it: d2 measured
+   1.26-1.74 s running after allocation-heavy d1 in every pass vs 0.94 s
+   isolated, same build — which tripped the d4 >= d2 plausibility gate
+   three recordings in a row. A rotation does not fix this (it preserves
+   cyclic adjacency); System.gc() in the untimed gap did not either.
 
 Acceptance gate applied at recording time (violation = the run is rejected
 and repeated, never hand-edited): a query executing a strict superset of
 another's work must not measure cheaper — d6 >= d3, d4 >= d2, d7 >= d4,
-with a 0.75 noise band separating per-slot scheduling luck (~0.8x worst
-observed: d2 inherits GC debt from allocation-heavy d1 in suite order)
-from impossible readings (the cache-leak row sat at 0.41x).
+d10 >= d5, g1 >= d5 — with a 0.75 noise band separating per-slot
+scheduling luck (~0.8x worst observed under fixed-order passes) from
+impossible readings (the cache-leak row sat at 0.41x).
 
 Total wall-clock for the {len(q)}-query timed pass (sum of per-query
 minima): {total:.1f} s. Per query (seconds):
