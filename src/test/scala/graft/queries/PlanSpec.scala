@@ -106,8 +106,8 @@ class PlanSpec extends AnyFunSuite {
         s"got $cacheReads InMemoryTableScan(s):\n$p")
   }
 
-  test("t7/m2: fingerprint and frame-sample are shuffle-free pipelines") {
-    for (q <- Seq(T7RollingFingerprint, M2FrameSample)) {
+  test("t7/m2/t11: fingerprint, frame-sample and char-entropy are shuffle-free pipelines") {
+    for (q <- Seq(T7RollingFingerprint, M2FrameSample, T11CharEntropy)) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"${q.name} shuffles a pure per-row pipeline:\n$p")
     }
