@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{CacheScope, Tables}
+import graft.operators.TextOps
+
+/** t12: BPE merge-pair training — the tokenizer-training step of an LLM data
+  * pipeline, run as the reference's iterative master/worker pattern (worker =
+  * partial pair-count aggregate per partition, master = 1-row argmax + the
+  * merge decision, broadcast back as the next round's rewrite; the C3/k1
+  * driver-loop shape applied to vocabulary learning).
+  *
+  * Semantics (standard byte-pair encoding, Sennrich et al. 2016, greedy
+  * left-to-right):
+  *   - symbol alphabet: the distinct word tokens, each mapped to ONE
+  *     character code so a document becomes a plain string and "merge the
+  *     pair" is a single `replace` — the classic BPE trick, and exactly the
+  *     left-to-right non-overlapping semantics both engines' `replace`
+  *     implements ("x x x" merges positions 1-2 then cannot reuse the shared
+  *     middle: one occurrence, not two);
+  *   - per round: count all ADJACENT symbol pairs (overlapping: "xxx" has
+  *     two xx pairs), merge the (count desc, pair asc) argmax into a fresh
+  *     symbol, repeat. Merged symbols participate in later rounds, so
+  *     multi-word units grow ("a b" then "a b c").
+  *
+  * Output: one row per round — (round, merged unit as space-joined token
+  * text, its pair frequency at merge time). Integer counts + text only, so
+  * nothing float-sensitive reaches the hash gate.
+  *
+  * Portability pin: Spark's `chr(n)` masks to `n & 0xFF` (Latin-1 only)
+  * while DuckDB's is full Unicode — the shared alphabet therefore lives
+  * entirely in codepoints 1..255, where both engines agree: vocab symbols at
+  * chr(32+rank), merge symbols at chr(round). A `require` enforces the 223-
+  * symbol capacity. At production scale BPE runs over a byte-level initial
+  * alphabet (256 symbols) precisely so the symbol table stays O(1); the
+  * word-level variant here keeps the vocabulary as a broadcast table and
+  * collects only the O(V) symbol texts to the driver — the same O(model)
+  * driver traffic as k-means centroids (C3).
+  *
+  * Scale shape: per round = one scan of the cached symbol-string frame, an
+  * exploded pair count whose map-side partial aggregation collapses each
+  * partition to O(|observed pair space|) rows, a 1-row TakeOrdered to the
+  * driver, and a narrow per-row `replace` projection. Each round's rewrite
+  * is persisted and the predecessor unpersisted (d7's lineage-truncation
+  * pattern) so the transform lambda always captures a materialized column,
+  * never a growing replace-expression chain.
+  */
+object T12BpeMerges extends GraftQuery {
+  val name = "t12_bpe_merges"
+  val describe = "BPE tokenizer training: 6 greedy merge rounds, oracle = unrolled CTE chain"
+
+  private[queries] val rounds = 6
+  // Vocab symbols occupy chr(33)..chr(255) (rank is 1-based); merge symbols
+  // chr(1)..chr(rounds) are control chars, disjoint by construction.
+  private val vocabBase = 32
+  private def mergeChar(r: Int): String = r.toChar.toString
+
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    runOn(spark, Tables.documents(spark, sfDir))
+
+  /** [[run]] over an explicit documents frame (doc_id, text) — fixture entry
+    * point for BpeSpec's reimplementation pin.
+    */
+  def runOn(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val toks = documents
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+      .toDF("doc_id", "pos", "token")
+
+    // Global symbol ids: rank over the DISTINCT vocabulary. The window has
+    // no partition, but it runs over the post-aggregate vocab (the symbol
+    // alphabet, bounded — see scaladoc), not the corpus.
+    val vocab = toks.select("token").distinct()
+      .withColumn("rn", row_number().over(Window.orderBy(col("token"))))
+      .withColumn("ch", expr(s"chr($vocabBase + rn)"))
+      .select("token", "ch")
+
+    val symText = scala.collection.mutable.Map.empty[String, String]
+    vocab.collect().foreach(r => symText(r.getAs[String]("ch")) = r.getAs[String]("token"))
+    require(symText.size <= 255 - vocabBase - rounds,
+      s"word-level BPE demo supports <=${255 - vocabBase - rounds} symbols, got ${symText.size}; " +
+        "use a byte-level alphabet for open vocabularies")
+
+    // One string per document: its token sequence as symbol chars.
+    val docs0 = CacheScope.persisted(
+      toks.join(broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("ch")))),
+            x => x.getField("ch")), "").as("s")))
+
+    var cur = docs0
+    val out = Seq.newBuilder[(Int, String, Long)]
+    for (r <- 1 to rounds) {
+      val best = cur.where(length(col("s")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(s) - 1), i -> substring(s, i, 2))")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("pair").asc)
+        .limit(1).collect()(0)
+      val pair = best.getAs[String]("pair")
+      val mc = mergeChar(r)
+      symText(mc) = symText(pair.substring(0, 1)) + " " + symText(pair.substring(1, 2))
+      out += ((r, symText(mc), best.getAs[Long]("freq")))
+      val next = CacheScope.persisted(
+        cur.select(col("doc_id"),
+          call_function("replace", col("s"), lit(pair), lit(mc)).as("s")))
+      if (r < rounds) next.count() // materialize before dropping the parent
+      if (cur ne docs0) cur.unpersist(false)
+      cur = next
+    }
+    cur.unpersist(false)
+    docs0.unpersist(false)
+    out.result().toDF("round", "merged", "freq")
+  }
+
+  /** Unrolled-CTE replay (the k1 pattern). Every CTE referenced more than
+    * once per round (d_r by the next round's pair scan AND rewrite, b_r by
+    * the rewrite AND the output row, sym_r by both symbol joins) is marked
+    * MATERIALIZED: DuckDB's default inlining re-evaluates each reference,
+    * which makes the chain EXPONENTIAL in rounds (measured: 2.4 s at 2
+    * rounds, 6.0 s at 4, unbounded at 6; 0.2 s materialized).
+    */
+  val oracle = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH tok AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks FROM documents),
+              |vocab AS (
+              |  SELECT token, chr($vocabBase + CAST(row_number() OVER (ORDER BY token) AS INT)) AS ch
+              |  FROM (SELECT DISTINCT unnest(toks) AS token FROM tok)),
+              |pos AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks FROM tok),
+              |mapped AS (SELECT p.doc_id, p.i, v.ch FROM pos p JOIN vocab v ON v.token = p.toks[p.i]),
+              |d0 AS MATERIALIZED (SELECT doc_id, string_agg(ch, '' ORDER BY i) AS s FROM mapped GROUP BY doc_id),
+              |sym0 AS (SELECT ch, token AS txt FROM vocab)""".stripMargin
+    for (r <- 1 to rounds) {
+      val mc = s"chr($r)"
+      sb ++= s""",
+                |p$r AS (SELECT substr(s, i, 2) AS pair
+                |  FROM (SELECT s, CAST(unnest(range(1, length(s))) AS INT) AS i
+                |        FROM d${r - 1} WHERE length(s) >= 2)),
+                |b$r AS MATERIALIZED (SELECT pair, count(*) AS c FROM p$r GROUP BY pair ORDER BY c DESC, pair ASC LIMIT 1),
+                |d$r AS MATERIALIZED (SELECT doc_id, replace(s, (SELECT pair FROM b$r), $mc) AS s FROM d${r - 1}),
+                |sym$r AS MATERIALIZED (SELECT * FROM sym${r - 1} UNION ALL
+                |  SELECT $mc AS ch, l.txt || ' ' || rr.txt AS txt
+                |  FROM b$r b JOIN sym${r - 1} l ON l.ch = substr(b.pair, 1, 1)
+                |             JOIN sym${r - 1} rr ON rr.ch = substr(b.pair, 2, 1)),
+                |o$r AS (SELECT $r AS round, s.txt AS merged, b.c AS freq
+                |  FROM b$r b JOIN sym$r s ON s.ch = $mc)""".stripMargin
+    }
+    sb ++= "\n" + (1 to rounds).map(r => s"SELECT round, merged, freq FROM o$r").mkString(" UNION ALL ")
+    Some(sb.toString)
+  }
+}
