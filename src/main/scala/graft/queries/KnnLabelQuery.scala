@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.VectorOps
+
+/** v2: kNN label transfer — classify each unlabeled probe vector by the
+  * majority label of its k nearest labeled neighbours (cosine). The standard
+  * weak-supervision step of a training-data pipeline: propagate labels from
+  * a small curated set onto the raw corpus (the label-spreading counterpart
+  * of v1's per-label centroids).
+  *
+  * Split is deterministic from the row alone: `vec_id % 25 == 0` rows are
+  * the probes (test side), the rest the labeled base — the q10/s3 seeded-
+  * hash convention, no RNG. Majority vote over the top-k, ties broken by
+  * smaller label; neighbour ranks are bit-identical across engines because
+  * the cosine is the unrolled exactly-rounded IEEE expression (s1's
+  * argument) with (cos desc, vec_id asc) ordering.
+  *
+  * Scale shape: probe×base scored join is the exact-kNN baseline (s1's
+  * plan: per-query ranking windows, never a global sort); at corpus scale
+  * the same vote aggregate composes with any candidate generator — s2's
+  * LSH buckets or s4/s6's IVF lists — because votes only need the top-k
+  * list per probe, not the full scored set. The vote itself is one
+  * (query, label) partial+final aggregate followed by a per-query argmax
+  * window over ≤|labels| rows.
+  */
+object V2KnnLabel extends GraftQuery {
+  val name = "v2_knn_label"
+  val describe = "kNN label transfer: majority vote of 10 nearest labeled neighbours per probe"
+
+  private val k = 10
+  private val probeMod = 25
+  private val d = Embeddings.dims
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val probes = e.filter(pmod(col("vec_id"), lit(probeMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+    val base = e.filter(pmod(col("vec_id"), lit(probeMod)) =!= 0)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nemb"), col("label"))
+
+    val cos = VectorOps.dot(col("qemb"), col("nemb"), d) /
+      (VectorOps.norm(col("qemb"), d) * VectorOps.norm(col("nemb"), d))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val voteW = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label").asc)
+
+    base.crossJoin(broadcast(probes)) // probes are the ~4% side: broadcast, stream the base
+      .select(col("query_id"), col("neighbor_id"), col("label"), cos.as("cos"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(voteW))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+  }
+
+  val oracle = {
+    val cos = s"(${VectorOps.dotSql("q.qemb", "n.nemb", d)}) / (q.qnrm * n.nnrm)"
+    Some(
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qemb, ${VectorOps.normSql("embedding", d)} AS qnrm
+         |           FROM embeddings WHERE vec_id % $probeMod = 0),
+         |b AS (SELECT vec_id AS neighbor_id, embedding AS nemb, label, ${VectorOps.normSql("embedding", d)} AS nnrm
+         |      FROM embeddings WHERE vec_id % $probeMod <> 0),
+         |ranked AS (
+         |  SELECT q.query_id, n.label,
+         |         row_number() OVER (PARTITION BY q.query_id ORDER BY $cos DESC, n.neighbor_id ASC) AS rank
+         |  FROM q CROSS JOIN b n),
+         |votes AS (
+         |  SELECT query_id, label, count(*) AS votes
+         |  FROM ranked WHERE rank <= $k GROUP BY query_id, label)
+         |SELECT query_id, label AS pred_label, votes
+         |FROM (SELECT query_id, label, votes,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS vr
+         |      FROM votes)
+         |WHERE vr = 1""".stripMargin)
+  }
+}

@@ -239,4 +239,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("Exchange SinglePartition"),
       s"keyframe pooling planned a scale-unsafe operator:\n$p")
   }
+
+  test("v2: probe set broadcasts (base streams); vote is a partial-agg + per-query window") {
+    val p = plan(V2KnnLabel)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"probe side should broadcast to the streamed base:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"probe x base planned a shuffled cartesian instead of a broadcast:\n$p")
+    assert(p.contains("partial"), s"vote counting lost its map-side combine:\n$p")
+  }
 }
