@@ -103,8 +103,13 @@ object P1CleanCorpus extends GraftQuery {
     lowq.unionByName(exdup).unionByName(rest)
   }
 
-  val oracle = Some(
-    s"""WITH RECURSIVE ${D4NgramJaccard.pairsCtesSql},
+  /** CTE chain (requires WITH RECURSIVE) ending in the disposition inputs:
+    * `qsc` (scored corpus), `ex` (exact-dedup survivors), `alive`
+    * (post-exact alive set), `comp` (near-dup components). Shared with p4's
+    * end-to-end assembly oracle.
+    */
+  private[queries] val dispositionCtesSql: String =
+    s"""${D4NgramJaccard.pairsCtesSql},
        |${T2Quality.scoreSqlCte("documents", "qsc")},
        |qual AS (
        |  SELECT doc_id, text, round(quality, 6) AS quality FROM qsc
@@ -124,7 +129,10 @@ object P1CleanCorpus extends GraftQuery {
        |  SELECT DISTINCT src AS node, src AS label FROM edges
        |  UNION
        |  SELECT e.dst, l.label FROM lab l JOIN edges e ON l.node = e.src),
-       |comp AS (SELECT node, min(label) AS component FROM lab GROUP BY node)
+       |comp AS (SELECT node, min(label) AS component FROM lab GROUP BY node)""".stripMargin
+
+  val oracle = Some(
+    s"""WITH RECURSIVE $dispositionCtesSql
        |SELECT doc_id, round(quality, 6) AS quality, 'low_quality' AS status,
        |       CAST(NULL AS BIGINT) AS survivor
        |FROM qsc WHERE round(quality, 6) < $qualityThreshold

@@ -40,7 +40,7 @@ object P2SequencePack extends GraftQuery {
   val seqLen = 512
 
   private val orderHash = Portable.hash60(concat(lit("pack:"), col("doc_id").cast("string")))
-  private def orderHashSql = Portable.hash60Sql("'pack:' || CAST(doc_id AS VARCHAR)")
+  private[queries] def orderHashSql = Portable.hash60Sql("'pack:' || CAST(doc_id AS VARCHAR)")
 
   def run(spark: SparkSession, sfDir: String): DataFrame =
     run(spark, sfDir, spark.sparkContext.defaultParallelism)
@@ -126,10 +126,10 @@ object P3MixtureSample extends GraftQuery {
   val describe = "data mixing: weighted per-source quotas from a global budget, hash-rank fill"
 
   /** Budget = total docs / budgetDiv (integer division). */
-  private val budgetDiv = 2
+  private[queries] val budgetDiv = 2
 
   private val sampleHash = Portable.hash60(concat(lit("mix:"), col("doc_id").cast("string")))
-  private def sampleHashSql = Portable.hash60Sql("'mix:' || CAST(doc_id AS VARCHAR)")
+  private[queries] def sampleHashSql = Portable.hash60Sql("'mix:' || CAST(doc_id AS VARCHAR)")
 
   def run(spark: SparkSession, sfDir: String): DataFrame =
     sample(Tables.documents(spark, sfDir).select(col("doc_id"), col("source")))
