@@ -240,6 +240,17 @@ class PlanSpec extends AnyFunSuite {
       s"keyframe pooling planned a scale-unsafe operator:\n$p")
   }
 
+  test("d11: top-k is a TakeOrdered, winners broadcast to text recovery, counts partial-agg") {
+    val p = plan(D11DupSpans)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"span top-k materialized a global sort instead of TakeOrdered:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the k winning hashes should broadcast into the recovery scan:\n$p")
+    assert(p.contains("partial"), s"docs-per-span count lost its map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"text recovery planned a shuffle join for a k-row side:\n$p")
+  }
+
   test("v2: probe set broadcasts (base streams); vote is a partial-agg + per-query window") {
     val p = plan(V2KnnLabel)
     assert(p.contains("BroadcastNestedLoopJoin"),
