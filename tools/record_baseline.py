@@ -16,6 +16,7 @@ the recording procedure:
        d4_ngram_jaccard >= d2_minhash_lsh  (d4 = d2's candidate gen + verify)
        d7_dup_clusters  >= d4_ngram_jaccard (d7 materializes d4 + propagates)
        d10_semantic_clusters >= d5_embed_dup (d10 materializes d5 + propagates)
+       p4_training_corpus >= p1_clean_corpus (p4 runs p1's chain as stage 1)
      A violation means a contention burst or cold-path landed on the
      subset-query's reps: the run is REJECTED (exit 2) — re-record, never
      hand-edit;
@@ -43,6 +44,7 @@ PLAUSIBILITY = [
     ("d7_dup_clusters", "d4_ngram_jaccard"),
     ("d10_semantic_clusters", "d5_embed_dup"),
     ("g1_pagerank", "d5_embed_dup"),  # g1 runs D5EmbedDedup.run as stage 1
+    ("p4_training_corpus", "p1_clean_corpus"),  # p4 runs p1's chain as stage 1
 ]
 
 REPS = "3"
