@@ -92,7 +92,14 @@ object T12BpeMerges extends GraftQuery {
           transform(array_sort(collect_list(struct(col("pos"), col("ch")))),
             x => x.getField("ch")), "").as("s")))
 
+    // Each round's argmax job materializes the CURRENT persisted frame; the
+    // frame it superseded is dropped only then (no dedicated count() job —
+    // the d7 unpersist-one-behind pattern), so every pair scan reads a
+    // materialized column and the rewrite chain never re-derives from
+    // docs0 (a collapsed replace-chain inside the pair lambda would
+    // re-evaluate per element: O(len²·rounds) string work per row).
     var cur = docs0
+    var prev: DataFrame = null
     val out = Seq.newBuilder[(Int, String, Long)]
     for (r <- 1 to rounds) {
       val best = cur.where(length(col("s")) >= 2)
@@ -101,19 +108,18 @@ object T12BpeMerges extends GraftQuery {
         .groupBy("pair").agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("pair").asc)
         .limit(1).collect()(0)
+      if (prev ne null) prev.unpersist(false) // cur is materialized now
       val pair = best.getAs[String]("pair")
       val mc = mergeChar(r)
       symText(mc) = symText(pair.substring(0, 1)) + " " + symText(pair.substring(1, 2))
       out += ((r, symText(mc), best.getAs[Long]("freq")))
-      val next = CacheScope.persisted(
+      prev = cur
+      cur = CacheScope.persisted(
         cur.select(col("doc_id"),
           call_function("replace", col("s"), lit(pair), lit(mc)).as("s")))
-      if (r < rounds) next.count() // materialize before dropping the parent
-      if (cur ne docs0) cur.unpersist(false)
-      cur = next
     }
     cur.unpersist(false)
-    docs0.unpersist(false)
+    if (prev ne null) prev.unpersist(false)
     out.result().toDF("round", "merged", "freq")
   }
 

@@ -38,13 +38,16 @@ object V2KnnLabel extends GraftQuery {
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
+    // Norms are projected BEFORE the join (once per row, not once per pair —
+    // the join multiplies every post-join expression by |probes|).
     val probes = e.filter(pmod(col("vec_id"), lit(probeMod)) === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
+        VectorOps.norm(col("embedding"), d).as("qnrm"))
     val base = e.filter(pmod(col("vec_id"), lit(probeMod)) =!= 0)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nemb"), col("label"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nemb"),
+        col("label"), VectorOps.norm(col("embedding"), d).as("nnrm"))
 
-    val cos = VectorOps.dot(col("qemb"), col("nemb"), d) /
-      (VectorOps.norm(col("qemb"), d) * VectorOps.norm(col("nemb"), d))
+    val cos = VectorOps.dot(col("qemb"), col("nemb"), d) / (col("qnrm") * col("nnrm"))
     val rankW = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     val voteW = Window.partitionBy(col("query_id"))
