@@ -44,3 +44,39 @@ object Q8TaggedSink extends GraftQuery {
        |FROM lineitem
        |WHERE l_shipdate >= TIMESTAMP '$cutoff'""".stripMargin)
 }
+
+/** Q19: the same tagged sink through ORC — the second columnar format a
+  * warehouse-facing deployment needs (Spark's native ORC source; vectorized
+  * reader, predicate pushdown and column pruning apply exactly as for
+  * parquet). The round trip pins ORC's type encodings (BIGINT, INT, VARCHAR,
+  * and the aggregate's DOUBLE) against the parquet-read oracle: the oracle
+  * never sees the ORC bytes, so a lossy encode/decode would hash-mismatch.
+  *
+  * Different aggregate shape from q8 (grouped sums rather than row
+  * projection) so the two sink queries also cover both write volumes: q8
+  * writes O(rows), q19 writes O(groups).
+  */
+object Q19OrcSink extends GraftQuery {
+  val name = "q19_orc_sink"
+  val describe = "grouped aggregate written + read back through ORC (B5 sink family, second format)"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_q19_orc").toString
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        count(lit(1)).as("n"))
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+  }
+
+  val oracle = Some(
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_price,
+      |       count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+}
