@@ -11,7 +11,10 @@ import graft.operators.TextOps
   * pipeline, run as the reference's iterative master/worker pattern (worker =
   * partial pair-count aggregate per partition, master = 1-row argmax + the
   * merge decision, broadcast back as the next round's rewrite; the C3/k1
-  * driver-loop shape applied to vocabulary learning).
+  * driver-loop shape applied to vocabulary learning — the loop contract is
+  * guagua's GuaguaMasterService.run, guagua-core/src/main/java/ml/shifu/
+  * guagua/master/GuaguaMasterService.java:185-215, with the merge choice as
+  * the master fold and the rewritten corpus as the broadcast state).
   *
   * Semantics (standard byte-pair encoding, Sennrich et al. 2016, greedy
   * left-to-right):

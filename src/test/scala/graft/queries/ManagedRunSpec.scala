@@ -46,6 +46,18 @@ class ManagedRunSpec extends AnyFunSuite {
       "d7 managed run left SQL CacheManager entries registered")
   }
 
+  test("round-6 persisting queries (t12 loop rewrites, p4 composed stages, d11 shared scan) are cache-clean under managed runs") {
+    for (q <- Seq[GraftQuery](T12BpeMerges, P4TrainingCorpus, D11DupSpans)) {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      val rows = q.runManaged(spark, TestSpark.sf0001)(_.count())
+      assert(rows > 0, s"${q.name}: vacuous sink")
+      assert(persistedIds.isEmpty, s"${q.name} left pinned RDDs: $persistedIds")
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"${q.name} left SQL CacheManager entries registered")
+    }
+  }
+
   test("managed run unpersists even when the sink throws") {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
