@@ -67,7 +67,15 @@ object T12BpeMerges extends GraftQuery {
   /** [[run]] over an explicit documents frame (doc_id, text) — fixture entry
     * point for BpeSpec's reimplementation pin.
     */
-  def runOn(spark: SparkSession, documents: DataFrame): DataFrame = {
+  def runOn(spark: SparkSession, documents: DataFrame): DataFrame =
+    train(spark, documents)._1
+
+  /** The full training loop. Returns the merge table frame AND the final
+    * rewritten corpus (doc_id, s — symbol strings after all merges, still
+    * persisted; t13 consumes it to report post-encode lengths, and owns the
+    * unpersist through its CacheScope).
+    */
+  private[queries] def train(spark: SparkSession, documents: DataFrame): (DataFrame, DataFrame) = {
     import spark.implicits._
     val toks = documents
       .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
@@ -121,9 +129,9 @@ object T12BpeMerges extends GraftQuery {
         cur.select(col("doc_id"),
           call_function("replace", col("s"), lit(pair), lit(mc)).as("s")))
     }
-    cur.unpersist(false)
-    if (prev ne null) prev.unpersist(false)
-    out.result().toDF("round", "merged", "freq")
+    if ((prev ne null) && (prev ne docs0)) prev.unpersist(false)
+    if (docs0 ne cur) docs0.unpersist(false)
+    (out.result().toDF("round", "merged", "freq"), cur)
   }
 
   /** Unrolled-CTE replay (the k1 pattern). Every CTE referenced more than
@@ -135,22 +143,10 @@ object T12BpeMerges extends GraftQuery {
     */
   val oracle = {
     val sb = new StringBuilder
-    sb ++= s"""WITH tok AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks FROM documents),
-              |vocab AS (
-              |  SELECT token, chr($vocabBase + CAST(row_number() OVER (ORDER BY token) AS INT)) AS ch
-              |  FROM (SELECT DISTINCT unnest(toks) AS token FROM tok)),
-              |pos AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks FROM tok),
-              |mapped AS (SELECT p.doc_id, p.i, v.ch FROM pos p JOIN vocab v ON v.token = p.toks[p.i]),
-              |d0 AS MATERIALIZED (SELECT doc_id, string_agg(ch, '' ORDER BY i) AS s FROM mapped GROUP BY doc_id),
-              |sym0 AS (SELECT ch, token AS txt FROM vocab)""".stripMargin
+    sb ++= s"WITH $trainedCorpusCtesSql,\nsym0 AS (SELECT ch, token AS txt FROM vocab)"
     for (r <- 1 to rounds) {
       val mc = s"chr($r)"
       sb ++= s""",
-                |p$r AS (SELECT substr(s, i, 2) AS pair
-                |  FROM (SELECT s, CAST(unnest(range(1, length(s))) AS INT) AS i
-                |        FROM d${r - 1} WHERE length(s) >= 2)),
-                |b$r AS MATERIALIZED (SELECT pair, count(*) AS c FROM p$r GROUP BY pair ORDER BY c DESC, pair ASC LIMIT 1),
-                |d$r AS MATERIALIZED (SELECT doc_id, replace(s, (SELECT pair FROM b$r), $mc) AS s FROM d${r - 1}),
                 |sym$r AS MATERIALIZED (SELECT * FROM sym${r - 1} UNION ALL
                 |  SELECT $mc AS ch, l.txt || ' ' || rr.txt AS txt
                 |  FROM b$r b JOIN sym${r - 1} l ON l.ch = substr(b.pair, 1, 1)
@@ -161,4 +157,62 @@ object T12BpeMerges extends GraftQuery {
     sb ++= "\n" + (1 to rounds).map(r => s"SELECT round, merged, freq FROM o$r").mkString(" UNION ALL ")
     Some(sb.toString)
   }
+
+  /** The per-round CTE chain up to the final rewritten corpus `d$rounds` —
+    * shared with t13's encode oracle.
+    */
+  private[queries] def trainedCorpusCtesSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""tok AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks FROM documents),
+              |vocab AS (
+              |  SELECT token, chr($vocabBase + CAST(row_number() OVER (ORDER BY token) AS INT)) AS ch
+              |  FROM (SELECT DISTINCT unnest(toks) AS token FROM tok)),
+              |pos AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks FROM tok),
+              |mapped AS (SELECT p.doc_id, p.i, v.ch FROM pos p JOIN vocab v ON v.token = p.toks[p.i]),
+              |d0 AS MATERIALIZED (SELECT doc_id, string_agg(ch, '' ORDER BY i) AS s FROM mapped GROUP BY doc_id)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+                |p$r AS (SELECT substr(s, i, 2) AS pair
+                |  FROM (SELECT s, CAST(unnest(range(1, length(s))) AS INT) AS i
+                |        FROM d${r - 1} WHERE length(s) >= 2)),
+                |b$r AS MATERIALIZED (SELECT pair, count(*) AS c FROM p$r GROUP BY pair ORDER BY c DESC, pair ASC LIMIT 1),
+                |d$r AS MATERIALIZED (SELECT doc_id, replace(s, (SELECT pair FROM b$r), chr($r)) AS s FROM d${r - 1})""".stripMargin
+    }
+    sb.toString
+  }
+}
+
+/** t13: BPE encode — APPLY the t12-trained merge table back to the corpus
+  * (train-then-encode, the deployment sequence of any tokenizer): per
+  * document, the token count before merging and the symbol count after all
+  * merge rounds, i.e. the sequence-length compression the learned vocabulary
+  * buys (what a packing/cost model consumes — fewer symbols per doc =
+  * more documents per seqLen chunk in p2).
+  *
+  * The encode step is the training loop's rewrite chain itself (greedy
+  * left-to-right merge application in merge order — exactly how BPE
+  * encoders apply a merge table), so the implementation reuses t12's
+  * persisted final corpus rather than re-deriving a second, subtly
+  * different apply path. Output is all-integer (no float hashing risk).
+  */
+object T13BpeEncode extends GraftQuery {
+  val name = "t13_bpe_encode"
+  val describe = "BPE encode with the t12-trained merges: per-doc token vs post-merge symbol counts"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val (_, encoded) = T12BpeMerges.train(spark, docs)
+    val pre = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    encoded.select(col("doc_id"), length(col("s")).cast("long").as("n_symbols"))
+      .join(pre, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_symbols"))
+  }
+
+  val oracle = Some(
+    s"""WITH ${T12BpeMerges.trainedCorpusCtesSql}
+       |SELECT d.doc_id,
+       |       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |       CAST(length(d.s) AS BIGINT) AS n_symbols
+       |FROM d${T12BpeMerges.rounds} d JOIN tok t ON d.doc_id = t.doc_id""".stripMargin)
 }

@@ -76,4 +76,19 @@ class BpeSpec extends AnyFunSuite {
     assert(engine.exists(m => m._2.split(" ").length >= 3),
       s"no 3+-token merged unit in ${engine.map(_._2)}")
   }
+
+  test("t13 encode: symbol counts shrink monotonically and cover every tokenized doc") {
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (_, encoded) = T12BpeMerges.train(spark, docs)
+    val rows = encoded.collect().map(r => r.getLong(0) -> r.getString(1).length).toMap
+    encoded.unpersist()
+    val tokenCounts = texts.zipWithIndex.map { case (t, i) =>
+      i.toLong -> t.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty)
+    }.toMap
+    assert(rows.keySet == tokenCounts.keySet)
+    for ((id, nSym) <- rows)
+      assert(nSym <= tokenCounts(id), s"doc $id grew: $nSym > ${tokenCounts(id)}")
+    assert(rows.exists { case (id, nSym) => nSym < tokenCounts(id) },
+      "no document compressed — merges never applied")
+  }
 }

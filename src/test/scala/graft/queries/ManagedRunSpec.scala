@@ -47,7 +47,7 @@ class ManagedRunSpec extends AnyFunSuite {
   }
 
   test("round-6 persisting queries (t12 loop rewrites, p4 composed stages, d11 shared scan) are cache-clean under managed runs") {
-    for (q <- Seq[GraftQuery](T12BpeMerges, P4TrainingCorpus, D11DupSpans)) {
+    for (q <- Seq[GraftQuery](T12BpeMerges, T13BpeEncode, P4TrainingCorpus, D11DupSpans)) {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       val rows = q.runManaged(spark, TestSpark.sf0001)(_.count())
