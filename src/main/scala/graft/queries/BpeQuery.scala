@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{CacheScope, Tables}
@@ -77,31 +76,31 @@ object T12BpeMerges extends GraftQuery {
     */
   private[queries] def train(spark: SparkSession, documents: DataFrame): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val toks = documents
-      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
-      .toDF("doc_id", "pos", "token")
+    val toks = documents.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
 
-    // Global symbol ids: rank over the DISTINCT vocabulary. The window has
-    // no partition, but it runs over the post-aggregate vocab (the symbol
-    // alphabet, bounded — see scaladoc), not the corpus.
-    val vocab = toks.select("token").distinct()
-      .withColumn("rn", row_number().over(Window.orderBy(col("token"))))
-      .withColumn("ch", expr(s"chr($vocabBase + rn)"))
-      .select("token", "ch")
-
-    val symText = scala.collection.mutable.Map.empty[String, String]
-    vocab.collect().foreach(r => symText(r.getAs[String]("ch")) = r.getAs[String]("token"))
-    require(symText.size <= 255 - vocabBase - rounds,
-      s"word-level BPE demo supports <=${255 - vocabBase - rounds} symbols, got ${symText.size}; " +
+    // The symbol alphabet: distinct tokens, alphabetical rank → char. The
+    // distinct is partial-aggregated (O(vocab) rows cross the shuffle); the
+    // alphabet is driver metadata by design — the same O(model) traffic as
+    // k-means centroids, and production BPE's byte-level alphabet is O(1).
+    val vocabTokens = toks.select(explode(col("toks")).as("token")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(vocabTokens.length <= 255 - vocabBase - rounds,
+      s"word-level BPE demo supports <=${255 - vocabBase - rounds} symbols, got ${vocabTokens.length}; " +
         "use a byte-level alphabet for open vocabularies")
+    val tokenToCh = vocabTokens.zipWithIndex
+      .map { case (t, i) => t -> (vocabBase + i + 1).toChar.toString }
+    val symText = scala.collection.mutable.Map[String, String](
+      tokenToCh.map { case (t, ch) => ch -> t }.toSeq: _*)
 
-    // One string per document: its token sequence as symbol chars.
+    // One string per document: its token sequence as symbol chars, by a
+    // broadcast literal-map projection — per-row work, NO shuffle (the
+    // posexplode + join + collect_list alternative shuffles O(corpus
+    // tokens) rows to rebuild an order the row already has).
+    val chMap = typedlit(tokenToCh.toMap)
     val docs0 = CacheScope.persisted(
-      toks.join(broadcast(vocab), "token")
-        .groupBy("doc_id")
-        .agg(array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("ch")))),
-            x => x.getField("ch")), "").as("s")))
+      toks.where(size(col("toks")) >= 1)
+        .select(col("doc_id"),
+          array_join(transform(col("toks"), t => element_at(chMap, t)), "").as("s")))
 
     // Each round's argmax job materializes the CURRENT persisted frame; the
     // frame it superseded is dropped only then (no dedicated count() job —
