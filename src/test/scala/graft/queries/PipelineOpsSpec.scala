@@ -161,4 +161,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     // gap measures quantization + normalization together.
     assert(recall >= 0.60, f"s5 recall $recall%.3f fell below the 0.60 floor")
   }
+
+  test("d12: histogram conserves pair mass and brackets d5's threshold count") {
+    val hist = D12CosineHistogram.run(spark, TestSpark.sf0001)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = graft.Tables.embeddings(spark, TestSpark.sf0001).count()
+    assert(hist.values.sum == n * (n - 1) / 2,
+      s"histogram lost pairs: ${hist.values.sum} != ${n * (n - 1) / 2}")
+    // d5 keeps pairs with round(cos,6) >= 0.35. Bucket = floor(round*20):
+    // 0.35·20 is 6.9999… in IEEE doubles, so an exactly-0.35 pair lands in
+    // bucket 6 — the d5 count is bracketed by buckets ≥7 and ≥6.
+    val d5 = D5EmbedDedup.run(spark, TestSpark.sf0001).count()
+    val ge7 = hist.collect { case (b, c) if b >= 7 => c }.sum
+    val ge6 = hist.collect { case (b, c) if b >= 6 => c }.sum
+    assert(ge7 <= d5 && d5 <= ge6,
+      s"d5 count $d5 outside histogram bracket [$ge7, $ge6]")
+  }
 }
