@@ -288,3 +288,33 @@ object D7DupClusters extends GraftQuery {
        |SELECT node AS doc_id, min(label) AS component
        |FROM lab GROUP BY node""".stripMargin)
 }
+
+/** d13: duplicate-cluster SIZE distribution — the audit table a dedup run
+  * reports (how much mass sits in pairs vs long chains decides whether the
+  * near-dup threshold is too loose and how much the survivors shrink the
+  * corpus). Two map-side-combined aggregates over d7's component labels;
+  * only clusters that exist (≥2 members, since labels come from pair
+  * edges) appear.
+  */
+object D13ClusterSizes extends GraftQuery {
+  val name = "d13_cluster_sizes"
+  val describe = "duplicate-cluster size distribution over d7's components (dedup audit table)"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    D7DupClusters.run(spark, sfDir)
+      .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+
+  val oracle = Some(
+    s"""WITH RECURSIVE ${D4NgramJaccard.pairsCtesSql},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM d4
+       |  UNION ALL SELECT doc_b, doc_a FROM d4),
+       |lab AS (
+       |  SELECT DISTINCT src AS node, src AS label FROM edges
+       |  UNION
+       |  SELECT e.dst, l.label FROM lab l JOIN edges e ON l.node = e.src),
+       |comp AS (SELECT node, min(label) AS component FROM lab GROUP BY node),
+       |sz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+       |SELECT cluster_size, count(*) AS n_clusters FROM sz GROUP BY cluster_size""".stripMargin)
+}

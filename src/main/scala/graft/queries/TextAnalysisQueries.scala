@@ -25,42 +25,77 @@ object T1LangId extends GraftQuery {
     "fr" -> Seq("le", "la", "les", "et", "est", "pas", "des", "une", "dans", "que"),
     "es" -> Seq("el", "la", "los", "las", "y", "es", "no", "con", "una", "por"))
 
-  def run(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = array_distinct(TextOps.tokens(col("text")))
-    val scores = profiles.map { case (lang, words) =>
+  private[queries] def scoreCols(toks: Column): Seq[(String, Column)] =
+    profiles.map { case (lang, words) =>
       lang -> size(array_intersect(toks, array(words.map(lit): _*)))
     }
-    val pred = scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+
+  /** Argmax language over the distinct-token column (strict->: later
+    * languages win only on strictly greater scores). Shared with t14's
+    * confusion matrix.
+    */
+  private[queries] def predLang(toks: Column): Column = {
+    val scores = scoreCols(toks)
+    scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
       case ((bestScore, bestLang), (lang, score)) =>
         (when(score > bestScore, score).otherwise(bestScore),
           when(score > bestScore, lit(lang)).otherwise(bestLang))
     }._2
-    Tables.documents(spark, sfDir).select(
-      col("doc_id") +:
-        scores.map { case (lang, s) => s.as(s"score_$lang") } :+
-        pred.as("pred_lang"): _*)
   }
 
-  val oracle = {
-    val toks = s"list_distinct(${TextOps.tokensSql("text")})"
-    val scoreExprs = profiles.map { case (lang, words) =>
+  private[queries] def scoreSqls: Seq[(String, String)] =
+    profiles.map { case (lang, words) =>
       val listLit = words.map(w => s"'$w'").mkString("[", ", ", "]")
       lang -> s"len(list_intersect(toks, $listLit))"
     }
-    // Same strict-> fold as the Column version: later languages win only on
-    // strictly greater scores.
-    val pred = scoreExprs.tail.foldLeft((scoreExprs.head._2, s"'${scoreExprs.head._1}'")) {
+
+  /** DuckDB mirror of [[predLang]] over a relation exposing `toks`. */
+  private[queries] def predLangSql: String =
+    scoreSqls.tail.foldLeft((scoreSqls.head._2, s"'${scoreSqls.head._1}'")) {
       case ((bestScore, bestLang), (lang, score)) =>
         (s"(CASE WHEN $score > $bestScore THEN $score ELSE $bestScore END)",
           s"(CASE WHEN $score > $bestScore THEN '$lang' ELSE $bestLang END)")
     }._2
-    Some(
-      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)
-         |SELECT doc_id,
-         |       ${scoreExprs.map { case (l, e) => s"$e AS score_$l" }.mkString(",\n       ")},
-         |       $pred AS pred_lang
-         |FROM t""".stripMargin)
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = array_distinct(TextOps.tokens(col("text")))
+    Tables.documents(spark, sfDir).select(
+      col("doc_id") +:
+        scoreCols(toks).map { case (lang, s) => s.as(s"score_$lang") } :+
+        predLang(toks).as("pred_lang"): _*)
   }
+
+  val oracle = Some(
+    s"""WITH t AS (SELECT doc_id, list_distinct(${TextOps.tokensSql("text")}) AS toks FROM documents)
+       |SELECT doc_id,
+       |       ${scoreSqls.map { case (l, e) => s"$e AS score_$l" }.mkString(",\n       ")},
+       |       $predLangSql AS pred_lang
+       |FROM t""".stripMargin)
+}
+
+/** t14: language confusion matrix — declared `lang` metadata vs t1's
+  * detected language, counted per (declared, predicted) cell: the audit
+  * table behind any language-consistency gate (PipelineExample stage 1
+  * drops docs off this matrix's diagonal; this query is how an operator
+  * decides whether that gate is sane before enabling it). One partial-
+  * aggregated groupBy over a scan-bound projection.
+  */
+object T14LangConfusion extends GraftQuery {
+  val name = "t14_lang_confusion"
+  val describe = "declared vs detected language counts (t1's detector) — the gate audit matrix"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = array_distinct(TextOps.tokens(col("text")))
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), T1LangId.predLang(toks).as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val oracle = Some(
+    s"""WITH t AS (SELECT lang, list_distinct(${TextOps.tokensSql("text")}) AS toks FROM documents)
+       |SELECT lang, ${T1LangId.predLangSql} AS pred_lang, count(*) AS n
+       |FROM t GROUP BY lang, pred_lang""".stripMargin)
 }
 
 /** t2: document quality scoring — length, punctuation density, stopword
