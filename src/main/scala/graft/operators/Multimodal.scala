@@ -163,4 +163,45 @@ object Multimodal {
       }
     }
   }
+
+  final case class VideoSignature(doc_id: Long, sig: Array[Long])
+
+  /** Perceptual-hash-style VIDEO FINGERPRINT: the sequence of per-frame
+    * saliency scores quantized by `>> shift`, in frame order — the
+    * multimodal analogue of d1's content hash (two videos match iff every
+    * sampled frame lands in the same score bucket). Computed entirely
+    * inside the per-partition decode pass: the payload never shuffles, only
+    * the O(frames) signature continues. A production system swaps the
+    * score for a frame-embedding LSH bucket; the fingerprint-and-group
+    * contract is identical.
+    */
+  def videoSignatures(
+      media: Dataset[MediaRecord],
+      stride: Int = 2,
+      resize: Int = 4,
+      shift: Int = 7): Dataset[VideoSignature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        if (r.payload.isEmpty) Iterator.empty
+        else {
+          val (_, _, frames, _) = decodeStub(r.payload)
+          val width = math.max(1, r.payload.length / math.max(1, frames))
+          val sig = (0 until frames by stride).iterator
+            .takeWhile(f => f * width < r.payload.length)
+            .map { f =>
+              val from = f * width
+              val until = math.min(r.payload.length, from + width)
+              val resized = resizeStub(java.util.Arrays.copyOfRange(r.payload, from, until), resize)
+              var s = 0L
+              var i = 0
+              while (i < resized.length) { s += resized(i) & 0xff; i += 1 }
+              s >> shift
+            }
+            .toArray
+          Iterator.single(VideoSignature(r.doc_id, sig))
+        }
+      }
+    }
+  }
 }

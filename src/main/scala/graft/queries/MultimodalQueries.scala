@@ -195,3 +195,75 @@ object M3KeyframePool extends GraftQuery {
       |       round(CAST(SUM(score) AS DOUBLE) / SUM(nres), 6) AS mean_byte
       |FROM rk GROUP BY doc_id""".stripMargin)
 }
+
+/** m4: video fingerprint dedup — m-family's d1: group videos by their
+  * quantized frame-score signature ([[graft.operators.Multimodal
+  * .videoSignatures]]; two videos match iff every sampled frame lands in
+  * the same saliency bucket) and report, per video, its match-group size
+  * and canonical (min-id) representative. The perceptual-hash dedup shape:
+  * fingerprint inside the decode pass, then ONE groupBy on the O(frames)
+  * signature — the payload bytes never shuffle, and the signature join is
+  * an equi-join on an array key, never pairwise.
+  *
+  * Oracle: m3's HUGEINT frame-score replay extended with an ordered
+  * list-aggregation signature and a signature-keyed self-group. DuckDB
+  * groups and joins on LIST values natively, so even the array-keyed
+  * aggregate sits under the exact three-way gate.
+  */
+object M4VideoDedup extends GraftQuery {
+  val name = "m4_video_dedup"
+  val describe = "video fingerprint dedup: quantized frame-score signatures grouped (m-family d1)"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val sigs = Multimodal.videoSignatures(
+      Multimodal.attachPayload(Tables.documents(spark, sfDir)).as[Multimodal.MediaRecord])
+      .toDF("doc_id", "sig")
+    val groups = sigs.groupBy(col("sig"))
+      .agg(count(lit(1)).as("match_count"), min(col("doc_id")).as("canonical_id"))
+    sigs.join(groups, "sig")
+      .select(col("doc_id"), size(col("sig")).as("n_frames_scored"),
+        col("match_count"), col("canonical_id"))
+  }
+
+  val oracle = Some(
+    """WITH b AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS len,
+      |         list_transform(range(1, length(text) + 1),
+      |                        i -> CAST(ord(substr(text, i, 1)) AS HUGEINT)) AS bytes
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, len, bytes,
+      |         list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), bytes),
+      |                     (a, x) -> (a * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS hh
+      |  FROM b WHERE len > 0),
+      |g AS (
+      |  SELECT doc_id, len, bytes,
+      |         CAST(hh % CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS pos
+      |  FROM h),
+      |w AS (
+      |  SELECT doc_id, len, bytes,
+      |         greatest(1, len // greatest(1, CAST(1 + ((pos >> 20) % 16) AS BIGINT))) AS width,
+      |         CAST(1 + ((pos >> 20) % 16) AS BIGINT) AS frames
+      |  FROM g),
+      |fr AS (
+      |  SELECT doc_id, len, bytes, width, unnest(range(0, frames, 2)) AS fi
+      |  FROM w),
+      |ff AS (
+      |  SELECT doc_id, fi,
+      |         list_transform(range(fi * width, least(len, fi * width + width), 4),
+      |                        p -> bytes[CAST(p AS INT) + 1]) AS rb
+      |  FROM fr WHERE fi * width < len),
+      |sc AS (
+      |  SELECT doc_id, fi,
+      |         CAST(list_reduce(rb, (a, x) -> a + x) AS BIGINT) >> 7 AS q
+      |  FROM ff),
+      |sig AS (SELECT doc_id, list(q ORDER BY fi) AS sig FROM sc GROUP BY doc_id),
+      |grp AS (
+      |  SELECT sig, count(*) AS match_count, min(doc_id) AS canonical_id
+      |  FROM sig GROUP BY sig)
+      |SELECT s.doc_id, CAST(len(s.sig) AS INT) AS n_frames_scored,
+      |       g.match_count, g.canonical_id
+      |FROM sig s JOIN grp g ON s.sig = g.sig""".stripMargin)
+}
