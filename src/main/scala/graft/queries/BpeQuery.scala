@@ -111,22 +111,33 @@ object T12BpeMerges extends GraftQuery {
     var cur = docs0
     var prev: DataFrame = null
     val out = Seq.newBuilder[(Int, String, Long)]
-    for (r <- 1 to rounds) {
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
       val best = cur.where(length(col("s")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, length(s) - 1), i -> substring(s, i, 2))")).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("pair").asc)
-        .limit(1).collect()(0)
+        .limit(1).collect()
       if (prev ne null) prev.unpersist(false) // cur is materialized now
-      val pair = best.getAs[String]("pair")
-      val mc = mergeChar(r)
-      symText(mc) = symText(pair.substring(0, 1)) + " " + symText(pair.substring(1, 2))
-      out += ((r, symText(mc), best.getAs[Long]("freq")))
-      prev = cur
-      cur = CacheScope.persisted(
-        cur.select(col("doc_id"),
-          call_function("replace", col("s"), lit(pair), lit(mc)).as("s")))
+      if (best.isEmpty) {
+        // Degenerate corpus: no document has two adjacent symbols left —
+        // training is exhausted before the round budget (the oracle's b_r
+        // CTEs go empty at the same round, so both sides emit these rows
+        // and no more).
+        exhausted = true
+      } else {
+        val pair = best(0).getAs[String]("pair")
+        val mc = mergeChar(r)
+        symText(mc) = symText(pair.substring(0, 1)) + " " + symText(pair.substring(1, 2))
+        out += ((r, symText(mc), best(0).getAs[Long]("freq")))
+        prev = cur
+        cur = CacheScope.persisted(
+          cur.select(col("doc_id"),
+            call_function("replace", col("s"), lit(pair), lit(mc)).as("s")))
+        r += 1
+      }
     }
     if ((prev ne null) && (prev ne docs0)) prev.unpersist(false)
     if (docs0 ne cur) docs0.unpersist(false)
@@ -175,7 +186,10 @@ object T12BpeMerges extends GraftQuery {
                 |  FROM (SELECT s, CAST(unnest(range(1, length(s))) AS INT) AS i
                 |        FROM d${r - 1} WHERE length(s) >= 2)),
                 |b$r AS MATERIALIZED (SELECT pair, count(*) AS c FROM p$r GROUP BY pair ORDER BY c DESC, pair ASC LIMIT 1),
-                |d$r AS MATERIALIZED (SELECT doc_id, replace(s, (SELECT pair FROM b$r), chr($r)) AS s FROM d${r - 1})""".stripMargin
+                |d$r AS MATERIALIZED (
+                |  SELECT doc_id, CASE WHEN (SELECT pair FROM b$r) IS NULL THEN s
+                |                      ELSE replace(s, (SELECT pair FROM b$r), chr($r)) END AS s
+                |  FROM d${r - 1})""".stripMargin
     }
     sb.toString
   }

@@ -19,7 +19,8 @@ class BpeSpec extends AnyFunSuite {
 
   /** Reference BPE. Symbol ids reproduce the engine's alphabet order:
     * vocab tokens at 32+alphabetical-rank, round-r merges at id r (so all
-    * merged symbols sort before all vocab symbols, in round order).
+    * merged symbols sort before all vocab symbols, in round order). Stops
+    * early when no adjacent pair remains, like the engine.
     */
   private def referenceBpe(texts: Seq[String], rounds: Int): Seq[(Int, String, Long)] = {
     val tokenize = (t: String) =>
@@ -35,14 +36,17 @@ class BpeSpec extends AnyFunSuite {
       case Nil                              => Nil
     }
 
-    (1 to rounds).map { r =>
+    (1 to rounds).iterator.map { r =>
       val counts = docs.flatMap(_.sliding(2).collect { case List(a, b) => (a, b) })
         .groupBy(identity).view.mapValues(_.size.toLong).toMap
-      val (pair, freq) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
-      text(r) = text(pair._1) + " " + text(pair._2)
-      docs = docs.map(mergeGreedy(_, pair, r))
-      (r, text(r), freq)
-    }
+      if (counts.isEmpty) None
+      else {
+        val (pair, freq) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        text(r) = text(pair._1) + " " + text(pair._2)
+        docs = docs.map(mergeGreedy(_, pair, r))
+        Some((r, text(r), freq))
+      }
+    }.takeWhile(_.isDefined).flatten.toSeq
   }
 
   private val texts = Seq(
@@ -75,6 +79,26 @@ class BpeSpec extends AnyFunSuite {
   test("merged symbols participate in later rounds (multi-word units grow)") {
     assert(engine.exists(m => m._2.split(" ").length >= 3),
       s"no 3+-token merged unit in ${engine.map(_._2)}")
+  }
+
+  test("degenerate corpus (no adjacent pairs anywhere) stops early instead of crashing") {
+    val lone = Seq("x", "y .", ", z ,", "")
+    val docs = lone.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = T12BpeMerges.runOn(spark, docs).collect()
+    assert(merges.isEmpty, s"expected no merges, got ${merges.mkString(",")}")
+    assert(referenceBpe(lone, T12BpeMerges.rounds).isEmpty)
+  }
+
+  test("exhaustion mid-budget: rounds stop when the corpus is fully merged") {
+    // One doc of 3 distinct tokens: round 1 merges a pair, round 2 merges
+    // the rest into a single symbol, round 3 finds no pair -> 2 rows only.
+    val tiny = Seq("a b c")
+    val docs = tiny.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = T12BpeMerges.runOn(spark, docs)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got.length == 2, s"expected 2 merge rows, got $got")
+    assert(got == referenceBpe(tiny, T12BpeMerges.rounds))
+    assert(got.last._2 == "a b c")
   }
 
   test("t13 encode: symbol counts shrink monotonically and cover every tokenized doc") {
