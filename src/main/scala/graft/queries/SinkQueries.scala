@@ -80,3 +80,36 @@ object Q19OrcSink extends GraftQuery {
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus""".stripMargin)
 }
+
+/** Q20: Hive-partitioned sink + partition-PRUNED read — the layout that
+  * makes 100 TB metadata-selective: documents written `partitionBy(source)`
+  * (one directory per source), then read back with a source predicate. The
+  * plan must prune at the DIRECTORY level (PartitionFilters in the scan,
+  * pinned in PlanSpec) — a reader of one source never lists, opens, or
+  * byte-scans the other sources' files, which is the difference between a
+  * partition-key query costing O(selected partition) and O(corpus).
+  *
+  * The partition column round-trips through the directory NAME (written as
+  * a path segment, re-derived by the reader), so the oracle also pins that
+  * encode/decode. Output re-selects the original column order (a
+  * partitioned write moves the partition column last in the file schema).
+  */
+object Q20PartitionedSink extends GraftQuery {
+  val name = "q20_partitioned_sink"
+  val describe = "partitionBy(source) sink + directory-pruned read of one partition"
+
+  private[queries] val selected = "src3"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_q20_part").toString
+    Tables.documents(spark, sfDir)
+      .write.mode("overwrite").partitionBy("source").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("source") === selected)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+  }
+
+  val oracle = Some(
+    s"""SELECT doc_id, source, lang, n_chars
+       |FROM documents WHERE source = '$selected'""".stripMargin)
+}

@@ -240,6 +240,17 @@ class PlanSpec extends AnyFunSuite {
       s"keyframe pooling planned a scale-unsafe operator:\n$p")
   }
 
+  test("q20: the source predicate prunes partitions at the directory level") {
+    val p = plan(Q20PartitionedSink)
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("source"),
+      s"source predicate did not become a PartitionFilter:\n$p")
+    // Pruned at planning time means the data filter list does NOT carry it
+    // as a row-level PushedFilter over file contents.
+    assert(p.contains("PartitionFilters: [isnotnull(source"),
+      s"partition filter shape unexpected:\n$p")
+  }
+
   test("d11: top-k is a TakeOrdered, winners broadcast to text recovery, counts partial-agg") {
     val p = plan(D11DupSpans)
     assert(p.contains("TakeOrderedAndProject"),
