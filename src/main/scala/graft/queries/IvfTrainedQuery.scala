@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
 
@@ -44,11 +45,11 @@ object S6AnnIvfTrained extends GraftQuery {
   val describe = "IVF quantizer trained in-loop (2 cosine Lloyd rounds, 16 seeded lists), per-list counts + cos mass"
 
   private val d = Embeddings.dims
-  private val centLo = 100L
-  private val nList = 16
-  private val iterations = 2
+  private[queries] val centLo = 100L
+  private[queries] val nList = 16
+  private[queries] val iterations = 2
 
-  private def centsDf(spark: SparkSession, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+  private[queries] def centsDf(spark: SparkSession, cents: Seq[(Int, Seq[Double])]): DataFrame = {
     val rows: java.util.List[Row] = new java.util.ArrayList[Row]
     cents.foreach { case (li, v) => rows.add(Row(li, v)) }
     val schema = StructType(Seq(
@@ -57,13 +58,21 @@ object S6AnnIvfTrained extends GraftQuery {
     spark.createDataFrame(rows, schema)
   }
 
-  /** One assignment pass: (vec_id, emb, list_id, cos-to-assigned-centroid). */
-  private def assign(spark: SparkSession, e: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+  /** All (vector, trained-centroid) cosine rows — the pre-argmax frame the
+    * assignment and s8's query-probe ranking both read.
+    */
+  private[queries] def scoredAgainst(
+      spark: SparkSession, e: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
     org.apache.spark.sql.graft.CosineSimilarity.register(spark)
     val cos = org.apache.spark.sql.graft.CosineSimilarity.cosineSimilarity(
       col("emb"), col("cemb"))
     e.join(broadcast(centsDf(spark, cents)))
       .select(col("vec_id"), col("emb"), col("list_id"), cos.as("cos"))
+  }
+
+  /** One assignment pass: (vec_id, emb, list_id, cos-to-assigned-centroid). */
+  private[queries] def assign(spark: SparkSession, e: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    scoredAgainst(spark, e, cents)
       .groupBy(col("vec_id"))
       .agg(max(struct(col("cos"), (-col("list_id")).as("nid"))).as("m"),
         first(col("emb")).as("emb"))
@@ -71,10 +80,19 @@ object S6AnnIvfTrained extends GraftQuery {
         (-col("m.nid")).cast("int").as("list_id"), col("m.cos").as("cos"))
   }
 
-  def run(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir).select(
+  /** The doubles-widened embedding frame every trained-IVF consumer scores
+    * against.
+    */
+  private[queries] def embDoubles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir).select(
       col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("emb"))
+
+  /** The C3-style training loop, returning the trained centroid table
+    * (driver metadata, O(k·d)) — shared with s8's search path.
+    */
+  private[queries] def trainedCentroids(
+      spark: SparkSession, e: DataFrame): Seq[(Int, Seq[Double])] = {
     // Seed centroids = the pinned corpus vectors (s4's), collected once —
     // K rows, the master's init state, not a data collect.
     var cents: Seq[(Int, Seq[Double])] =
@@ -105,27 +123,40 @@ object S6AnnIvfTrained extends GraftQuery {
       }
       it += 1
     }
-    assign(spark, e, cents)
+    cents
+  }
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embDoubles(spark, sfDir)
+    assign(spark, e, trainedCentroids(spark, e))
       .groupBy(col("list_id"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("cos")), 6).as("cos_mass"))
   }
 
-  val oracle = {
+  /** The per-pass (score, argmax-assign) CTE pair `s$it`/`a$it` against
+    * centroid relation `prev` — shared with s8's search oracle.
+    */
+  private[queries] def scoreBlockSql(it: String, prev: String): String = {
     val dot = VectorOps.dotSql("v.emb", "c.cemb", d)
     val nv = VectorOps.normSql("v.emb", d)
     val nc = VectorOps.normSql("c.cemb", d)
-    def scoreBlock(it: String, prev: String) =
-      s""",
-         |s$it AS (
-         |  SELECT v.vec_id, v.emb, c.list_id, ($dot) / (($nv) * ($nc)) AS cos
-         |  FROM e v CROSS JOIN $prev c),
-         |a$it AS (
-         |  SELECT vec_id, emb, list_id, cos FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, list_id ASC) AS rk
-         |    FROM s$it) WHERE rk = 1)""".stripMargin
+    s""",
+       |s$it AS (
+       |  SELECT v.vec_id, v.emb, c.list_id, ($dot) / (($nv) * ($nc)) AS cos
+       |  FROM e v CROSS JOIN $prev c),
+       |a$it AS (
+       |  SELECT vec_id, emb, list_id, cos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, list_id ASC) AS rk
+       |    FROM s$it) WHERE rk = 1)""".stripMargin
+  }
+
+  /** Unrolled-training CTE chain ending in the trained centroid relation
+    * `c$iterations` (plus `e` and `dims`) — shared with s8.
+    */
+  private[queries] def trainedCtesSql: String = {
     val sb = new StringBuilder
     sb ++=
-      s"""WITH e AS (
+      s"""e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
          |  FROM embeddings),
          |dims AS (SELECT unnest(range(1, ${d + 1})) AS dim),
@@ -133,7 +164,7 @@ object S6AnnIvfTrained extends GraftQuery {
          |  SELECT CAST(vec_id - $centLo AS INT) AS list_id, emb AS cemb
          |  FROM e WHERE vec_id >= $centLo AND vec_id < ${centLo + nList})""".stripMargin
     for (it <- 1 to iterations) {
-      sb ++= scoreBlock(it.toString, s"c${it - 1}")
+      sb ++= scoreBlockSql(it.toString, s"c${it - 1}")
       sb ++=
         s""",
            |m$it AS (
@@ -145,11 +176,78 @@ object S6AnnIvfTrained extends GraftQuery {
            |    SELECT list_id, list(m ORDER BY dim) AS cemb FROM m$it GROUP BY list_id) n
            |  ON p.list_id = n.list_id)""".stripMargin
     }
-    sb ++= scoreBlock("F", s"c$iterations")
-    sb ++=
-      s"""
-         |SELECT list_id, count(*) AS cnt, round(sum(cos), 6) AS cos_mass
-         |FROM aF GROUP BY list_id""".stripMargin
-    Some(sb.toString)
+    sb.toString
+  }
+
+  val oracle = Some(
+    s"""WITH $trainedCtesSql${scoreBlockSql("F", s"c$iterations")}
+       |SELECT list_id, count(*) AS cnt, round(sum(cos), 6) AS cos_mass
+       |FROM aF GROUP BY list_id""".stripMargin)
+}
+
+/** s8: search THROUGH the trained IVF index — the query path of s6's
+  * quantizer, end-to-end under the oracle: each query vector probes its
+  * `nProbe` highest-cosine TRAINED lists, scores only their members
+  * exactly, and returns the cosine top-k. Completes the trained-ANN story:
+  * s6 proves the training trajectory, s8 proves the index built from it
+  * answers queries (s4's search shape with the pinned centroids swapped
+  * for the Lloyd-trained ones; AnnRecallSpec already pins this path's
+  * recall at ≥0.70 vs s1 — here its exact output joins the hash gate).
+  *
+  * Scale shape: identical to s4's — broadcast centroid dimension, one
+  * argmax aggregate for data-side assignment, per-query probe ranking over
+  * k rows, candidate join keyed on list_id with per-list fan-in ≈ n/nlist.
+  */
+object S8AnnIvfSearch extends GraftQuery {
+  val name = "s8_ann_ivf_search"
+  val describe = "ANN search through the s6-trained IVF index: nProbe trained lists, exact re-rank, top-10"
+
+  private val k = 10
+  private val nProbe = 6
+  private val nQueries = 5
+  private val d = Embeddings.dims
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = S6AnnIvfTrained.embDoubles(spark, sfDir)
+    val cents = S6AnnIvfTrained.trainedCentroids(spark, e)
+    val scored = S6AnnIvfTrained.scoredAgainst(spark, e, cents)
+    val assigned = S6AnnIvfTrained.assign(spark, e, cents)
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("list_id").asc)
+    val probes = scored.filter(col("vec_id") < nQueries)
+      .withColumn("pk", row_number().over(wProbe))
+      .filter(col("pk") <= nProbe)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("list_id").as("probe_list"))
+    val pairCos = org.apache.spark.sql.graft.CosineSimilarity.cosineSimilarity(
+      col("qemb"), col("emb"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    probes
+      .join(assigned, col("probe_list") === col("list_id") && col("qid") =!= col("vec_id"))
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"), pairCos.as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  val oracle = {
+    val cos = s"(${VectorOps.dotSql("q.qemb", "n.emb", d)}) / " +
+      s"((${VectorOps.normSql("q.qemb", d)}) * (${VectorOps.normSql("n.emb", d)}))"
+    Some(
+      s"""WITH ${S6AnnIvfTrained.trainedCtesSql}${S6AnnIvfTrained.scoreBlockSql("F", s"c${S6AnnIvfTrained.iterations}")},
+         |qp AS (
+         |  SELECT vec_id AS qid, emb AS qemb, list_id AS probe_list FROM (
+         |    SELECT s.*, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, list_id ASC) AS pk
+         |    FROM sF s WHERE vec_id < $nQueries)
+         |  WHERE pk <= $nProbe),
+         |cand AS (
+         |  SELECT q.qid AS query_id, n.vec_id AS neighbor_id, $cos AS cos
+         |  FROM qp q JOIN aF n ON q.probe_list = n.list_id AND q.qid <> n.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM cand)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+         |FROM ranked WHERE rank <= $k""".stripMargin)
   }
 }
