@@ -56,4 +56,12 @@ class SketchSpec extends AnyFunSuite {
       assert(math.abs(est - exact).toDouble / exact < 0.05,
         s"$name HLL estimate $est vs exact $exact")
   }
+
+  test("t15 count-min NEVER under-counts (one-sided error guarantee)") {
+    val rows = T15CountMin.run(spark, graft.TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    for ((token, freq, est) <- rows)
+      assert(est >= freq, s"CMS under-counted '$token': est $est < exact $freq")
+  }
 }
