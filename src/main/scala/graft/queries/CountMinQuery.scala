@@ -35,6 +35,16 @@ object T15CountMin extends GraftQuery {
   private def bucketSql(r: Int): String =
     s"${Portable.hash60Sql(s"'cm$r:' || token")} % $width"
 
+  /** The exploded (row, bucket) cell pairs for a `token` column — one
+    * increment per sketch row. Public because the STREAMING sketch is the
+    * same expression over an unbounded token stream (grouped streaming
+    * aggregation merges cells incrementally exactly as the batch shuffle
+    * does; StreamingSketchSpec pins the equality).
+    */
+  def cells: org.apache.spark.sql.Column =
+    explode(array((0 until depth).map(r =>
+      struct(lit(r).as("r"), bucket(r).as("b"))): _*))
+
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = CacheScope.persisted(
       Tables.documents(spark, sfDir)
@@ -43,8 +53,6 @@ object T15CountMin extends GraftQuery {
     // partial-aggregated, so each partition contributes its own depth×width
     // sub-sketch and the shuffle merges them cell-wise (≤ depth·width rows
     // per partition regardless of corpus size).
-    val cells = explode(array((0 until depth).map(r =>
-      struct(lit(r).as("r"), bucket(r).as("b"))): _*))
     val sketch = toks.select(cells.as("rb"))
       .select(col("rb.r").as("r"), col("rb.b").as("b"))
       .groupBy(col("r"), col("b")).agg(count(lit(1)).as("cnt"))
