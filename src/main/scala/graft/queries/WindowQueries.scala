@@ -160,3 +160,38 @@ object W6Funnel extends GraftQuery {
        |SELECT stage AS funnel_stage, count(*) AS n_users
        |FROM us GROUP BY stage""".stripMargin)
 }
+
+/** w8: event-type transition matrix — per-user Markov transition counts
+  * (prev event type → next event type), the behavior-model table behind
+  * session analytics and next-event prediction features. One lag window
+  * over the (user, time) order, then a partial-aggregated count over the
+  * |types|² key space.
+  *
+  * Determinism: the order key is (ts, event_id) — event_id breaks
+  * same-timestamp ties identically on both engines, so the lag pairs are
+  * exact. Scale shape: the window and nothing else exchanges on user_id
+  * (w2/w6's single-exchange discipline); the transition count's key space
+  * is tiny so map-side combine collapses it per partition.
+  */
+object W8Transitions extends GraftQuery {
+  val name = "w8_transitions"
+  val describe = "per-user event-type transition counts (Markov matrix over the event stream)"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val oracle = Some(
+    """WITH o AS (
+      |  SELECT event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events)
+      |SELECT prev_type, event_type, count(*) AS n
+      |FROM o WHERE prev_type IS NOT NULL
+      |GROUP BY prev_type, event_type""".stripMargin)
+}

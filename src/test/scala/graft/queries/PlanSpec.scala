@@ -240,6 +240,30 @@ class PlanSpec extends AnyFunSuite {
       s"keyframe pooling planned a scale-unsafe operator:\n$p")
   }
 
+  test("s8: trained-index search broadcasts both tiny sides (centroids, probes); no cartesian beyond them") {
+    val p = plan(S8AnnIvfSearch)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"no broadcast join in the trained search path:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"trained search planned a shuffled cartesian:\n$p")
+  }
+
+  test("t15: sketch build and point queries are partial-aggregated; sketch side broadcasts") {
+    val p = plan(T15CountMin)
+    assert(p.contains("partial"), s"sketch cells lost map-side combine:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k tokens materialized a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"sketch probe planned a cartesian:\n$p")
+  }
+
+  test("w8: transition matrix shares one user_id exchange; counts partial-aggregate") {
+    val p = plan(W8Transitions)
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"w8 planned $exchanges exchanges (window + count expected):\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"transition count lost map-side combine:\n$p")
+  }
+
   test("q20: the source predicate prunes partitions at the directory level") {
     val p = plan(Q20PartitionedSink)
     val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
