@@ -81,3 +81,60 @@ object J2TopK extends GraftQuery {
        |ORDER BY revenue DESC, c_custkey ASC
        |LIMIT $k""".stripMargin)
 }
+
+/** j5: broadcast ANTI join — "customers with no order above the threshold",
+  * the exclusion probe every incremental pipeline runs (d8's exact-verify
+  * step and PipelineExample's admission both use left_anti internally; this
+  * puts the operator itself on the oracle surface). The probe side filters
+  * BEFORE the join, so the anti-join's build input is the small qualifying
+  * subset, and the join needs only the key column of it.
+  */
+object J5AntiJoin extends GraftQuery {
+  val name = "j5_anti_join"
+  val describe = "left_anti: customers with no order above 300k (exclusion probe)"
+
+  private val threshold = 300000.0
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > threshold)
+      .select(col("o_custkey"))
+    Tables.customer(spark, sfDir)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+  }
+
+  val oracle = Some(
+    s"""SELECT c_custkey, c_name, c_nationkey
+       |FROM customer c
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM orders o
+       |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > $threshold)""".stripMargin)
+}
+
+/** j6: broadcast SEMI join — "customers with at least one urgent order",
+  * the inclusion twin of j5 (a semi join returns each left row at most
+  * once, needs no aggregation to dedup, and ships only the key column of
+  * the probe side — the shape p1/p4 use to restrict corpora to survivor
+  * sets).
+  */
+object J6SemiJoin extends GraftQuery {
+  val name = "j6_semi_join"
+  val describe = "left_semi: customers with >=1 urgent-priority order (inclusion probe)"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    Tables.customer(spark, sfDir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+  }
+
+  val oracle = Some(
+    """SELECT c_custkey, c_name, c_nationkey
+      |FROM customer c
+      |WHERE EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin)
+}
