@@ -108,3 +108,34 @@ object Q13Except extends GraftQuery {
        |SELECT o_custkey FROM orders
        |WHERE o_orderdate >= TIMESTAMP '$mid' AND o_orderdate < TIMESTAMP '$end'""".stripMargin)
 }
+
+/** q21: EXCEPT ALL — bag-semantics set difference (each row's multiplicity
+  * is max(0, n_left − n_right)), the variant q13's DISTINCT except cannot
+  * express: "which custkeys ordered MORE often in H1 than H2, with the
+  * surplus count preserved". Spark plans it as a single grouped
+  * count-subtract + generate (no join); at scale it is one hash-partitioned
+  * aggregate on the compared row.
+  */
+object Q21ExceptAll extends GraftQuery {
+  val name = "q21_except_all"
+  val describe = "EXCEPT ALL: H1-vs-H2 order custkeys with multiplicity preserved"
+
+  private val mid = "1995-07-01 00:00:00"
+  private val end = "1996-01-01 00:00:00"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val h1 = o.filter(col("o_orderdate") < lit(mid).cast("timestamp"))
+      .select(col("o_custkey"))
+    val h2 = o.filter(col("o_orderdate") >= lit(mid).cast("timestamp") &&
+        col("o_orderdate") < lit(end).cast("timestamp"))
+      .select(col("o_custkey"))
+    h1.exceptAll(h2)
+  }
+
+  val oracle = Some(
+    s"""SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '$mid'
+       |EXCEPT ALL
+       |SELECT o_custkey FROM orders
+       |WHERE o_orderdate >= TIMESTAMP '$mid' AND o_orderdate < TIMESTAMP '$end'""".stripMargin)
+}

@@ -96,3 +96,56 @@ object V1LabelCentroids extends GraftQuery {
          |GROUP BY label""".stripMargin)
   }
 }
+
+/** v3: centroid-distance outliers — the anomaly-detection tail of the label
+  * ops: each vector's cosine to ITS OWN label centroid (v1's per-label
+  * means), bottom-20 reported (the mislabel/novelty audit a label-transfer
+  * pipeline runs after v2). The centroid values are v1's ROUNDED (6-decimal)
+  * means, so the comparison grid is engine-exact: a raw-mean centroid would
+  * put the cosine one summation-order ulp apart between engines.
+  *
+  * Scale shape: centroids are a |labels|-row broadcast; the scoring pass is
+  * scan-bound per-row arithmetic; the report is a TakeOrdered, never a
+  * global sort.
+  */
+object V3CentroidOutliers extends GraftQuery {
+  val name = "v3_centroid_outliers"
+  val describe = "bottom-20 vectors by cosine to their own label centroid (mislabel audit)"
+
+  private val d = Embeddings.dims
+  private val k = 20
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val avgs = (0 until d).map(i =>
+      round(avg(element_at(col("embedding"), i + 1).cast("double")), 6).as(s"c$i"))
+    val cents = e.groupBy(col("label")).agg(avgs.head, avgs.tail: _*)
+    val dot = (0 until d).map(i =>
+      element_at(col("embedding"), i + 1).cast("double") * col(s"c$i")).reduce(_ + _)
+    val nv = sqrt((0 until d).map(i =>
+      element_at(col("embedding"), i + 1).cast("double") *
+        element_at(col("embedding"), i + 1).cast("double")).reduce(_ + _))
+    val nc = sqrt((0 until d).map(i => col(s"c$i") * col(s"c$i")).reduce(_ + _))
+    e.join(broadcast(cents), "label")
+      .select(col("vec_id"), col("label"), (dot / (nv * nc)).as("cos"))
+      .orderBy(col("cos").asc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("cos"), 6).as("cosine"))
+  }
+
+  val oracle = {
+    val avgs = (0 until d)
+      .map(i => s"round(avg(CAST(embedding[${i + 1}] AS DOUBLE)), 6) AS c$i").mkString(", ")
+    val dot = (0 until d).map(i => s"CAST(e.embedding[${i + 1}] AS DOUBLE) * c.c$i").mkString(" + ")
+    val nv = "sqrt(" + (0 until d).map(i =>
+      s"CAST(e.embedding[${i + 1}] AS DOUBLE) * CAST(e.embedding[${i + 1}] AS DOUBLE)").mkString(" + ") + ")"
+    val nc = "sqrt(" + (0 until d).map(i => s"c.c$i * c.c$i").mkString(" + ") + ")"
+    Some(
+      s"""WITH cents AS (SELECT label, $avgs FROM embeddings GROUP BY label),
+         |scored AS (
+         |  SELECT e.vec_id, e.label, ($dot) / (($nv) * ($nc)) AS cos
+         |  FROM embeddings e JOIN cents c ON e.label = c.label)
+         |SELECT vec_id, label, round(cos, 6) AS cosine
+         |FROM scored ORDER BY cos ASC, vec_id ASC LIMIT $k""".stripMargin)
+  }
+}
