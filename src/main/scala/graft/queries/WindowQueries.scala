@@ -195,3 +195,82 @@ object W8Transitions extends GraftQuery {
       |FROM o WHERE prev_type IS NOT NULL
       |GROUP BY prev_type, event_type""".stripMargin)
 }
+
+/** w9: inter-arrival-time histogram — the event-stream cadence profile
+  * (traffic shape, bot detection, capacity planning all start from "how far
+  * apart are a user's events"). Each user's stream is lagged once to get the
+  * gap to the previous event, and gaps land in power-of-two buckets
+  * [2^b, 2^(b+1)); the output is one row per non-empty bucket with its
+  * count, share of all gaps, and exact mean gap.
+  *
+  * Bucketing is a closed-form integer CASE chain (no log2 — floating-point
+  * log at an exact power-of-two boundary is engine-dependent ulp territory;
+  * integer comparisons are not). Same-second events (gap 0) get their own
+  * bucket with lo = hi = 0.
+  *
+  * Scale shape: ONE exchange on user_id for the lag window (the w2/w6/w8
+  * discipline), then a global aggregate over a ≤ ~32-row key space —
+  * map-side combine collapses each partition to the bucket count before the
+  * second (trivial) shuffle. The share denominator is a 1-row broadcast.
+  */
+object W9InterArrival extends GraftQuery {
+  val name = "w9_interarrival"
+  val describe = "inter-arrival gap histogram: power-of-2 buckets over per-user event gaps"
+
+  /** Largest bucket exponent: gaps >= 2^30 s (~34 years) all land in the
+    * top bucket, which keeps the CASE chain finite without ever dropping a
+    * gap. */
+  private val maxExp = 30
+
+  /** Bucket lower bound for a gap (0 for gap 0, else largest 2^b <= gap). */
+  private def bucketLoCase(gapExpr: String): String = {
+    val arms = (maxExp to 0 by -1)
+      .map(b => s"WHEN $gapExpr >= ${1L << b} THEN CAST(${1L << b} AS BIGINT)")
+      .mkString("\n         ")
+    s"CASE $arms ELSE CAST(0 AS BIGINT) END"
+  }
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(spark, sfDir)
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .withColumn("prev_sec", lag(col("sec"), 1).over(byUser))
+      .filter(col("prev_sec").isNotNull)
+      .withColumn("gap_s", col("sec") - col("prev_sec"))
+    // Closed-form power-of-two floor as a when-chain: first match wins, so
+    // testing exponents high->low picks the LARGEST 2^b <= gap.
+    val lo = (maxExp to 0 by -1).foldLeft(null: org.apache.spark.sql.Column) { (acc, b) =>
+      val arm = col("gap_s") >= (1L << b)
+      if (acc == null) when(arm, lit(1L << b)) else acc.when(arm, lit(1L << b))
+    }.otherwise(lit(0L))
+    val hist = gaps.withColumn("gap_lo", lo)
+      .groupBy(col("gap_lo"))
+      .agg(count(lit(1)).as("n"), sum(col("gap_s")).as("gap_sum"))
+    val total = hist.agg(sum(col("n")).as("tot"))
+    hist.crossJoin(broadcast(total))
+      .select(col("gap_lo"),
+        when(col("gap_lo") === 0, lit(0L)).otherwise(col("gap_lo") * 2 - 1).as("gap_hi"),
+        col("n"),
+        round(col("gap_sum").cast("double") / col("n"), 6).as("avg_gap_s"),
+        round(col("n").cast("double") / col("tot"), 6).as("share"))
+  }
+
+  val oracle = {
+    val loSql = bucketLoCase("gap_s")
+    Some(
+      s"""WITH g AS (
+         |  SELECT CAST(floor(epoch(ts)) AS BIGINT)
+         |           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+         |             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+         |  FROM events),
+         |b AS (SELECT $loSql AS gap_lo, gap_s FROM g WHERE gap_s IS NOT NULL),
+         |h AS (SELECT gap_lo, count(*) AS n, sum(gap_s) AS gap_sum FROM b GROUP BY 1),
+         |t AS (SELECT sum(n) AS tot FROM h)
+         |SELECT gap_lo,
+         |       CASE WHEN gap_lo = 0 THEN 0 ELSE gap_lo * 2 - 1 END AS gap_hi,
+         |       n,
+         |       round(CAST(gap_sum AS DOUBLE) / n, 6) AS avg_gap_s,
+         |       round(CAST(n AS DOUBLE) / t.tot, 6) AS share
+         |FROM h CROSS JOIN t""".stripMargin)
+  }
+}

@@ -294,4 +294,24 @@ class PlanSpec extends AnyFunSuite {
       s"probe x base planned a shuffled cartesian instead of a broadcast:\n$p")
     assert(p.contains("partial"), s"vote counting lost its map-side combine:\n$p")
   }
+
+  test("w9: gap histogram shares one user_id exchange; bucket counts partial-aggregate") {
+    val p = plan(W9InterArrival)
+    // window exchange (user_id) + the <=32-key bucket aggregate; the share
+    // denominator must broadcast, never a third full shuffle.
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"w9 planned $exchanges exchanges:\n$p")
+    assert(p.contains("partial"), s"bucket count lost map-side combine:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"total-gaps denominator did not broadcast:\n$p")
+  }
+
+  test("t16: vocab top-N is a TakeOrdered; token counts partial-aggregate; stats broadcast") {
+    val p = plan(T16Zipf)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 tokens materialized a global vocabulary sort:\n$p")
+    assert(p.contains("partial"), s"token count lost map-side combine:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"OLS stats row did not broadcast:\n$p")
+  }
 }
