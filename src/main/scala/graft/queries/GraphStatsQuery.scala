@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** g2: triangle census of the semantic-similarity graph — the structural
+  * companion to g1's PageRank over the same d5 cosine-pair edges. The
+  * global clustering coefficient (3·triangles / wedges) tells a curation
+  * pipeline whether its near-duplicate graph is clumpy (template families,
+  * boilerplate clusters → high transitivity) or stringy (chains of drifting
+  * near-dups → low), which decides cluster-collapse vs pair-drop policy;
+  * triangle counting itself is the canonical "second join" graph workload
+  * the reference's MapReduce lineage cannot express without a driver loop.
+  *
+  * Algorithm: the canonical-orientation join — every d5 edge is stored once
+  * as (a < b), a wedge is e1(a,b) ⋈ e2(b,c) (so a < b < c), and a triangle
+  * is a wedge whose closing edge (a,c) exists. Each triangle is produced
+  * exactly once (its vertices in ascending order), so the count needs no
+  * dedup. Degree/wedge counts come from one grouped aggregate over both
+  * edge endpoints.
+  *
+  * Scale shape: two hash joins keyed on edge endpoints plus one
+  * node-bounded aggregate — no driver-side loop, nothing O(V²). The known
+  * skew trap at web scale is a hub vertex generating deg² wedges; the
+  * standard fix is orienting edges by (degree, id) instead of id so every
+  * wedge pivot has the LOWER degree of its pair (Suri & Vassilvitskii's
+  * MR triangle counting) — id-orientation is kept here because d5's degree
+  * distribution is threshold-bounded, and the orientation key is the only
+  * line that would change. All counts are exact integers; the two ratio
+  * columns are single IEEE divisions rounded to 6 on both engines.
+  */
+object G2Triangles extends GraftQuery {
+  val name = "g2_triangles"
+  val describe = "triangle census of the d5 pair graph: wedges, triangles, clustering coefficient"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    // One canonical row per undirected edge (vec_a < vec_b from d5); both
+    // the degree aggregate and the two wedge/closure joins read it, so
+    // persist (the t8/d4 multi-consumer rule). Bench/Verify sweep caches.
+    val e = graft.CacheScope.persisted(
+      D5EmbedDedup.run(spark, sfDir).select(col("vec_a").as("a"), col("vec_b").as("b")))
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // deg*(deg-1) is always even, sum(deg) is 2|E| — the integer halvings
+    // below are exact.
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum(col("deg")) / 2).cast("long").as("n_edges"),
+      (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("n_wedges"),
+      (sum(col("deg")).cast("double") / count(lit(1))).as("avg_deg"))
+    val wedges = e.alias("x").join(e.alias("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("wa"), col("y.b").as("wc"))
+    val tri = wedges
+      .join(e.alias("z"), col("wa") === col("z.a") && col("wc") === col("z.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    stats.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(col("avg_deg"), 6).as("avg_degree"),
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(round(col("n_triangles") * lit(3.0) / col("n_wedges"), 6))
+          .as("clustering_coeff"))
+  }
+
+  val oracle = Some(
+    s"""WITH ${D5EmbedDedup.pairsCtesSql},
+       |ed AS (SELECT vec_a AS a, vec_b AS b FROM d5),
+       |deg AS (
+       |  SELECT v, count(*) AS deg
+       |  FROM (SELECT a AS v FROM ed UNION ALL SELECT b AS v FROM ed) GROUP BY 1),
+       |stats AS (
+       |  SELECT count(*) AS n_nodes,
+       |         CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+       |         CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges,
+       |         CAST(sum(deg) AS DOUBLE) / count(*) AS avg_deg
+       |  FROM deg),
+       |tri AS (
+       |  SELECT count(*) AS n_triangles
+       |  FROM ed x JOIN ed y ON x.b = y.a
+       |            JOIN ed z ON x.a = z.a AND y.b = z.b)
+       |SELECT s.n_nodes, s.n_edges, s.n_wedges, t.n_triangles,
+       |       round(s.avg_deg, 6) AS avg_degree,
+       |       CASE WHEN s.n_wedges = 0 THEN 0.0
+       |            ELSE round(t.n_triangles * 3.0 / s.n_wedges, 6) END AS clustering_coeff
+       |FROM stats s CROSS JOIN tri t""".stripMargin)
+}
