@@ -97,4 +97,32 @@ class AnnRecallSpec extends AnyFunSuite {
     info(f"s4 recall vs s1 at sf0.001: $recall%.3f (${(exact intersect approx).size}/${exact.size})")
     assert(recall >= 0.50, f"s4 recall $recall%.3f fell below the 0.50 floor")
   }
+
+  test("s9 filtered ANN: every neighbour satisfies the label predicate; recall vs filtered brute force") {
+    import org.apache.spark.sql.functions._
+    val res = S9AnnFiltered.run(spark, TestSpark.sf0001).collect()
+    assert(res.nonEmpty)
+    val allowed = Set(1, 3, 5, 7)
+    assert(res.forall(r => allowed(r.getInt(r.fieldIndex("label")))),
+      "a returned neighbour violates the label pre-filter")
+    // Filtered exact top-10 per query (brute force over the allowed labels).
+    val e = graft.Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val exact = e.filter(_._1 < 5).flatMap { case (qid, qv, _) =>
+      e.filter { case (nid, _, lab) => nid != qid && allowed(lab) }
+        .map { case (nid, nv, _) => (qid, nid, cos(qv, nv)) }
+        .sortBy { case (_, nid, c) => (-c, nid) }.take(10)
+        .map { case (q, n, _) => (q, n) }
+    }.toSet
+    val approx = res.map(r =>
+      (r.getLong(r.fieldIndex("query_id")), r.getLong(r.fieldIndex("neighbor_id")))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"s9 recall vs filtered brute force at sf0.001: $recall%.3f")
+    assert(recall >= 0.75, f"s9 recall $recall%.3f fell below the 0.75 floor")
+  }
 }
