@@ -51,7 +51,7 @@ object P1CleanCorpus extends GraftQuery {
   val name = "p1_clean_corpus"
   val describe = "pipeline: quality gate -> exact dedup -> LSH near-dup collapse -> per-doc disposition"
 
-  private val qualityThreshold = 0.6
+  private[queries] val qualityThreshold = 0.6
   /** The pair list is tiny relative to the corpus (see d7's
     * `edgePartitionsFor` for the corpus-scale sizing rule).
     */

@@ -35,7 +35,7 @@ object D9Contamination extends GraftQuery {
   val name = "d9_contamination"
   val describe = "n-gram contamination: per probe doc, fraction of shingles found in the reference half"
 
-  private val threshold = 0.5
+  private[queries] val threshold = 0.5
 
   def run(spark: SparkSession, sfDir: String): DataFrame =
     run(spark, sfDir, joinSalts = 1)

@@ -177,4 +177,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ge7 <= d5 && d5 <= ge6,
       s"d5 count $d5 outside histogram bracket [$ge7, $ge6]")
   }
+
+  test("p5: differs from p1 only by kept->eval_overlap; every hit is an odd contaminated doc") {
+    import org.apache.spark.sql.functions._
+    val p1 = P1CleanCorpus.run(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("status"), col("survivor")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    val p5 = P5Decontaminated.run(spark, TestSpark.sf0001).collect()
+    assert(p5.length == p1.size)
+    val contaminated = D9Contamination.run(spark, TestSpark.sf0001)
+      .filter(col("contaminated") === true).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    var hits = 0
+    p5.foreach { r =>
+      val id = r.getLong(r.fieldIndex("doc_id"))
+      val st = r.getString(r.fieldIndex("status"))
+      val (p1st, p1surv) = p1(id)
+      if (st == "eval_overlap") {
+        hits += 1
+        assert(p1st == "kept", s"doc $id re-dispositioned from non-kept status $p1st")
+        assert(id % 2 == 1 && contaminated(id), s"doc $id flagged without d9 evidence")
+        assert(r.isNullAt(r.fieldIndex("survivor")), s"eval_overlap doc $id kept a survivor")
+      } else {
+        assert(st == p1st, s"doc $id status drifted: $p1st -> $st")
+        val surv = if (r.isNullAt(r.fieldIndex("survivor"))) None else Some(r.getLong(r.fieldIndex("survivor")))
+        assert(surv == p1surv, s"doc $id survivor drifted")
+        assert(!(p1st == "kept" && contaminated(id)), s"contaminated kept doc $id not flagged")
+      }
+    }
+    info(s"p5 eval_overlap hits at sf0.001: $hits")
+    assert(hits > 0, "eval_overlap branch is vacuous on the test corpus")
+  }
 }
