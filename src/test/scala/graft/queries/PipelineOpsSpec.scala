@@ -208,4 +208,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     info(s"p5 eval_overlap hits at sf0.001: $hits")
     assert(hits > 0, "eval_overlap branch is vacuous on the test corpus")
   }
+
+  test("k3: top-component loadings are unit-norm; eigenvalue dominates the init direction") {
+    val rows = K3PcaPower.run(spark, TestSpark.sf0001).collect()
+    assert(rows.length == 64)
+    val v = rows.sortBy(_.getInt(0)).map(_.getDouble(1))
+    val eig = rows.head.getDouble(2)
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-4, s"loadings norm $norm drifted from 1")
+    assert(eig > 0.0, s"eigenvalue estimate $eig not positive")
+    // Rayleigh quotient of the returned v must be >= that of the uniform
+    // init direction (power iteration ascends on a PSD Gram matrix).
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def rayleigh(dir: Array[Double]): Double = {
+      val n = math.sqrt(dir.map(x => x * x).sum)
+      e.map { x => val u = x.zip(dir).map { case (a, b) => a * b }.sum / n; u * u }.sum / e.length
+    }
+    val init = Array.fill(64)(0.125)
+    assert(rayleigh(v) >= rayleigh(init) - 1e-9,
+      s"returned direction has lower Rayleigh quotient than the init")
+  }
 }
