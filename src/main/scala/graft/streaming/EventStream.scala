@@ -267,6 +267,44 @@ object EventStream {
       }
   }
 
+  final case class GapState(lastSec: Long)
+  final case class UserGap(user_id: Long, gap_s: Long)
+
+  /** Streaming inter-arrival gap extraction — w9's stateful twin. State is
+    * ONE long per user (the last event's epoch second); each micro-batch
+    * emits the gaps it completes, including the cross-batch gap from the
+    * stored state to the batch's first event — the part a stateless window
+    * could not see. Downstream bucketing/histogramming is stateless (w9's
+    * integer CASE chain); StreamingGapSpec asserts the emitted gap multiset
+    * reproduces the oracle-verified batch histogram under arbitrary
+    * micro-batch splits.
+    *
+    * Scale: state is bounded by active-user cardinality (8 bytes each),
+    * hash-partitioned by user_id; a production deployment would add a
+    * timeout to retire idle users (finalizedSessions shows the pattern).
+    */
+  def gapStream(events: Dataset[Event]): Dataset[UserGap] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapState, UserGap](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[GapState]) =>
+          // (ts, event_id) ordering — the batch twin's exact tie-break.
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var last = state.getOption.map(_.lastSec).getOrElse(Long.MinValue)
+          val gaps = Seq.newBuilder[UserGap]
+          sorted.foreach { e =>
+            val sec = e.ts.getTime / 1000
+            if (last != Long.MinValue) gaps += UserGap(uid, sec - last)
+            last = sec
+          }
+          state.update(GapState(last))
+          gaps.result().iterator
+      }
+  }
+
   /** Bit offsets of the three position slices within the 62-bit shingle
     * hash (double-hashing shortcut, same construction as d8's fingerprint
     * Bloom). With mBits ≤ 2^20 the three 20-bit windows at 0/20/40 are

@@ -45,6 +45,9 @@ PLAUSIBILITY = [
     ("d10_semantic_clusters", "d5_embed_dup"),
     ("g1_pagerank", "d5_embed_dup"),  # g1 runs D5EmbedDedup.run as stage 1
     ("p4_training_corpus", "p1_clean_corpus"),  # p4 runs p1's chain as stage 1
+    ("p5_decontaminated", "p1_clean_corpus"),  # p5 = p1 dispositions + d9 gate
+    ("d15_quality_survivor", "d7_dup_clusters"),  # d15 joins d7's components
+    ("g2_triangles", "d5_embed_dup"),  # g2 runs D5EmbedDedup.run as stage 1
 ]
 
 REPS = "3"
