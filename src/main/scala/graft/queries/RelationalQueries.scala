@@ -139,3 +139,79 @@ object Q21ExceptAll extends GraftQuery {
        |SELECT o_custkey FROM orders
        |WHERE o_orderdate >= TIMESTAMP '$mid' AND o_orderdate < TIMESTAMP '$end'""".stripMargin)
 }
+
+/** q22: GROUPING SETS — the general form q11's rollup and q18's cube are
+  * special cases of: an explicit lattice of aggregation levels, plus
+  * `grouping()` flags so a consumer can tell a real NULL group from a
+  * subtotal row (the standard disambiguator; this corpus's keys are
+  * non-NULL, but the flags are part of the operator's contract). Spark
+  * plans one Expand + one hash aggregate — each input row fans out to its
+  * participating sets and partial aggregation still collapses per
+  * partition; the map-side combine survives, same as rollup/cube.
+  */
+object Q22GroupingSets extends GraftQuery {
+  val name = "q22_grouping_sets"
+  val describe = "GROUPING SETS {(flag,status),(flag),(status)} with grouping() flags"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("q22_lineitem")
+    // The DataFrame API exposes only rollup/cube; arbitrary set lattices
+    // are the SQL surface's job (same Aggregate(Expand) plan underneath).
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+        |       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM q22_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))""".stripMargin)
+  }
+
+  val oracle = Some(
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(grouping(l_returnflag) AS TINYINT) AS g_flag,
+      |       CAST(grouping(l_linestatus) AS TINYINT) AS g_status,
+      |       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))""".stripMargin)
+}
+
+/** q23: analytic rank family over a join — each order ranked inside its
+  * customer's market segment by total price: percent_rank (relative
+  * position), cume_dist (inclusive CDF), ntile(4) (quartile). One window
+  * exchange on the segment key serves all three functions (they share the
+  * partition AND the sort); the customer side broadcasts into the join.
+  * Top-level filter keeps the output bounded (top decile by percent_rank)
+  * without a second window.
+  *
+  * Determinism: (o_totalprice DESC, o_orderkey ASC) is a total order, so
+  * rank positions — and therefore all three analytics — are exact on both
+  * engines; percent_rank/cume_dist are single divisions of exact integers.
+  */
+object Q23WindowRanks extends GraftQuery {
+  val name = "q23_window_ranks"
+  val describe = "percent_rank/cume_dist/ntile(4) per market segment, top decile"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        ntile(4).over(w).as("quartile"))
+      .filter(col("pct_rank") <= 0.1)
+  }
+
+  val oracle = Some(
+    """WITH r AS (
+      |  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+      |         round(percent_rank() OVER w, 6) AS pct_rank,
+      |         round(cume_dist() OVER w, 6) AS cdist,
+      |         CAST(ntile(4) OVER w AS INT) AS quartile
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WINDOW w AS (PARTITION BY c.c_mktsegment
+      |               ORDER BY o.o_totalprice DESC, o.o_orderkey ASC))
+      |SELECT * FROM r WHERE pct_rank <= 0.1""".stripMargin)
+}
