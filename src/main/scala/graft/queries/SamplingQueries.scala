@@ -149,3 +149,82 @@ object V3CentroidOutliers extends GraftQuery {
          |FROM scored ORDER BY cos ASC, vec_id ASC LIMIT $k""".stripMargin)
   }
 }
+
+/** v4: label-space SILHOUETTE audit — for every label, cohesion (mean cosine
+  * of its members to its own centroid) vs the strongest confusion (max over
+  * OTHER labels of the members' mean cosine to that label's centroid) and
+  * the margin between them. The per-label summary of v3's per-vector audit:
+  * a label whose margin approaches zero is bleeding into a neighbour —
+  * the signal that decides relabeling or class-merge before v2-style label
+  * transfer is trusted. (Silhouette in the centroid form — medoid-free, so
+  * it stays two aggregate passes at any scale.)
+  *
+  * Shape: centroids are v1's ROUNDED per-label means (the v3 determinism
+  * discipline — a raw-mean centroid would sit one summation-order ulp apart
+  * between engines); every vector scores against all |labels| centroids via
+  * a broadcast cross join (|labels|× row fan-out, scan-bound); one grouped
+  * aggregate produces the |labels|² confusion-mean matrix; the per-label
+  * fold over that tiny matrix is a second aggregate with the struct-max
+  * argmax (s4's pattern). Nothing after the first aggregate exceeds
+  * |labels|² rows.
+  */
+object V4LabelSilhouette extends GraftQuery {
+  val name = "v4_label_silhouette"
+  val describe = "per-label cohesion vs strongest-confusion margin over rounded centroids"
+
+  private val d = Embeddings.dims
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val avgs = (0 until d).map(i =>
+      round(avg(element_at(col("embedding"), i + 1).cast("double")), 6).as(s"c$i"))
+    val cents = e.groupBy(col("label").as("clabel")).agg(avgs.head, avgs.tail: _*)
+    val dot = (0 until d).map(i =>
+      element_at(col("embedding"), i + 1).cast("double") * col(s"c$i")).reduce(_ + _)
+    val nv = sqrt((0 until d).map(i =>
+      element_at(col("embedding"), i + 1).cast("double") *
+        element_at(col("embedding"), i + 1).cast("double")).reduce(_ + _))
+    val nc = sqrt((0 until d).map(i => col(s"c$i") * col(s"c$i")).reduce(_ + _))
+    // |labels|² confusion means, rounded before any comparison.
+    val conf = e.crossJoin(broadcast(cents))
+      .select(col("label"), col("clabel"), (dot / (nv * nc)).as("cos"))
+      .groupBy(col("label"), col("clabel"))
+      .agg(round(avg(col("cos")), 6).as("mcos"))
+    val own = conf.filter(col("label") === col("clabel"))
+      .select(col("label"), col("mcos").as("cohesion"))
+    val other = conf.filter(col("label") =!= col("clabel"))
+      .groupBy(col("label"))
+      .agg(max(struct(col("mcos"), (-col("clabel")).as("nid"))).as("b"))
+      .select(col("label"), col("b.mcos").as("confusion"),
+        (-col("b.nid")).cast("int").as("nearest_other"))
+    own.join(other, Seq("label"))
+      .select(col("label"), col("cohesion"), col("confusion"),
+        col("nearest_other"),
+        round(col("cohesion") - col("confusion"), 6).as("margin"))
+  }
+
+  val oracle = {
+    val avgs = (0 until d)
+      .map(i => s"round(avg(CAST(embedding[${i + 1}] AS DOUBLE)), 6) AS c$i").mkString(", ")
+    val dot = (0 until d).map(i => s"CAST(e.embedding[${i + 1}] AS DOUBLE) * c.c$i").mkString(" + ")
+    val nv = "sqrt(" + (0 until d).map(i =>
+      s"CAST(e.embedding[${i + 1}] AS DOUBLE) * CAST(e.embedding[${i + 1}] AS DOUBLE)").mkString(" + ") + ")"
+    val nc = "sqrt(" + (0 until d).map(i => s"c.c$i * c.c$i").mkString(" + ") + ")"
+    Some(
+      s"""WITH cents AS (SELECT label AS clabel, $avgs FROM embeddings GROUP BY label),
+         |conf AS (
+         |  SELECT e.label, c.clabel, round(avg(($dot) / (($nv) * ($nc))), 6) AS mcos
+         |  FROM embeddings e CROSS JOIN cents c
+         |  GROUP BY e.label, c.clabel),
+         |own AS (SELECT label, mcos AS cohesion FROM conf WHERE label = clabel),
+         |oth AS (
+         |  SELECT label, mcos AS confusion, clabel AS nearest_other,
+         |         row_number() OVER (PARTITION BY label
+         |                            ORDER BY mcos DESC, clabel ASC) AS rk
+         |  FROM conf WHERE label <> clabel)
+         |SELECT o.label, o.cohesion, t.confusion,
+         |       CAST(t.nearest_other AS INT) AS nearest_other,
+         |       round(o.cohesion - t.confusion, 6) AS margin
+         |FROM own o JOIN oth t ON o.label = t.label AND t.rk = 1""".stripMargin)
+  }
+}
