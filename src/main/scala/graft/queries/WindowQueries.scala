@@ -274,3 +274,39 @@ object W9InterArrival extends GraftQuery {
          |FROM h CROSS JOIN t""".stripMargin)
   }
 }
+
+/** w10: daily unique users per event type — the cardinality workload
+  * (DAU/MAU boards, reach counts). Exact distinct counting at scale is the
+  * known two-shuffle shape: Spark rewrites count(DISTINCT user_id) into a
+  * partial-dedup aggregate on (day, type, user) then a count — both
+  * map-side combined, so the wire carries each (day, type, user) once per
+  * partition, never the raw event stream. The scale escape hatch when even
+  * that is too much is the HLL sketch (`approx_count_distinct`), which
+  * merges like t15's count-min cells; its estimates are engine-specific so
+  * it stays OFF the oracle surface — HllSpec pins the sketch within 5% of
+  * this query's exact counts instead (the d14/t15 calibration discipline).
+  *
+  * Day bucketing is integer epoch arithmetic (w1's floor rule), timezone-
+  * free by construction.
+  */
+object W10DailyUniques extends GraftQuery {
+  val name = "w10_daily_uniques"
+  val describe = "exact daily unique users per event type (two-phase distinct; HLL twin spec-pinned)"
+
+  private val daySec = 86400L
+
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("day", (floor(unix_timestamp(col("ts")) / daySec) * daySec).cast("long"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  val oracle = Some(
+    s"""SELECT CAST(floor(epoch(ts) / $daySec) * $daySec AS BIGINT) AS day,
+       |       event_type,
+       |       count(DISTINCT user_id) AS n_users,
+       |       count(*) AS n_events
+       |FROM events
+       |GROUP BY 1, 2""".stripMargin)
+}
