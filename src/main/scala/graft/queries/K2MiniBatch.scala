@@ -15,10 +15,11 @@ import graft.operators.KMeans.sqlLit
   * seeded-hash discipline — recomputable from the row alone, so a retry or
   * a different partitioning sees the same batch).
   *
-  * 8 steps cycling over 4 batches; each step is one scan WITH THE BATCH
-  * PREDICATE (a pushable integer comparison, so at scale a batch-bucketed
-  * layout turns it into partition pruning) + one codegen'd gradient
-  * aggregate; the driver fold is O(dims). Determinism follows k1's
+  * 8 steps cycling over 4 batches over a ONCE-materialized training matrix
+  * (batch id + 5 feature columns, one md5 per row total); each step filters
+  * the cached frame on its batch id (at scale a batch-bucketed persisted
+  * layout turns the same predicate into partition pruning) and runs one
+  * codegen'd gradient aggregate; the driver fold is O(dims). Determinism follows k1's
   * contract: per-step gradients and weights round to 6 decimals on both
   * sides, lr = 1.0 keeps updates on the rounding grid.
   */
@@ -41,7 +42,19 @@ object K2MiniBatchSgd extends GraftQuery {
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     import LineitemFeatures._
-    val li = Tables.lineitem(spark, sfDir)
+    // Materialize the training matrix ONCE: the batch id costs one md5 per
+    // row total (not per step), and the 8 step scans read a 6-column cached
+    // frame instead of re-decoding parquet. This is the standard "project
+    // the feature matrix before the epoch loop" move — at corpus scale the
+    // same projection is what a batch-bucketed layout persists, and the
+    // epoch loop reads whatever tier it fits in (memory here, disk there).
+    // Bench/Verify sweep the cache after the query; library callers get
+    // runManaged.
+    val proj = graft.CacheScope.persisted(
+      Tables.lineitem(spark, sfDir).select(
+        pmod(rowHash, lit(nBatches.toLong)).as("bat"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag")))
     var w = w0
     for (step <- 1 to steps) {
       val batch = (step - 1) % nBatches
@@ -49,7 +62,7 @@ object K2MiniBatchSgd extends GraftQuery {
       val aggs = gradCols.zipWithIndex.map { case (f, j) =>
         round(sum(err * f) / count(lit(1)), 6).as(s"g$j")
       }
-      val row = li.filter(pmod(rowHash, lit(nBatches.toLong)) === batch)
+      val row = proj.filter(col("bat") === batch)
         .agg(aggs.head, aggs.tail: _*).collect()(0)
       w = w.zipWithIndex.map { case (wi, j) => round6(wi - lr * row.getDouble(j)) }
     }
