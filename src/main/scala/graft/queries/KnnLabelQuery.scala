@@ -48,15 +48,25 @@ object V2KnnLabel extends GraftQuery {
         col("label"), VectorOps.norm(col("embedding"), d).as("nnrm"))
 
     val cos = VectorOps.dot(col("qemb"), col("nemb"), d) / (col("qnrm") * col("nnrm"))
-    val rankW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
     val voteW = Window.partitionBy(col("query_id"))
       .orderBy(col("votes").desc, col("label").asc)
 
-    base.crossJoin(broadcast(probes)) // probes are the ~4% side: broadcast, stream the base
-      .select(col("query_id"), col("neighbor_id"), col("label"), cos.as("cos"))
-      .withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= k)
+    // Top-k via the typed bounded aggregator, NOT a rank window: the window
+    // would shuffle+sort the full probe×base pair stream on query_id; the
+    // aggregator's map-side partial combine carries at most k entries per
+    // query per partition through the exchange (graft.operators.TopK —
+    // identical (cos desc, neighbor_id asc) order, equality pinned by
+    // TopKSpec). The vote then runs over ≤ k rows per query.
+    import spark.implicits._
+    val scored = base.crossJoin(broadcast(probes))
+      .select(col("query_id"), cos.as("cos"), col("neighbor_id"), col("label"))
+      .as[(Long, Double, Long, Int)]
+    scored
+      .groupByKey(_._1)
+      .mapValues { case (_, c, nid, lab) => (c, nid, lab) }
+      .agg(graft.operators.TopK.topK(k).name("top"))
+      .flatMap { case (qid, top) => top.map(e => (qid, e._3)) }
+      .toDF("query_id", "label")
       .groupBy(col("query_id"), col("label"))
       .agg(count(lit(1)).as("votes"))
       .withColumn("vr", row_number().over(voteW))
