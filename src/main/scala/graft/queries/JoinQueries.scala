@@ -138,3 +138,65 @@ object J6SemiJoin extends GraftQuery {
       |  SELECT 1 FROM orders o
       |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin)
 }
+
+/** j7: the TPC-H Q5 "local supplier volume" shape — the hardest standard
+  * star-join: two dimension chains (orders→customer→nation and
+  * lineitem→supplier→nation) that must MEET on the same nation
+  * (c_nationkey = s_nationkey, the correlation a naive star plan misses),
+  * a region restriction walking nation→region, and a one-year date window
+  * on the fact's order side. j1 is the single-chain warm-up; this is the
+  * plan where join ORDER and broadcast choices actually decide the cost.
+  *
+  * Scale shape: region/nation/supplier/customer all broadcast (the
+  * region⋈nation reduction happens driver-free inside the broadcast
+  * exchange build); the only shuffle join is lineitem⋈orders on orderkey —
+  * the two fact tables — and the o_orderdate year filter lands in the
+  * orders SCAN (PushedFilters), shrinking the shuffled fact side before the
+  * exchange. The local-supplier predicate is applied as a post-join filter
+  * on two broadcast-delivered columns, costing nothing extra. At 100 TB
+  * this is one fact-fact exchange + four broadcast lookups — exactly the
+  * plan a warehouse wants for Q5.
+  */
+object J7StarJoin extends GraftQuery {
+  val name = "j7_star_join"
+  val describe = "TPC-H Q5 shape: local-supplier revenue per nation in one region, one year"
+
+  private val region = "ASIA"
+  private val yearStart = "1995-01-01 00:00:00"
+  private val yearEnd = "1996-01-01 00:00:00"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(yearStart).cast("timestamp") &&
+        col("o_orderdate") < lit(yearEnd).cast("timestamp"))
+    val c = Tables.customer(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === region)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
+  val oracle = Some(
+    s"""SELECT n_name,
+       |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       |       count(*) AS n_lineitems
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation   ON s_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |WHERE r_name = '$region'
+       |  AND o_orderdate >= TIMESTAMP '$yearStart'
+       |  AND o_orderdate < TIMESTAMP '$yearEnd'
+       |GROUP BY n_name""".stripMargin)
+}

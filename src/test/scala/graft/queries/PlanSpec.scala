@@ -314,4 +314,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"OLS stats row did not broadcast:\n$p")
   }
+
+  test("j7: one fact-fact shuffle join at most; dims broadcast; date filter reaches the orders scan") {
+    val p = plan(J7StarJoin)
+    val shuffleJoins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(shuffleJoins <= 1, s"j7 planned $shuffleJoins shuffle joins (only lineitem><orders may shuffle):\n$p")
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 3, s"j7 planned only $bhj broadcast joins for 4 dimension hops:\n$p")
+    val pushed = p.linesIterator.find(l => l.contains("PushedFilters") && l.contains("o_orderdate"))
+    assert(pushed.isDefined, s"o_orderdate window not pushed to the orders scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the star plan:\n$p")
+  }
 }
