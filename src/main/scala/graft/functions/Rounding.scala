@@ -1,11 +1,42 @@
 package graft.functions
 
-/** Driver-side decimal rounding used wherever iterative queries carry
-  * rounded state (k-means centers, LR weights): HALF_UP on the exact binary
-  * expansion — the behavior DuckDB's round() exhibits for these magnitudes,
-  * kept in ONE place so every loop rounds identically.
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Decimal-grid rounding discipline, kept in ONE place so every query that
+  * carries rounded state rounds identically on both engines.
+  *
+  * [[roundTo]] is the driver-side HALF_UP used by the iterative loops
+  * (k-means centers, LR weights). [[exactAvg]]/[[exactAvgSql]] are the
+  * ORDER-INDEPENDENT mean for values already sitting on a 10^-scale decimal
+  * grid: `round(avg(x), s)` sums doubles in partition order on Spark but
+  * sequential order in a single-node oracle, and when the true mean lands on
+  * a grid MIDPOINT (likely precisely when the inputs are grid values — a
+  * mean of 1e-6-grid values over n rows is an exact multiple of 1e-6/n) the
+  * last-ulp summation difference flips the rounded digit (t17's round-6
+  * hash failure). Summing the grid values as scaled LONGS is exact in any
+  * order; the final divisions and round run on identical (sum, count)
+  * integers in both engines, so every op is a correctly-rounded IEEE double
+  * op on identical inputs — bit-equal by construction.
   */
 object Rounding {
   def roundTo(x: Double, decimals: Int): Double =
     BigDecimal(x).setScale(decimals, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Order-independent `round(avg(c), scale)` for a column whose values lie
+    * on the 10^-scale grid (i.e. already passed through `round(_, scale)`).
+    * The scaled values are within ~1 ulp of integers, so `round(c * f)` is
+    * the exact integer on both engines; the long sum is exact; both
+    * divisions are correctly rounded on identical inputs.
+    */
+  def exactAvg(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    round(sum(round(c * f).cast("long")).cast("double") / count(c) / f, scale)
+  }
+
+  /** The DuckDB mirror of [[exactAvg]] — same op sequence, same literals. */
+  def exactAvgSql(expr: String, scale: Int): String = {
+    val f = math.pow(10, scale)
+    s"round(CAST(sum(CAST(round(($expr) * $f) AS BIGINT)) AS DOUBLE) / count($expr) / $f, $scale)"
+  }
 }

@@ -21,10 +21,14 @@ import graft.operators.TextOps
   * keyed on source (bounded cardinality), map-side combined; the argmax
   * result broadcasts back onto the stats row.
   *
-  * Determinism: quality averages round to 6 (reorder noise ≪ grid, t9's
-  * argument); the low-quality count compares the ROUNDED score against
-  * p1's threshold (the gate discipline); language and count ties are
-  * totally ordered.
+  * Determinism: the quality mean is Rounding.exactAvg — per-row scores are
+  * on the 1e-6 grid, so the t9 "reorder noise ≪ grid" argument fails
+  * exactly at grid midpoints (a mean of grid values over n rows is an exact
+  * multiple of 1e-6/n, so midpoints are LIKELY, and round-6 flipped on
+  * summation order in round 6); the scaled-long sum is order-independent
+  * and bit-equal across engines. The low-quality count compares the ROUNDED
+  * score against p1's threshold (the gate discipline); language and count
+  * ties are totally ordered.
   */
 object T17CorpusCard extends GraftQuery {
   val name = "t17_corpus_card"
@@ -43,7 +47,7 @@ object T17CorpusCard extends GraftQuery {
     val stats = base.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_tok")).as("n_tokens"),
-      round(avg(col("quality")), 6).as("avg_quality"),
+      graft.functions.Rounding.exactAvg(col("quality"), 6).as("avg_quality"),
       sum(when(col("quality") < lowQualityCut, 1L).otherwise(0L)).as("n_lowq"))
     val topLang = base.groupBy(col("source"), col("pred_lang"))
       .agg(count(lit(1)).as("c"))
@@ -63,7 +67,7 @@ object T17CorpusCard extends GraftQuery {
        |  FROM t JOIN qsc q ON t.doc_id = q.doc_id),
        |stats AS (
        |  SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens,
-       |         round(avg(quality), 6) AS avg_quality,
+       |         ${graft.functions.Rounding.exactAvgSql("quality", 6)} AS avg_quality,
        |         CAST(sum(CASE WHEN quality < $lowQualityCut THEN 1 ELSE 0 END) AS BIGINT) AS n_lowq
        |  FROM base GROUP BY source),
        |lc AS (SELECT source, pred_lang, count(*) AS c FROM base GROUP BY 1, 2),

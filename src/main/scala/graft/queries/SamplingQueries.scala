@@ -185,11 +185,16 @@ object V4LabelSilhouette extends GraftQuery {
       element_at(col("embedding"), i + 1).cast("double") *
         element_at(col("embedding"), i + 1).cast("double")).reduce(_ + _))
     val nc = sqrt((0 until d).map(i => col(s"c$i") * col(s"c$i")).reduce(_ + _))
-    // |labels|² confusion means, rounded before any comparison.
+    // |labels|² confusion means. The per-row cosine is rounded to the 1e-6
+    // grid FIRST (bit-identical across engines — v3's argument), then
+    // averaged with the order-independent scaled-long sum: mcos feeds
+    // comparisons and an argmax, so a summation-order ulp flipping round-6
+    // at a grid midpoint would silently change nearest_other (the t17
+    // failure mode; Rounding.exactAvg scaladoc).
     val conf = e.crossJoin(broadcast(cents))
-      .select(col("label"), col("clabel"), (dot / (nv * nc)).as("cos"))
+      .select(col("label"), col("clabel"), round(dot / (nv * nc), 6).as("cos"))
       .groupBy(col("label"), col("clabel"))
-      .agg(round(avg(col("cos")), 6).as("mcos"))
+      .agg(graft.functions.Rounding.exactAvg(col("cos"), 6).as("mcos"))
     val own = conf.filter(col("label") === col("clabel"))
       .select(col("label"), col("mcos").as("cohesion"))
     val other = conf.filter(col("label") =!= col("clabel"))
@@ -213,7 +218,8 @@ object V4LabelSilhouette extends GraftQuery {
     Some(
       s"""WITH cents AS (SELECT label AS clabel, $avgs FROM embeddings GROUP BY label),
          |conf AS (
-         |  SELECT e.label, c.clabel, round(avg(($dot) / (($nv) * ($nc))), 6) AS mcos
+         |  SELECT e.label, c.clabel,
+         |         ${graft.functions.Rounding.exactAvgSql(s"round(($dot) / (($nv) * ($nc)), 6)", 6)} AS mcos
          |  FROM embeddings e CROSS JOIN cents c
          |  GROUP BY e.label, c.clabel),
          |own AS (SELECT label, mcos AS cohesion FROM conf WHERE label = clabel),

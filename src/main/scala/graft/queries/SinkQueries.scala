@@ -1,11 +1,26 @@
 package graft.queries
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+
+/** FIXED per-query sink locations. A fresh createTempDirectory per run can
+  * never be deleted eagerly (the returned DataFrame reads the directory
+  * lazily, after `run` returns), so bench/verify loops — 3 reps × rounds ×
+  * warm passes — used to orphan one directory per execution. A stable path
+  * plus `mode("overwrite")` replaces the previous run's output instead of
+  * accumulating beside it.
+  */
+private[queries] object SinkPaths {
+  def dir(query: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft-sinks", query)
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+}
 
 /** Q8 (SURVEY §2.F): projection + filter + tagged parquet sink, round-tripped
   * — the reference's per-worker tagged-data dump
@@ -24,7 +39,7 @@ object Q8TaggedSink extends GraftQuery {
   private val cutoff = "1995-06-01 00:00:00"
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_q8_sink").toString
+    val out = SinkPaths.dir("q8_sink")
     Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") >= lit(cutoff).cast("timestamp"))
       .select(
@@ -61,7 +76,7 @@ object Q19OrcSink extends GraftQuery {
   val describe = "grouped aggregate written + read back through ORC (B5 sink family, second format)"
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_q19_orc").toString
+    val out = SinkPaths.dir("q19_orc")
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -101,7 +116,7 @@ object Q20PartitionedSink extends GraftQuery {
   private[queries] val selected = "src3"
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_q20_part").toString
+    val out = SinkPaths.dir("q20_part")
     Tables.documents(spark, sfDir)
       .write.mode("overwrite").partitionBy("source").parquet(out)
     spark.read.parquet(out)

@@ -219,7 +219,8 @@ object W9InterArrival extends GraftQuery {
 
   /** Largest bucket exponent: gaps >= 2^30 s (~34 years) all land in the
     * top bucket, which keeps the CASE chain finite without ever dropping a
-    * gap. */
+    * gap. That bucket is open-ended — [2^30, ∞) — so its gap_hi is NULL
+    * rather than a bound the bucket doesn't actually enforce. */
   private val maxExp = 30
 
   /** Bucket lower bound for a gap (0 for gap 0, else largest 2^b <= gap). */
@@ -249,7 +250,9 @@ object W9InterArrival extends GraftQuery {
     val total = hist.agg(sum(col("n")).as("tot"))
     hist.crossJoin(broadcast(total))
       .select(col("gap_lo"),
-        when(col("gap_lo") === 0, lit(0L)).otherwise(col("gap_lo") * 2 - 1).as("gap_hi"),
+        when(col("gap_lo") === 0, lit(0L))
+          .when(col("gap_lo") === (1L << maxExp), lit(null).cast("long"))
+          .otherwise(col("gap_lo") * 2 - 1).as("gap_hi"),
         col("n"),
         round(col("gap_sum").cast("double") / col("n"), 6).as("avg_gap_s"),
         round(col("n").cast("double") / col("tot"), 6).as("share"))
@@ -267,7 +270,9 @@ object W9InterArrival extends GraftQuery {
          |h AS (SELECT gap_lo, count(*) AS n, sum(gap_s) AS gap_sum FROM b GROUP BY 1),
          |t AS (SELECT sum(n) AS tot FROM h)
          |SELECT gap_lo,
-         |       CASE WHEN gap_lo = 0 THEN 0 ELSE gap_lo * 2 - 1 END AS gap_hi,
+         |       CASE WHEN gap_lo = 0 THEN 0
+         |            WHEN gap_lo = ${1L << maxExp} THEN NULL
+         |            ELSE gap_lo * 2 - 1 END AS gap_hi,
          |       n,
          |       round(CAST(gap_sum AS DOUBLE) / n, 6) AS avg_gap_s,
          |       round(CAST(n AS DOUBLE) / t.tot, 6) AS share

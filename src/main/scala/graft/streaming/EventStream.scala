@@ -282,6 +282,19 @@ object EventStream {
     * Scale: state is bounded by active-user cardinality (8 bytes each),
     * hash-partitioned by user_id; a production deployment would add a
     * timeout to retire idle users (finalizedSessions shows the pattern).
+    *
+    * ORDERING PRECONDITION: events are sorted within a micro-batch, but
+    * batch-w9 parity requires a user's events to arrive in time order
+    * ACROSS batches too (the usual property of a per-key-ordered log like a
+    * user-keyed Kafka partition). An event older than the stored lastSec
+    * would otherwise emit a NEGATIVE gap and regress the state watermark —
+    * such stragglers are DROPPED (state never moves backwards) and counted
+    * in executor logs, mirroring how the exact batch pass (w9 offline) is
+    * the authority whenever the feed can violate the precondition. The
+    * fully general alternative — buffering per-user events against an
+    * event-time timeout before emitting (the finalizedSessions pattern) —
+    * costs a watermark horizon of state per user; this operator deliberately
+    * stays O(8 bytes)/user for ordered feeds.
     */
   def gapStream(events: Dataset[Event]): Dataset[UserGap] = {
     import events.sparkSession.implicits._
@@ -291,14 +304,19 @@ object EventStream {
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[Event], state: GroupState[GapState]) =>
+          // Looked up inside the task (slf4j caches it): a captured logger
+          // field would make the state closure unserializable.
+          val log = org.slf4j.LoggerFactory.getLogger("graft.streaming.EventStream")
           // (ts, event_id) ordering — the batch twin's exact tie-break.
           val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
           var last = state.getOption.map(_.lastSec).getOrElse(Long.MinValue)
           val gaps = Seq.newBuilder[UserGap]
           sorted.foreach { e =>
             val sec = e.ts.getTime / 1000
-            if (last != Long.MinValue) gaps += UserGap(uid, sec - last)
-            last = sec
+            if (last == Long.MinValue) last = sec
+            else if (sec >= last) { gaps += UserGap(uid, sec - last); last = sec }
+            else log.warn(s"gapStream: dropped out-of-order event for user $uid " +
+              s"($sec < state $last) — cross-batch ordering precondition violated")
           }
           state.update(GapState(last))
           gaps.result().iterator

@@ -30,8 +30,10 @@ class StreamingGapSpec extends AnyFunSuite {
         stream.addData(b); q.processAllAvailable()
       }
       val gaps = spark.table("stream_gaps").collect().map(_.getLong(1))
+      // Capped at 2^30 like the engine's CASE chain (the top bucket is
+      // open-ended), so a >= 2^31 gap buckets identically on both paths.
       def bucketLo(gap: Long): Long =
-        if (gap <= 0) 0L else java.lang.Long.highestOneBit(gap)
+        if (gap <= 0) 0L else math.min(java.lang.Long.highestOneBit(gap), 1L << 30)
       val got = gaps.groupBy(bucketLo).map { case (lo, g) =>
         (lo, g.length.toLong,
           BigDecimal(g.sum.toDouble / g.length).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
