@@ -81,6 +81,17 @@ object D12CosineHistogram extends GraftQuery {
       .groupBy(col("bucket")).agg(sum(col("npairs")).as("npairs"))
   }
 
+  /** Same 0.05 bucketing over a provided pair frame carrying a `cosine`
+    * column (e.g. d16's LSH-verified pairs) — the candidate-set calibration
+    * view for when the full census is run on a sample but the production
+    * candidate distribution still needs monitoring. The parameterless run
+    * stays ALL-pairs by design: that census is the tool's purpose.
+    */
+  def histogramOverPairs(pairs: DataFrame): DataFrame =
+    pairs
+      .select(floor(round(col("cosine"), 6) * 20).cast("int").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("npairs"))
+
   val oracle = {
     val en = s"list_transform(embedding, x -> CAST(x AS DOUBLE) / ${VectorOps.normSql("embedding", d)})"
     val dot = (0 until d).map(i => s"a.en[${i + 1}] * b.en[${i + 1}]").mkString(" + ")

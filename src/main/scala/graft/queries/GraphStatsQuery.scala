@@ -33,12 +33,19 @@ object G2Triangles extends GraftQuery {
   val name = "g2_triangles"
   val describe = "triangle census of the d5 pair graph: wedges, triangles, clustering coefficient"
 
-  def run(spark: SparkSession, sfDir: String): DataFrame = {
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    runOverPairs(spark, D5EmbedDedup.run(spark, sfDir))
+
+  /** Pair source is pluggable (D10SemanticClusters.runOverPairs contract):
+    * default is d5's exact pairs; feed D16's LSH-verified pairs for the
+    * bucketed scale path. Expects canonical (vec_a < vec_b) pairs.
+    */
+  def runOverPairs(spark: SparkSession, pairs: DataFrame): DataFrame = {
     // One canonical row per undirected edge (vec_a < vec_b from d5); both
     // the degree aggregate and the two wedge/closure joins read it, so
     // persist (the t8/d4 multi-consumer rule). Bench/Verify sweep caches.
     val e = graft.CacheScope.persisted(
-      D5EmbedDedup.run(spark, sfDir).select(col("vec_a").as("a"), col("vec_b").as("b")))
+      pairs.select(col("vec_a").as("a"), col("vec_b").as("b")))
     val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     // deg*(deg-1) is always even, sum(deg) is 2|E| — the integer halvings

@@ -37,8 +37,14 @@ object G1PageRank extends GraftQuery {
   private val damping = 0.85
   private val roundScale = 9
 
-  def run(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = D5EmbedDedup.run(spark, sfDir).select(col("vec_a"), col("vec_b"))
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    runOverPairs(spark, D5EmbedDedup.run(spark, sfDir).select(col("vec_a"), col("vec_b")))
+
+  /** Pair source is pluggable (D10SemanticClusters.runOverPairs contract):
+    * default is d5's exact pairs; feed D16's LSH-verified pairs for the
+    * bucketed scale path.
+    */
+  def runOverPairs(spark: SparkSession, pairs: DataFrame): DataFrame = {
     // Undirected graph: each pair contributes both directions, so every
     // node has degree >= 1 and receives mass every round.
     val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))

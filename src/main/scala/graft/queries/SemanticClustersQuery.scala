@@ -34,10 +34,25 @@ object D10SemanticClusters extends GraftQuery {
     run(spark, sfDir, edgePartitions = D7DupClusters.defaultEdgePartitions)
 
   def run(spark: SparkSession, sfDir: String, edgePartitions: Int): DataFrame =
-    ConnectedComponents.minLabel(
-      spark,
+    runOverPairs(spark,
       D5EmbedDedup.run(spark, sfDir).select(col("vec_a"), col("vec_b")),
-      edgePartitions, maxRounds, name)
+      edgePartitions, name)
+
+  /** The PAIR SOURCE is a parameter (the d2→d4 plug point applied to the
+    * semantic family): the default run clusters d5's EXACT pairs — the
+    * correctness baseline, O(n²) dot products by construction — while d16
+    * feeds the same propagation engine from sign-LSH candidate buckets
+    * (candidates verified exactly, never all-pairs), which is the form that
+    * survives a 100× corpus. g1/g2 take the same parameter, so swapping the
+    * semantic family onto the bucketed source is one argument at every
+    * entry point.
+    */
+  def runOverPairs(
+      spark: SparkSession,
+      pairs: DataFrame,
+      edgePartitions: Int = D7DupClusters.defaultEdgePartitions,
+      tag: String = name): DataFrame =
+    ConnectedComponents.minLabel(spark, pairs, edgePartitions, maxRounds, tag)
       .select(col("node").as("vec_id"), col("label").as("component"))
 
   val oracle = Some(

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.VectorOps
+
+/** d16: BUCKETED semantic dedup — the 100-TB form of d10. d10's default
+  * pair source is d5's exact tiled all-pairs scan: correct, and the right
+  * recall oracle, but O(n²) dot products no matter how the tiles are cut.
+  * This query is the d2→d4 candidate-then-verify pattern applied to
+  * embeddings (SemDeDup at scale is exactly LSH-or-IVF-then-verify):
+  *
+  *   1. CANDIDATES: s2's sign-LSH construction — L independent tables of
+  *      `nPlanes` seeded hyperplanes; each vector lands in one bucket per
+  *      table, and the probe side additionally visits every bucket within
+  *      Hamming radius 2 (1- and 2-bit flips). A candidate pair is two vectors sharing
+  *      a probed bucket in ANY table (canonical a < b on the probe side, so
+  *      each pair surfaces once per colliding table/probe before DISTINCT).
+  *   2. VERIFY: exact cosine (the codegen'd CosineSimilarity expression,
+  *      bit-identical to the oracle's unrolled IEEE chain) ≥ the SAME 0.35
+  *      threshold d5/d10 use — candidates only, never all-pairs.
+  *   3. CLUSTER: the shared min-label propagation engine, through
+  *      D10SemanticClusters.runOverPairs — identical semantics, component =
+  *      min vec_id.
+  *
+  * Cost model at corpus scale: the bucketed self-join shuffles each vector
+  * L·(1+nPlanes) probe rows (embedding carried once per table row, the s2
+  * cost shape); per-bucket fan-in is the bucket population (n/2^nPlanes per
+  * table), so nPlanes GROWS with the corpus to hold buckets bounded while L
+  * and the probe radius buy recall — every knob is a constant here and an
+  * argument in a deployment. Verification touches candidates only, and the
+  * propagation working set is the verified pair list. Nothing is O(n²).
+  *
+  * Recall: sign-LSH at cosine 0.35 (≈ 70°) is a hard regime — per-plane
+  * agreement p ≈ 0.61, so one 4-plane table alone catches p⁴ ≈ 14% of true
+  * pairs, and radius-1 probing still misses ~6% (which COMPONENTS cannot
+  * tolerate: one missed bridge edge splits a cluster — measured
+  * co-membership recall 0.57 at radius 1). Three tables × radius-2
+  * multi-probe puts worst-case per-pair capture at 1−(1−0.85)³ ≈ 0.997;
+  * measured at sf0.01: 0.996 pair recall, 0.979 co-membership recall vs
+  * exact d10 (floors 0.90 pinned in SemanticLshRecallSpec, the
+  * AnnRecallSpec discipline).
+  *
+  * Determinism: bucket ids are integer sums of sign tests on inlined plane
+  * constants (identical in both engines — s2's argument), the verify cosine
+  * is the exactly-rounded unrolled chain (s1's argument), and min-label
+  * fixpoints are unique — so the oracle's recursive-CTE closure over the
+  * same candidate SQL reaches the identical component set.
+  */
+object D16SemanticLshClusters extends GraftQuery {
+  val name = "d16_semantic_lsh"
+  val describe = "bucketed semantic dedup: sign-LSH multi-probe candidates, exact cosine verify, min-label components"
+
+  private val d = Embeddings.dims
+  private[queries] val threshold = D5EmbedDedup.threshold
+  private val nPlanes = 4
+  private val tableSeeds = Seq(42L, 1042L, 2042L)
+  private val tables = tableSeeds.map(s => VectorOps.hyperplanes(nPlanes, d, s))
+
+  /** Probe masks: the identity plus every 1-bit and 2-bit flip (radius-2
+    * multi-probe). Radius 2 is what the 0.35-cosine regime requires for the
+    * CLUSTER surface: a per-pair miss rate of ~6% (radius 1) is fine for
+    * top-k ANN but fatal for connected components, where one missed BRIDGE
+    * edge splits a big cluster and erases thousands of co-memberships
+    * (measured: radius-1 pair recall 0.93 → co-membership recall 0.57).
+    */
+  private val probeMasks: Seq[Long] = {
+    val singles = (0 until nPlanes).map(i => 1L << i)
+    val doubles = for { i <- 0 until nPlanes; j <- i + 1 until nPlanes }
+      yield (1L << i) | (1L << j)
+    0L +: (singles ++ doubles)
+  }
+
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir, D7DupClusters.defaultEdgePartitions)
+
+  def run(spark: SparkSession, sfDir: String, edgePartitions: Int): DataFrame =
+    D10SemanticClusters.runOverPairs(
+      spark, verifiedPairs(spark, sfDir).select(col("vec_a"), col("vec_b")),
+      edgePartitions, name)
+
+  /** Stage 1+2: LSH candidates → exact-cosine verified pairs (canonical
+    * a < b, with the verified cosine — the d5-shaped contract, so g1/g2/d12
+    * consumers can swap sources without reshaping).
+    */
+  private[queries] def verifiedPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    org.apache.spark.sql.graft.DotProduct.register(spark)
+    org.apache.spark.sql.graft.CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, sfDir).select(
+      col("vec_id") +: col("embedding") +:
+        tables.zipWithIndex.map { case (p, t) =>
+          VectorOps.lshBucketFused(col("embedding"), p).as(s"b$t")
+        }: _*)
+    val tb = explode(array(tables.indices.map(t =>
+      struct(lit(t).as("t"), col(s"b$t").as("bucket"))): _*)).as("tb")
+    val nLong = e.select(col("vec_id"), col("embedding"), tb)
+      .select(col("vec_id"), col("embedding"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val probes = explode(array(probeMasks.map(m =>
+      col("bucket").bitwiseXOR(lit(m))): _*))
+    val pLong = nLong
+      .select(col("vec_id"), col("embedding"), col("t"), probes.as("probe"))
+    val cos = org.apache.spark.sql.graft.CosineSimilarity.cosineSimilarity(
+      col("a.embedding"), col("b.embedding"))
+    pLong.alias("a")
+      .join(nLong.alias("b"),
+        col("a.t") === col("b.t") && col("a.probe") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), cos.as("cos"))
+      .filter(col("cos") >= threshold) // verify BEFORE distinct: far fewer survivors
+      .distinct() // a pair can collide in several tables/probes
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+  }
+
+  val oracle = {
+    val vcos = s"(${VectorOps.dotSql("a.embedding", "b.embedding", d)}) / (a.nrm * b.nrm)"
+    val bucketCols = tables.zipWithIndex
+      .map { case (p, t) => s"CAST(${VectorOps.lshBucketSql("embedding", p)} AS BIGINT) AS b$t" }
+      .mkString(",\n         ")
+    val nl = tables.indices
+      .map(t => s"SELECT vec_id, $t AS t, b$t AS bucket FROM e")
+      .mkString("\n  UNION ALL ")
+    val probeList = probeMasks.map {
+      case 0L => "bucket"
+      case m => s"xor(bucket, $m)"
+    }.mkString(", ")
+    Some(
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, embedding, ${VectorOps.normSql("embedding", d)} AS nrm,
+         |         $bucketCols
+         |  FROM embeddings),
+         |nl AS (
+         |  $nl
+         |),
+         |pl AS (SELECT vec_id, t, unnest([$probeList]) AS probe FROM nl),
+         |cand AS (
+         |  SELECT DISTINCT p.vec_id AS vec_a, n.vec_id AS vec_b
+         |  FROM pl p JOIN nl n
+         |    ON p.t = n.t AND p.probe = n.bucket AND p.vec_id < n.vec_id),
+         |ver AS (
+         |  SELECT c.vec_a, c.vec_b
+         |  FROM cand c JOIN e a ON c.vec_a = a.vec_id JOIN e b ON c.vec_b = b.vec_id
+         |  WHERE $vcos >= $threshold),
+         |edges AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM ver
+         |  UNION ALL SELECT vec_b, vec_a FROM ver),
+         |lab AS (
+         |  SELECT DISTINCT src AS node, src AS label FROM edges
+         |  UNION
+         |  SELECT e2.dst, l.label FROM lab l JOIN edges e2 ON l.node = e2.src)
+         |SELECT node AS vec_id, min(label) AS component
+         |FROM lab GROUP BY node""".stripMargin)
+  }
+}

@@ -39,7 +39,7 @@ object D5EmbedDedup extends GraftQuery {
   val name = "d5_embed_dup"
   val describe = "embedding cosine >= 0.35 similar pairs, exact tiled block-pairs (LSH scale path = s2)"
 
-  private val threshold = 0.35
+  private[queries] val threshold = 0.35
   private val d = Embeddings.dims
 
   /** Default block count for the test scales (8 blocks → 36 tiles, each

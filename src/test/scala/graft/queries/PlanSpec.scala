@@ -326,4 +326,20 @@ class PlanSpec extends AnyFunSuite {
     assert(pushed.isDefined, s"o_orderdate window not pushed to the orders scan:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in the star plan:\n$p")
   }
+
+  test("d16: candidate generation is a (table,bucket) key join — no d5 tile stage, no all-pairs") {
+    // The point of d16 vs d10: pair mining must NOT go through d5's tiled
+    // flatMapGroups (O(n²) dot products) nor any nested-loop join. The only
+    // acceptable shape is bucket-keyed equi-joins + the exact verify filter.
+    val p = D16SemanticLshClusters.verifiedPairs(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("MapGroups") && !p.contains("AppendColumns"),
+      s"d16 routed through a typed tile fold (the exact-path shape):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d16 candidate join degenerated to O(n²):\n$p")
+    assert(p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("bucket")),
+      s"no bucket-keyed equi-join found in d16's plan:\n$p")
+  }
 }
