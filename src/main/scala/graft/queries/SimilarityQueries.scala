@@ -306,8 +306,8 @@ object S4AnnIvf extends GraftQuery {
   private val k = 10
   private val nQueries = 5
   private val d = Embeddings.dims
-  private val centLo = 100L
-  private val nList = 16
+  private[queries] val centLo = 100L
+  private[queries] val nList = 16
   private val nProbe = 6
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {

@@ -327,6 +327,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in the star plan:\n$p")
   }
 
+  test("v2c: candidates come from a list_id equi-join; nested loops only against the 16-row centroid dim") {
+    val p = plan(V2cKnnLabelIvf)
+    assert(!p.contains("CartesianProduct"), s"v2c planned a cartesian:\n$p")
+    // v2's scale limit was the probe-side broadcast feeding a nested-loop
+    // join over the WHOLE base; v2c may nested-loop only against the 16-row
+    // centroid dimension (which instantiates twice — once under the base
+    // branch, once under the probe branch). The candidate join must be a
+    // keyed equi-join.
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"v2c planned $bnlj nested-loop joins (only the two centroid broadcasts are allowed):\n$p")
+    assert(p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) &&
+        l.contains("probe_list") && l.contains("assigned_list")),
+      s"no probe_list=assigned_list equi-join in v2c's plan:\n$p")
+  }
+
   test("d16: candidate generation is a (table,bucket) key join — no d5 tile stage, no all-pairs") {
     // The point of d16 vs d10: pair mining must NOT go through d5's tiled
     // flatMapGroups (O(n²) dot products) nor any nested-loop join. The only
