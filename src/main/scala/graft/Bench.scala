@@ -60,7 +60,17 @@ import graft.queries.Registry
   *     lands on no query in particular instead of penalizing whichever
   *     query reads each table first;
   *   - SPARK_GRAFT_QUERIES (comma-separated names) restricts the run for
-  *     local iteration; the driver leaves it unset and gets the full suite.
+  *     local iteration; the driver leaves it unset and gets the full suite;
+  *   - SENTINELS: three trivial single-exchange queries whose code is
+  *     frozen (t5/q12/q17) are reported with their BASELINE.md row and the
+  *     measured/baseline ratio. Fleet-wide environment drift (JVM, kernel,
+  *     page cache, co-tenant load between recording sessions) moves ALL
+  *     three together; a real plan regression moves only its own query —
+  *     so the sentinel block decides "re-record the baseline" vs "fix the
+  *     query" with data instead of inference (round-6 verdict: +9% median
+  *     drift on untouched queries was only inferable, not measurable).
+  *     Baselines are parsed from BASELINE.md's table at run time so a
+  *     re-record updates the sentinels automatically.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -203,8 +213,34 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
+    // Sentinel drift block (see scaladoc). Missing BASELINE.md rows degrade
+    // to an empty block, never an abort.
+    val sentinelNames = Seq("t5_string_funcs", "q12_intersect", "q17_quality_checks")
+    val baseRows: Map[String, Double] =
+      try {
+        // Explicit UTF-8: the file has multibyte chars (×, —) and the forked
+        // JVM's default charset need not be UTF-8 (observed: MalformedInput).
+        import scala.jdk.CollectionConverters._
+        Files.readAllLines(Paths.get("BASELINE.md"), StandardCharsets.UTF_8)
+          .asScala.flatMap { l =>
+            l.split("\\|").map(_.trim).filter(_.nonEmpty) match {
+              case Array(n, s) if sentinelNames.contains(n) => s.toDoubleOption.map(n -> _)
+              case _ => None
+            }
+          }.toMap
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] no sentinel baselines (${e.getMessage})")
+          Map.empty[String, Double]
+      }
+    val sentinels = sentinelNames.flatMap { n =>
+      for {
+        m <- timesByQuery.get(n).filter(_ => !failedSet(n)).map(_.min)
+        b <- baseRows.get(n)
+      } yield f""""$n":{"sec":$m,"baseline":$b,"ratio":${m / b}%.3f}"""
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sentinels":$sentinels,"sf":"$sfDir"}"""
     println(line)
     val outDir = sys.env.get("SPARK_GRAFT_OUT").filter(_.nonEmpty)
     val outPath = Paths.get(outDir.getOrElse("."), "bench.json")

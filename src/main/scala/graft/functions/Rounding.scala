@@ -23,20 +23,45 @@ object Rounding {
   def roundTo(x: Double, decimals: Int): Double =
     BigDecimal(x).setScale(decimals, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** Order-independent `round(avg(c), scale)` for a column whose values lie
-    * on the 10^-scale grid (i.e. already passed through `round(_, scale)`).
-    * The scaled values are within ~1 ulp of integers, so `round(c * f)` is
-    * the exact integer on both engines; the long sum is exact; both
-    * divisions are correctly rounded on identical inputs.
+  /** Order-independent `round(avg(c), outScale)` for a column whose values
+    * lie on the 10^-gridScale grid (already passed through
+    * `round(_, gridScale)`, or integers / fixed-decimal business values like
+    * lineitem's 2-decimal prices). The scaled values are within ~1 ulp of
+    * integers, so `round(c * f)` is the exact integer on both engines; the
+    * long sum is exact; the divisions and final round are correctly-rounded
+    * ops on identical (sum, count) inputs.
     */
-  def exactAvg(c: Column, scale: Int): Column = {
-    val f = math.pow(10, scale)
-    round(sum(round(c * f).cast("long")).cast("double") / count(c) / f, scale)
+  def exactAvg(c: Column, gridScale: Int, outScale: Int): Column = {
+    val f = math.pow(10, gridScale)
+    round(sum(round(c * f).cast("long")).cast("double") / count(c) / f, outScale)
   }
 
+  def exactAvg(c: Column, scale: Int): Column = exactAvg(c, scale, scale)
+
   /** The DuckDB mirror of [[exactAvg]] — same op sequence, same literals. */
-  def exactAvgSql(expr: String, scale: Int): String = {
-    val f = math.pow(10, scale)
-    s"round(CAST(sum(CAST(round(($expr) * $f) AS BIGINT)) AS DOUBLE) / count($expr) / $f, $scale)"
+  def exactAvgSql(expr: String, gridScale: Int, outScale: Int): String = {
+    val f = math.pow(10, gridScale)
+    s"round(CAST(sum(CAST(round(($expr) * $f) AS BIGINT)) AS DOUBLE) / count($expr) / $f, $outScale)"
+  }
+
+  def exactAvgSql(expr: String, scale: Int): String = exactAvgSql(expr, scale, scale)
+
+  /** Order-independent `round(sum(c), outScale)` for a 10^-gridScale-grid
+    * column. A double sum of grid values carries O(√n·ε·Σ|x|) accumulated
+    * error — ~1e-3 on 600k 4-digit prices, within the 5e-3 rounding margin
+    * at test scale but NOT at 100× the rows — while the scaled-long sum is
+    * exact at any n with Σ|scaled| below Long.Max (~9.2e18; a corpus whose
+    * scaled total exceeds that swaps the long for a `decimal(38, gridScale)`
+    * sum — same order-independence argument, wider accumulator).
+    */
+  def exactSum(c: Column, gridScale: Int, outScale: Int): Column = {
+    val f = math.pow(10, gridScale)
+    round(sum(round(c * f).cast("long")).cast("double") / f, outScale)
+  }
+
+  /** The DuckDB mirror of [[exactSum]]. */
+  def exactSumSql(expr: String, gridScale: Int, outScale: Int): String = {
+    val f = math.pow(10, gridScale)
+    s"round(CAST(sum(CAST(round(($expr) * $f) AS BIGINT)) AS DOUBLE) / $f, $outScale)"
   }
 }

@@ -11,22 +11,31 @@ import graft.Tables
   * Scale: a pure partial+final aggregate — map-side combine on every
   * executor, one row shuffled per partition. Scan is pruned to the two
   * referenced columns (check: ReadSchema in explain).
+  *
+  * Determinism: prices/quantities are fixed-decimal business values (0.01
+  * grid — verified on the generated data), so the sum and mean go through
+  * Rounding.exactSum/exactAvg scaled-long arithmetic: order-independent at
+  * any scale, where a double sum's √n-growing error would cross the
+  * 2-decimal rounding margin around 100× this row count (the t17 lesson
+  * applied before it bites).
   */
 object Q1Agg extends GraftQuery {
   val name = "q1_agg"
   val describe = "global SUM/COUNT/AVG over lineitem (reference C1 as one-shot aggregate)"
 
+  import graft.functions.Rounding
+
   def run(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir).agg(
-      round(sum(col("l_extendedprice")), 2).as("sum_price"),
+      Rounding.exactSum(col("l_extendedprice"), 2, 2).as("sum_price"),
       count(lit(1)).as("n_rows"),
-      round(avg(col("l_quantity")), 6).as("avg_qty"))
+      Rounding.exactAvg(col("l_quantity"), 2, 6).as("avg_qty"))
 
   val oracle = Some(
-    """SELECT round(sum(l_extendedprice), 2) AS sum_price,
-      |       count(*) AS n_rows,
-      |       round(avg(l_quantity), 6) AS avg_qty
-      |FROM lineitem""".stripMargin)
+    s"""SELECT ${graft.functions.Rounding.exactSumSql("l_extendedprice", 2, 2)} AS sum_price,
+       |       count(*) AS n_rows,
+       |       ${graft.functions.Rounding.exactAvgSql("l_quantity", 2, 6)} AS avg_qty
+       |FROM lineitem""".stripMargin)
 }
 
 /** Q7 (SURVEY §2.F): grouped partial+final aggregation, TPC-H Q1 shape —
@@ -42,31 +51,43 @@ object Q7GroupedAgg extends GraftQuery {
   val name = "q7_grouped_agg"
   val describe = "grouped aggregates by (returnflag, linestatus), TPC-H Q1 shape"
 
+  // Grid scales (verified on the generated data): quantity/price/discount/
+  // tax are 0.01-grid; price×(1−disc) lands on the 1e-4 grid and
+  // ×(1+tax) on the 1e-6 grid, with the double products' rounding error
+  // (~1e-6 after scaling) far inside the 0.5 integer-recovery tolerance —
+  // so every sum/avg below is an exact scaled-long fold on both engines
+  // (Rounding.exactSum/exactAvg; the q1 determinism note).
   def run(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Rounding.{exactAvg, exactSum}
     val li = Tables.lineitem(spark, sfDir)
+    val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val charge = col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))
     li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
-      round(sum(col("l_quantity")), 2).as("sum_qty"),
-      round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-      round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-      round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-      round(avg(col("l_quantity")), 6).as("avg_qty"),
-      round(avg(col("l_extendedprice")), 6).as("avg_price"),
-      round(avg(col("l_discount")), 6).as("avg_disc"),
+      exactSum(col("l_quantity"), 2, 2).as("sum_qty"),
+      exactSum(col("l_extendedprice"), 2, 2).as("sum_base_price"),
+      exactSum(discPrice, 4, 2).as("sum_disc_price"),
+      exactSum(charge, 6, 2).as("sum_charge"),
+      exactAvg(col("l_quantity"), 2, 6).as("avg_qty"),
+      exactAvg(col("l_extendedprice"), 2, 6).as("avg_price"),
+      exactAvg(col("l_discount"), 2, 6).as("avg_disc"),
       count(lit(1)).as("count_order"))
   }
 
-  val oracle = Some(
-    """SELECT l_returnflag, l_linestatus,
-      |       round(sum(l_quantity), 2) AS sum_qty,
-      |       round(sum(l_extendedprice), 2) AS sum_base_price,
-      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-      |       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
-      |       round(avg(l_quantity), 6) AS avg_qty,
-      |       round(avg(l_extendedprice), 6) AS avg_price,
-      |       round(avg(l_discount), 6) AS avg_disc,
-      |       count(*) AS count_order
-      |FROM lineitem
-      |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+  val oracle = {
+    import graft.functions.Rounding.{exactAvgSql, exactSumSql}
+    Some(
+      s"""SELECT l_returnflag, l_linestatus,
+         |       ${exactSumSql("l_quantity", 2, 2)} AS sum_qty,
+         |       ${exactSumSql("l_extendedprice", 2, 2)} AS sum_base_price,
+         |       ${exactSumSql("l_extendedprice * (1.0 - l_discount)", 4, 2)} AS sum_disc_price,
+         |       ${exactSumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6, 2)} AS sum_charge,
+         |       ${exactAvgSql("l_quantity", 2, 6)} AS avg_qty,
+         |       ${exactAvgSql("l_extendedprice", 2, 6)} AS avg_price,
+         |       ${exactAvgSql("l_discount", 2, 6)} AS avg_disc,
+         |       count(*) AS count_order
+         |FROM lineitem
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+  }
 }
 
 /** Q10 (SURVEY §2.F): deterministic train/test split counts. The reference

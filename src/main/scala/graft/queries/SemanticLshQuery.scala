@@ -32,6 +32,13 @@ import graft.operators.VectorOps
   * and the probe radius buy recall — every knob is a constant here and an
   * argument in a deployment. Verification touches candidates only, and the
   * propagation working set is the verified pair list. Nothing is O(n²).
+  * At TEST scale the win inverts, deliberately: 4 planes = 16 buckets, and
+  * radius-2 probes 11 of them per table, so the candidate set approaches
+  * all-pairs and d16 benches SLOWER than the exact d5 tiling — the
+  * crossover arrives with the plane count (e.g. 16 planes probe
+  * 137/65,536 ≈ 0.2% of buckets), which is a config change, not a code
+  * change. The structural guarantee the plan pin holds is what scales:
+  * candidates come from keyed equi-joins, never a quadratic operator.
   *
   * Recall: sign-LSH at cosine 0.35 (≈ 70°) is a hard regime — per-plane
   * agreement p ≈ 0.61, so one 4-plane table alone catches p⁴ ≈ 14% of true

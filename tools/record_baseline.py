@@ -48,6 +48,7 @@ PLAUSIBILITY = [
     ("p5_decontaminated", "p1_clean_corpus"),  # p5 = p1 dispositions + d9 gate
     ("d15_quality_survivor", "d7_dup_clusters"),  # d15 joins d7's components
     ("g2_triangles", "d5_embed_dup"),  # g2 runs D5EmbedDedup.run as stage 1
+    ("v2c_knn_label_ivf", "s6_ann_ivf_trained"),  # v2c runs s6's training loop as stage 1
 ]
 
 REPS = "3"
@@ -110,40 +111,31 @@ def splice(data):
         head = f.read().split(MARKER)[0].rstrip() + "\n"
     rows = "\n".join(f"| {name} | {q[name]:.2f} |" for name in sorted(q))
     section = f"""
-{MARKER} round-5 numbers (sf0.1, local[{CPUS}], -Xmx8g=-Xms, {CPUS} shuffle partitions, interleaved reps={REPS})
+{MARKER} round-7 numbers (sf0.1, local[{CPUS}], -Xmx8g=-Xms, {CPUS} shuffle partitions, interleaved reps={REPS})
 
 Recorded by `tools/record_baseline.py` — the same Bench harness the driver
 runs (codegen warm pass at sf0.001, recursive page-cache prewarm, per-query
-minimum over {REPS} INTERLEAVED passes, fixed heap, UNTIMED cache sweep
-between queries; see Bench.scala's scaladoc for why each knob exists).
+minimum over {REPS} INTERLEAVED passes with per-pass permuted suite order,
+fixed heap, UNTIMED cache sweep between queries; see Bench.scala's scaladoc
+for why each knob exists — the cache-leak fix, the untimed sweep, and the
+permuted interleaving were each adopted after a measured artifact).
 
-Three round-5 harness fixes make this table differ from round 3's:
-
-1. **The cache-leak fix raised every persisting query's row to its honest
-   cost.** Through round 4 the sweep was RDD-level only, which drops blocks
-   but leaves SQL CacheManager entries; every rep>1 of d2/d4/d6/d9/q6/t8/t9
-   silently reused the previous rep's cache. That leak is how the old table
-   acquired its structurally impossible d6 row (0.44 s — 3x cheaper than
-   the d3 stage d6 runs as its own first step, flagged by two verdicts).
-   The recording gate below caught it on the first post-fix run.
-2. **The sweep is no longer inside the timed window** — eviction is harness
-   bookkeeping, and timing it put 0.3-0.5 s of block-manager noise on
-   whichever persisting query ran next (d2 spanned 0.7-1.2 s across JVMs
-   with the sweep timed; 0.767 vs 0.769 with it untimed).
-3. **Each interleaved pass runs a deterministic permutation of the suite**
-   (seed = pass number). With a fixed order, a predecessor-pinned effect
-   poisons every rep identically and the min cannot dodge it: d2 measured
-   1.26-1.74 s running after allocation-heavy d1 in every pass vs 0.94 s
-   isolated, same build — which tripped the d4 >= d2 plausibility gate
-   three recordings in a row. A rotation does not fix this (it preserves
-   cyclic adjacency); System.gc() in the untimed gap did not either.
+Why round 7 re-recorded: (a) the surface grew to include d16_semantic_lsh
+and v2c_knn_label_ivf, which need baseline rows; (b) round 6 measured a
+fleet-wide +9% median drift on queries whose code was untouched since the
+round-5 recording (t5 +22%, q12 +27%, q17 +24% — trivial single-exchange
+plans), i.e. environment movement between recording sessions, not plan
+regressions. Bench now emits a per-run "sentinels" block (t5/q12/q17
+measured vs these rows) so the next drift is measured per round instead of
+inferred; re-record again when the sentinels move together by >10%.
 
 Acceptance gate applied at recording time (violation = the run is rejected
 and repeated, never hand-edited): a query executing a strict superset of
 another's work must not measure cheaper — d6 >= d3, d4 >= d2, d7 >= d4,
-d10 >= d5, g1 >= d5 — with a 0.75 noise band separating per-slot
-scheduling luck (~0.8x worst observed under fixed-order passes) from
-impossible readings (the cache-leak row sat at 0.41x).
+d10 >= d5, g1 >= d5, g2 >= d5, p4 >= p1, p5 >= p1, d15 >= d7, v2c >= s6 —
+with a 0.75 noise band separating per-slot scheduling luck (~0.8x worst
+observed under fixed-order passes) from impossible readings (the round-4
+cache-leak row sat at 0.41x).
 
 Total wall-clock for the {len(q)}-query timed pass (sum of per-query
 minima): {total:.1f} s. Per query (seconds):
