@@ -30,6 +30,20 @@ object Rounding {
     * integers, so `round(c * f)` is the exact integer on both engines; the
     * long sum is exact; the divisions and final round are correctly-rounded
     * ops on identical (sum, count) inputs.
+    *
+    * ALSO valid for ARBITRARY doubles with a gridScale well below the
+    * output scale (e.g. gridScale 12, outScale 6): per-row ops on identical
+    * IEEE inputs are bit-equal across engines — `c * f` is the same double
+    * product and `round` of the same double is the same long on both sides,
+    * even at a midpoint — so the only cross-engine hazard in `round(avg)`
+    * is SUMMATION ORDER, which the exact long sum removes. The result is
+    * the exact mean of the 10^-gridScale-quantized values (each input
+    * perturbed ≤ 5·10^-(gridScale+1), identically on both engines), i.e.
+    * `round(avg, outScale)` up to a deterministic sub-grid quantization —
+    * the v1/v3/v4 centroid discipline. Overflow bound as in [[exactSum]]:
+    * per-GROUP Σ|c|·10^gridScale must stay under Long.Max (~9.2e18); a
+    * group whose scaled mass exceeds that swaps the long for a
+    * `decimal(38, gridScale)` accumulator, same order-independence.
     */
   def exactAvg(c: Column, gridScale: Int, outScale: Int): Column = {
     val f = math.pow(10, gridScale)

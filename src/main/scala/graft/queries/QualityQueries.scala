@@ -97,10 +97,19 @@ object T8Repetition extends GraftQuery {
   * each document's bigrams against the count tables on the n-gram key.
   * Nothing is driver-side; the model IS a DataFrame.
   *
-  * Parity: ln is not an exactly-rounded operation and summation order
-  * differs between engines, so the average is rounded to 4 decimals on both
-  * sides (ulp-level noise is ~1e-13 — far below the rounding grid; same
-  * treatment as every exp/log in the suite, see q3's sigmoid).
+  * Parity: two independent noise sources separate here. Summation ORDER
+  * (partition-order on Spark, sequential in DuckDB) is removed outright by
+  * `Rounding.exactAvg(_, 12, 4)` — the quantized-mean scaled-long fold, so
+  * the per-document mean is order-independent within each engine. What
+  * remains is genuine per-row cross-engine noise: ln is not a correctly-
+  * rounded operation, so the SAME bigram can score ~1e-13 apart between
+  * JVM Math.log and DuckDB's libm before any aggregation. That residue is
+  * irreducible by any summation discipline and is absorbed by the 4-decimal
+  * output grid (margin 5e-5, noise ~1e-13 per row — same treatment as every
+  * exp/log in the suite, see q3's sigmoid). Deliberately NOT grid-rounding
+  * the per-row ln: a coarse per-row grid would convert the 1e-13 noise into
+  * midpoint flips at rate noise/grid, far worse than folding it into the
+  * mean.
   */
 object T9BigramLm extends GraftQuery {
   val name = "t9_bigram_lm"
@@ -129,7 +138,8 @@ object T9BigramLm extends GraftQuery {
       .crossJoin(broadcast(vocab))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(log((col("cb") + 1.0) / (col("cw") + col("v")))), 4).as("avg_logp"))
+        graft.functions.Rounding.exactAvg(
+          log((col("cb") + 1.0) / (col("cw") + col("v"))), 12, 4).as("avg_logp"))
   }
 
   val oracle = Some(
@@ -142,7 +152,7 @@ object T9BigramLm extends GraftQuery {
        |uc AS (SELECT w, count(*) AS cw FROM (SELECT unnest(toks) AS w FROM th) GROUP BY 1),
        |v AS (SELECT count(*) AS v FROM uc)
        |SELECT o.doc_id, count(*) AS n_bigrams,
-       |       round(avg(ln((c.cb + 1.0) / (u.cw + v.v))), 4) AS avg_logp
+       |       ${graft.functions.Rounding.exactAvgSql("ln((c.cb + 1.0) / (u.cw + v.v))", 12, 4)} AS avg_logp
        |FROM occ o
        |JOIN bc c ON o.w1 = c.w1 AND o.w2 = c.w2
        |JOIN uc u ON o.w1 = u.w

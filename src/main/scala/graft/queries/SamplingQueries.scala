@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.Portable
+import graft.functions.{Portable, Rounding}
 import graft.operators.TextOps
 
 /** t6: vocabulary building — global token frequencies, top 50 by (count
@@ -70,6 +70,14 @@ object S3StratifiedSample extends GraftQuery {
   * by k-means accumulation and class-prototype computation, fully
   * declarative: 64 per-dimension averages in one partial+final aggregate
   * (the shuffle carries labels × 64 doubles, constant in data size).
+  *
+  * Each mean uses `Rounding.exactAvg(_, 12, 6)` — the quantized-mean form
+  * for arbitrary doubles — so the centroid cells are order-independent and
+  * engine-identical even when a label's mean lands within summation noise of
+  * a 5e-7 boundary (the t17 failure mode; a plain `round(avg, 6)` double sum
+  * runs in partition order here and sequential order in the oracle). v3/v4
+  * reuse the same centroid expression, so every downstream cosine compares
+  * against bit-identical centroids.
   */
 object V1LabelCentroids extends GraftQuery {
   val name = "v1_label_centroids"
@@ -79,7 +87,7 @@ object V1LabelCentroids extends GraftQuery {
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     val avgs = (0 until d).map(i =>
-      round(avg(element_at(col("embedding"), i + 1).cast("double")), 6).as(s"c$i"))
+      Rounding.exactAvg(element_at(col("embedding"), i + 1).cast("double"), 12, 6).as(s"c$i"))
     Tables.embeddings(spark, sfDir)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"), avgs: _*)
@@ -87,7 +95,7 @@ object V1LabelCentroids extends GraftQuery {
 
   val oracle = {
     val avgs = (0 until d)
-      .map(i => s"round(avg(CAST(embedding[${i + 1}] AS DOUBLE)), 6) AS c$i")
+      .map(i => s"${Rounding.exactAvgSql(s"CAST(embedding[${i + 1}] AS DOUBLE)", 12, 6)} AS c$i")
       .mkString(",\n       ")
     Some(
       s"""SELECT label, count(*) AS n,
@@ -118,7 +126,7 @@ object V3CentroidOutliers extends GraftQuery {
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
     val avgs = (0 until d).map(i =>
-      round(avg(element_at(col("embedding"), i + 1).cast("double")), 6).as(s"c$i"))
+      Rounding.exactAvg(element_at(col("embedding"), i + 1).cast("double"), 12, 6).as(s"c$i"))
     val cents = e.groupBy(col("label")).agg(avgs.head, avgs.tail: _*)
     val dot = (0 until d).map(i =>
       element_at(col("embedding"), i + 1).cast("double") * col(s"c$i")).reduce(_ + _)
@@ -135,7 +143,7 @@ object V3CentroidOutliers extends GraftQuery {
 
   val oracle = {
     val avgs = (0 until d)
-      .map(i => s"round(avg(CAST(embedding[${i + 1}] AS DOUBLE)), 6) AS c$i").mkString(", ")
+      .map(i => s"${Rounding.exactAvgSql(s"CAST(embedding[${i + 1}] AS DOUBLE)", 12, 6)} AS c$i").mkString(", ")
     val dot = (0 until d).map(i => s"CAST(e.embedding[${i + 1}] AS DOUBLE) * c.c$i").mkString(" + ")
     val nv = "sqrt(" + (0 until d).map(i =>
       s"CAST(e.embedding[${i + 1}] AS DOUBLE) * CAST(e.embedding[${i + 1}] AS DOUBLE)").mkString(" + ") + ")"
@@ -177,7 +185,7 @@ object V4LabelSilhouette extends GraftQuery {
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
     val avgs = (0 until d).map(i =>
-      round(avg(element_at(col("embedding"), i + 1).cast("double")), 6).as(s"c$i"))
+      Rounding.exactAvg(element_at(col("embedding"), i + 1).cast("double"), 12, 6).as(s"c$i"))
     val cents = e.groupBy(col("label").as("clabel")).agg(avgs.head, avgs.tail: _*)
     val dot = (0 until d).map(i =>
       element_at(col("embedding"), i + 1).cast("double") * col(s"c$i")).reduce(_ + _)
@@ -210,7 +218,7 @@ object V4LabelSilhouette extends GraftQuery {
 
   val oracle = {
     val avgs = (0 until d)
-      .map(i => s"round(avg(CAST(embedding[${i + 1}] AS DOUBLE)), 6) AS c$i").mkString(", ")
+      .map(i => s"${Rounding.exactAvgSql(s"CAST(embedding[${i + 1}] AS DOUBLE)", 12, 6)} AS c$i").mkString(", ")
     val dot = (0 until d).map(i => s"CAST(e.embedding[${i + 1}] AS DOUBLE) * c.c$i").mkString(" + ")
     val nv = "sqrt(" + (0 until d).map(i =>
       s"CAST(e.embedding[${i + 1}] AS DOUBLE) * CAST(e.embedding[${i + 1}] AS DOUBLE)").mkString(" + ") + ")"
