@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global row_number WITHOUT a single-partition sort — the q6/p2
+  * construction (`MLQueries.scala:159`) factored into a library form:
+  * range-partition on the sort key, rank WITHIN each range partition (every
+  * partition sorts only its own slice), then add per-partition offsets
+  * computed from the O(partitions) count metadata — a driver-side fold of
+  * METADATA, like the kernel's master folds, never a data collect. The
+  * global rank is exact for whatever boundaries the range sampler picks,
+  * provided `sortCols` is a TOTAL order (callers append a unique id as the
+  * final key).
+  *
+  * At 1000 executors this is the only rank shape that survives: a plain
+  * `Window.orderBy` funnels the corpus through one task, while this keeps
+  * the sort distributed and moves only P counts to the driver.
+  */
+object Rank {
+
+  /** Returns `df` plus a `rk` column (1-based global row number by
+    * `sortCols`). The range-partitioned frame is persisted (two passes: the
+    * count metadata and the ranked read) — callers sweep caches per the
+    * Bench/Verify discipline.
+    */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[Column], parts: Int): DataFrame = {
+    val ranged = graft.CacheScope.persisted(
+      df.repartitionByRange(parts, sortCols: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val cnts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = cnts.scanLeft((0, 0L)) { case ((_, acc), (pid, cnt)) => (pid, acc + cnt) }
+    val offExpr = cnts.map(_._1).zip(offsets.map(_._2)).foldLeft(lit(0L)) {
+      case (acc, (pid, off)) => when(col("__pid") === pid, off).otherwise(acc)
+    }
+    val inPart = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+    ranged
+      .withColumn("rk", offExpr + row_number().over(inPart))
+      .drop("__pid")
+  }
+}

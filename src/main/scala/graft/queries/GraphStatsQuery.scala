@@ -68,9 +68,14 @@ object G2Triangles extends GraftQuery {
           .as("clustering_coeff"))
   }
 
-  val oracle = Some(
-    s"""WITH ${D5EmbedDedup.pairsCtesSql},
-       |ed AS (SELECT vec_a AS a, vec_b AS b FROM d5),
+  /** The census SQL over ANY pair CTE chain (final CTE `pairCte` exposing
+    * vec_a < vec_b) — the oracle mirror of [[runOverPairs]]'s pluggability,
+    * same contract as `G1PageRank.oracleSqlOver`. g2 instantiates it over
+    * d5's exact pairs; g4 over d16's LSH-verified pairs.
+    */
+  private[queries] def oracleSqlOver(pairsCtes: String, pairCte: String): String =
+    s"""WITH $pairsCtes,
+       |ed AS (SELECT vec_a AS a, vec_b AS b FROM $pairCte),
        |deg AS (
        |  SELECT v, count(*) AS deg
        |  FROM (SELECT a AS v FROM ed UNION ALL SELECT b AS v FROM ed) GROUP BY 1),
@@ -88,5 +93,29 @@ object G2Triangles extends GraftQuery {
        |       round(s.avg_deg, 6) AS avg_degree,
        |       CASE WHEN s.n_wedges = 0 THEN 0.0
        |            ELSE round(t.n_triangles * 3.0 / s.n_wedges, 6) END AS clustering_coeff
-       |FROM stats s CROSS JOIN tri t""".stripMargin)
+       |FROM stats s CROSS JOIN tri t""".stripMargin
+
+  val oracle = Some(oracleSqlOver(D5EmbedDedup.pairsCtesSql, "d5"))
+}
+
+/** g4: g2's triangle census over d16's BUCKETED pair source — the g3 move
+  * applied to the census, completing the "g1/g2 inherit the pluggable pair
+  * source" composition on the oracle surface. Same wedge/closure joins and
+  * integer counts; the edges come from sign-LSH candidates + exact-cosine
+  * verify ((table, bucket) equi-joins end to end), so no stage is O(n²) and
+  * the chain holds at the 100-TB scale the exact d5 tiling cannot. The
+  * oracle is EXACT against the same bucketed source; closeness to g2 at
+  * test scale follows from d16's pinned 0.996 pair recall.
+  */
+object G4TrianglesLsh extends GraftQuery {
+  val name = "g4_triangles_lsh"
+  val describe = "triangle census over d16's bucketed LSH-verified pair graph (the 100-TB composition of g2)"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    G2Triangles.runOverPairs(spark,
+      D16SemanticLshClusters.verifiedPairs(spark, sfDir)
+        .select(col("vec_a"), col("vec_b")))
+
+  val oracle = Some(G2Triangles.oracleSqlOver(
+    D16SemanticLshClusters.pairsCtesSql, "ver"))
 }

@@ -173,3 +173,73 @@ object P3MixtureSample extends GraftQuery {
        |FROM ranked r JOIN w USING (source) CROSS JOIN n CROSS JOIN tw
        |WHERE r.rk <= (n.n // $budgetDiv) * w.w // tw.tw""".stripMargin)
 }
+
+/** p6: TEMPERATURE-rebalanced mixture — p3's quota/hash-rank machinery with
+  * weights derived from the DATA instead of a config table: each source's
+  * weight is isqrt(n_s) = floor(sqrt(docs in source)), i.e. sampling
+  * probability ∝ n_s^0.5 — the temperature trick (α < 1) multilingual and
+  * multi-source LM training uses to keep large sources from drowning small
+  * ones while still favoring them (α=1 is proportional/no rebalance, α=0 is
+  * uniform; 0.5 sits in the published range and, unlike fractional pow, has
+  * an EXACT integer form). A source 100× larger gets only 10× the quota.
+  *
+  * Scale shape: identical to p3 — per-source counts are one map-side-
+  * combined aggregate over |sources| rows, weights/totals are broadcast
+  * 1-row/|sources|-row frames, and the fill is the per-source hash-rank
+  * window (keyed on source, so no global sort).
+  *
+  * Determinism: isqrt is exact — sqrt of an integer is correctly rounded in
+  * IEEE and floor() of it is the true integer root for n < 2^52 (the only
+  * doubles that could straddle an integer boundary are beyond 52 bits), so
+  * the weights are INTEGERS computed identically in both engines and every
+  * quota is integer arithmetic from there — no summation order, no pow
+  * ulps, no rounded ratios anywhere.
+  */
+object P6TemperatureMix extends GraftQuery {
+  val name = "p6_temperature_mix"
+  val describe = "temperature mixture (alpha=0.5): quotas prop. to isqrt(source size), hash-rank fill"
+
+  /** Budget = total docs / budgetDiv (integer division), as p3. */
+  private[queries] val budgetDiv = 2
+
+  private val sampleHash = Portable.hash60(concat(lit("tmix:"), col("doc_id").cast("string")))
+  private[queries] def sampleHashSql = Portable.hash60Sql("'tmix:' || CAST(doc_id AS VARCHAR)")
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val weights = docs.groupBy(col("source"))
+      .agg(floor(sqrt(count(lit(1)).cast("double"))).cast("long").as("w"),
+        count(lit(1)).as("n_src"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val totalW = weights.agg(sum(col("w")).as("tw"))
+    val rk = Window.partitionBy(col("source"))
+      .orderBy(sampleHash.asc, col("doc_id").asc)
+    docs
+      .withColumn("rk", row_number().over(rk).cast("long"))
+      .join(broadcast(weights), Seq("source"))
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(totalW))
+      .withColumn("quota", expr(s"(n div $budgetDiv) * w div tw"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("source"), col("n_src"), col("w"), col("quota"), col("rk"), col("doc_id"))
+  }
+
+  val oracle = Some(
+    s"""WITH w AS (
+       |  SELECT source, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w,
+       |         count(*) AS n_src
+       |  FROM documents GROUP BY source),
+       |tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |ranked AS (
+       |  SELECT source, doc_id,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY source
+       |           ORDER BY $sampleHashSql ASC, doc_id ASC) AS BIGINT) AS rk
+       |  FROM documents)
+       |SELECT r.source, w.n_src, w.w,
+       |       (n.n // $budgetDiv) * w.w // tw.tw AS quota,
+       |       r.rk, r.doc_id
+       |FROM ranked r JOIN w USING (source) CROSS JOIN n CROSS JOIN tw
+       |WHERE r.rk <= (n.n // $budgetDiv) * w.w // tw.tw""".stripMargin)
+}

@@ -45,10 +45,16 @@ object G1PageRank extends GraftQuery {
     * bucketed scale path.
     */
   def runOverPairs(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    // Persist the pair SOURCE first: it is referenced twice by the
+    // direction union, and `deg` (itself read by the adjacency build AND
+    // the final join) multiplies the references further — without the cache
+    // an expensive generator (g3 feeds d16's whole LSH chain here) would
+    // re-execute per reference (the t8/d4 multi-consumer rule).
+    val p = graft.CacheScope.persisted(pairs)
     // Undirected graph: each pair contributes both directions, so every
     // node has degree >= 1 and receives mass every round.
-    val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
-      .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+    val edges = p.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .union(p.select(col("vec_b").as("src"), col("vec_a").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // Adjacency with the sender's degree attached once, read 5 times.
     val adj = graft.CacheScope.persisted(
@@ -71,7 +77,12 @@ object G1PageRank extends GraftQuery {
         round(col("pr"), 6).as("pagerank"))
   }
 
-  val oracle = {
+  /** The unrolled 5-round PageRank oracle over ANY pair CTE chain — the SQL
+    * mirror of [[runOverPairs]]'s pluggability: `pairsCtes`' final CTE
+    * `pairCte` must expose (vec_a, vec_b). g1 instantiates it over d5's
+    * exact pairs; g3 over d16's LSH-verified pairs.
+    */
+  private[queries] def oracleSqlOver(pairsCtes: String, pairCte: String): String = {
     val nSub = "(SELECT n FROM n)"
     val iters = (1 to iterations).map { i =>
       s"""pr$i AS (
@@ -84,16 +95,42 @@ object G1PageRank extends GraftQuery {
          |  JOIN deg d ON e.src = d.src
          |  GROUP BY e.dst)""".stripMargin
     }.mkString(",\n")
-    Some(
-      s"""WITH ${D5EmbedDedup.pairsCtesSql},
-         |edges AS (
-         |  SELECT vec_a AS src, vec_b AS dst FROM d5
-         |  UNION ALL SELECT vec_b, vec_a FROM d5),
-         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
-         |n AS (SELECT count(*) AS n FROM deg),
-         |pr0 AS (SELECT src AS id, round(1.0 / $nSub, $roundScale) AS pr FROM deg),
-         |$iters
-         |SELECT d.src AS vec_id, d.deg AS degree, round(p.pr, 6) AS pagerank
-         |FROM pr$iterations p JOIN deg d ON p.id = d.src""".stripMargin)
+    s"""WITH $pairsCtes,
+       |edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM $pairCte
+       |  UNION ALL SELECT vec_b, vec_a FROM $pairCte),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+       |n AS (SELECT count(*) AS n FROM deg),
+       |pr0 AS (SELECT src AS id, round(1.0 / $nSub, $roundScale) AS pr FROM deg),
+       |$iters
+       |SELECT d.src AS vec_id, d.deg AS degree, round(p.pr, 6) AS pagerank
+       |FROM pr$iterations p JOIN deg d ON p.id = d.src""".stripMargin
   }
+
+  val oracle = Some(oracleSqlOver(D5EmbedDedup.pairsCtesSql, "d5"))
+}
+
+/** g3: g1's PageRank composed over d16's BUCKETED pair source — the
+  * verdict-claimed composition ("g1/g2/d12 inherit the pluggable pair
+  * source") made a first-class oracle row. Identical ranking semantics and
+  * iteration loop; the only change is where edges come from: d16's sign-LSH
+  * radius-2 candidates verified by exact cosine, joined on (table, bucket)
+  * keys — so the whole chain (pair generation → degree → 5 ranked rounds)
+  * contains no O(n²) stage and survives the 100× scale-up that d5's exact
+  * tiling cannot. At test scale the edge sets differ only by d16's measured
+  * 0.4% pair-recall miss, so ranks track g1 closely (pinned in
+  * PairSourceCompositionSpec, top-degree overlap floor) — but the oracle
+  * match is EXACT against the same bucketed source, not approximate.
+  */
+object G3PageRankLsh extends GraftQuery {
+  val name = "g3_pagerank_lsh"
+  val describe = "PageRank over d16's bucketed LSH-verified pair graph (the 100-TB composition of g1)"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    G1PageRank.runOverPairs(spark,
+      D16SemanticLshClusters.verifiedPairs(spark, sfDir)
+        .select(col("vec_a"), col("vec_b")))
+
+  val oracle = Some(G1PageRank.oracleSqlOver(
+    D16SemanticLshClusters.pairsCtesSql, "ver"))
 }

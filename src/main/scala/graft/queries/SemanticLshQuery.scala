@@ -95,32 +95,54 @@ object D16SemanticLshClusters extends GraftQuery {
   private[queries] def verifiedPairs(spark: SparkSession, sfDir: String): DataFrame = {
     org.apache.spark.sql.graft.DotProduct.register(spark)
     org.apache.spark.sql.graft.CosineSimilarity.register(spark)
-    val e = Tables.embeddings(spark, sfDir).select(
-      col("vec_id") +: col("embedding") +:
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val e = emb.select(
+      col("vec_id") +:
         tables.zipWithIndex.map { case (p, t) =>
           VectorOps.lshBucketFused(col("embedding"), p).as(s"b$t")
         }: _*)
     val tb = explode(array(tables.indices.map(t =>
       struct(lit(t).as("t"), col(s"b$t").as("bucket"))): _*)).as("tb")
-    val nLong = e.select(col("vec_id"), col("embedding"), tb)
-      .select(col("vec_id"), col("embedding"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    // IDs AND BUCKETS ONLY through the fan-out stage: the probe explode
+    // multiplies every vector |tables|×|probes| times and the bucket join
+    // multiplies again by bucket occupancy, so the embedding payload must
+    // not ride through either (the d11 "payload never shuffles" rule).
+    val nLong = e.select(col("vec_id"), tb)
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
     val probes = explode(array(probeMasks.map(m =>
       col("bucket").bitwiseXOR(lit(m))): _*))
     val pLong = nLong
-      .select(col("vec_id"), col("embedding"), col("t"), probes.as("probe"))
-    val cos = org.apache.spark.sql.graft.CosineSimilarity.cosineSimilarity(
-      col("a.embedding"), col("b.embedding"))
-    pLong.alias("a")
+      .select(col("vec_id"), col("t"), probes.as("probe"))
+    // DISTINCT before verify: a pair collides in up to |tables|×|probes|
+    // buckets, and the 4-plane tables are COARSE (16 buckets), so collision
+    // multiplicity is high; deduping 16-byte id pairs first means the
+    // 128-dim cosine runs once per candidate PAIR, not once per collision
+    // (measured 10.8 → ~4 s on d16 at sf0.1). The survivor set is
+    // identical either way — cosine is a pure pair function.
+    val cand = pLong.alias("a")
       .join(nLong.alias("b"),
         col("a.t") === col("b.t") && col("a.probe") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), cos.as("cos"))
-      .filter(col("cos") >= threshold) // verify BEFORE distinct: far fewer survivors
-      .distinct() // a pair can collide in several tables/probes
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val cos = org.apache.spark.sql.graft.CosineSimilarity.cosineSimilarity(
+      col("ea.embedding"), col("eb.embedding"))
+    cand
+      .join(emb.alias("ea"), col("vec_a") === col("ea.vec_id"))
+      .join(emb.alias("eb"), col("vec_b") === col("eb.vec_id"))
+      .select(col("vec_a"), col("vec_b"), cos.as("cos"))
+      .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
   }
 
-  val oracle = {
+  /** The LSH-candidates→exact-verify chain as DuckDB CTEs, final CTE `ver`
+    * holding the verified pair list (vec_a < vec_b) — the SQL mirror of
+    * [[verifiedPairs]], factored out so pair-graph consumers (g3's PageRank)
+    * can compose their oracle over the bucketed source exactly as their
+    * Spark side composes over [[verifiedPairs]] (the
+    * `D5EmbedDedup.pairsCtesSql` precedent).
+    */
+  private[queries] val pairsCtesSql: String = {
     val vcos = s"(${VectorOps.dotSql("a.embedding", "b.embedding", d)}) / (a.nrm * b.nrm)"
     val bucketCols = tables.zipWithIndex
       .map { case (p, t) => s"CAST(${VectorOps.lshBucketSql("embedding", p)} AS BIGINT) AS b$t" }
@@ -132,31 +154,33 @@ object D16SemanticLshClusters extends GraftQuery {
       case 0L => "bucket"
       case m => s"xor(bucket, $m)"
     }.mkString(", ")
-    Some(
-      s"""WITH RECURSIVE e AS (
-         |  SELECT vec_id, embedding, ${VectorOps.normSql("embedding", d)} AS nrm,
-         |         $bucketCols
-         |  FROM embeddings),
-         |nl AS (
-         |  $nl
-         |),
-         |pl AS (SELECT vec_id, t, unnest([$probeList]) AS probe FROM nl),
-         |cand AS (
-         |  SELECT DISTINCT p.vec_id AS vec_a, n.vec_id AS vec_b
-         |  FROM pl p JOIN nl n
-         |    ON p.t = n.t AND p.probe = n.bucket AND p.vec_id < n.vec_id),
-         |ver AS (
-         |  SELECT c.vec_a, c.vec_b
-         |  FROM cand c JOIN e a ON c.vec_a = a.vec_id JOIN e b ON c.vec_b = b.vec_id
-         |  WHERE $vcos >= $threshold),
-         |edges AS (
-         |  SELECT vec_a AS src, vec_b AS dst FROM ver
-         |  UNION ALL SELECT vec_b, vec_a FROM ver),
-         |lab AS (
-         |  SELECT DISTINCT src AS node, src AS label FROM edges
-         |  UNION
-         |  SELECT e2.dst, l.label FROM lab l JOIN edges e2 ON l.node = e2.src)
-         |SELECT node AS vec_id, min(label) AS component
-         |FROM lab GROUP BY node""".stripMargin)
+    s"""e AS (
+       |  SELECT vec_id, embedding, ${VectorOps.normSql("embedding", d)} AS nrm,
+       |         $bucketCols
+       |  FROM embeddings),
+       |nl AS (
+       |  $nl
+       |),
+       |pl AS (SELECT vec_id, t, unnest([$probeList]) AS probe FROM nl),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS vec_a, n.vec_id AS vec_b
+       |  FROM pl p JOIN nl n
+       |    ON p.t = n.t AND p.probe = n.bucket AND p.vec_id < n.vec_id),
+       |ver AS (
+       |  SELECT c.vec_a, c.vec_b
+       |  FROM cand c JOIN e a ON c.vec_a = a.vec_id JOIN e b ON c.vec_b = b.vec_id
+       |  WHERE $vcos >= $threshold)""".stripMargin
   }
+
+  val oracle = Some(
+    s"""WITH RECURSIVE $pairsCtesSql,
+       |edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM ver
+       |  UNION ALL SELECT vec_b, vec_a FROM ver),
+       |lab AS (
+       |  SELECT DISTINCT src AS node, src AS label FROM edges
+       |  UNION
+       |  SELECT e2.dst, l.label FROM lab l JOIN edges e2 ON l.node = e2.src)
+       |SELECT node AS vec_id, min(label) AS component
+       |FROM lab GROUP BY node""".stripMargin)
 }
