@@ -26,16 +26,32 @@ object Tables {
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
   def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read as
-    * a timestamp; read it as raw nanos (legacy flag) and rebuild a
-    * microsecond TimestampType with exact integer arithmetic (ns div 1000 —
-    * no double round-trip, which would lose precision above 2^53 ns).
+  /** events.ts has shipped as TIMESTAMP(NANOS), TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) and could plausibly ship adjusted-to-UTC; the
+    * generator has already changed it once mid-project, so branch on the
+    * *scanned* dtype instead of assuming one encoding:
+    *   - LongType (nanos under the legacy flag): rebuild a microsecond
+    *     TimestampType with exact integer arithmetic (ns div 1000 — no
+    *     double round-trip, which would lose precision above 2^53 ns);
+    *   - TimestampNTZType (micros, not UTC-adjusted): cast to TimestampType.
+    *     Session TZ is pinned to UTC everywhere (GraftSession), so the cast
+    *     reinterprets the same micros value without shifting the instant;
+    *   - TimestampType: pass through.
+    * Every downstream consumer (j3, w1–w10, streaming twins) sees one stable
+    * contract: ts is TimestampType in UTC micros.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other — extend Tables.events")
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

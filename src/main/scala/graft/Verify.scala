@@ -30,6 +30,23 @@ object Verify {
         SparkEntry.queries.filter { case (n, _) => want(n) }
       case None => SparkEntry.queries
     }
+    // A crashed query must still leave a result dir: the driver's comparer
+    // enumerates the dirs that exist, so a query that writes nothing silently
+    // drops out of CORRECTNESS_r{N}.json (round 7 lost 11 entries this way
+    // and the artifact read 96/97 green). On failure we write a one-row
+    // parquet whose single `__graft_error__` column carries the message —
+    // the driver then emits a visibly-red entry (schema/rows mismatch) for
+    // every registered query instead of omitting it, and the parquet itself
+    // documents the cause. errors.json aggregates the reasons for humans.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def writeError(name: String, msg: String): Unit =
+      try {
+        import spark.implicits._
+        Seq(msg).toDF("__graft_error__").coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name: error-marker write failed: ${e.getMessage}")
+      }
     selected.foreach { case (name, fn) =>
       val task = new java.util.concurrent.FutureTask[Unit](() =>
         try {
@@ -49,10 +66,16 @@ object Verify {
           // would keep submitting work for the rest of the round.
           task.cancel(true)
           spark.sparkContext.cancelJobGroupAndFutureJobs(name)
-          System.err.println(s"[verify] $name failed: timeout after ${timeoutSec}s")
+          val msg = s"timeout after ${timeoutSec}s"
+          System.err.println(s"[verify] $name failed: $msg")
+          errors(name) = msg
+          writeError(name, msg)
         case e: Throwable =>
           val cause = Option(e.getCause).getOrElse(e)
-          System.err.println(s"[verify] $name failed: ${cause.getMessage}")
+          val msg = s"${cause.getClass.getSimpleName}: ${cause.getMessage}"
+          System.err.println(s"[verify] $name failed: $msg")
+          errors(name) = msg
+          writeError(name, msg)
       }
       // Queries may persist intermediates (LSH band frames); drop them so
       // no query's cache lingers into (or influences) the next one.
@@ -78,6 +101,9 @@ object Verify {
       .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
   }
 }

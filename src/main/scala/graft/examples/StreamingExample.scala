@@ -26,14 +26,17 @@ object StreamingExample {
     val landing = Files.createTempDirectory("graft_stream_landing")
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
 
-    // events.ts is TIMESTAMP(NANOS) → read as long, rebuild (Tables.events
-    // does the same for the batch path).
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val raw = spark.readStream.schema(schema).parquet(landing.toString)
-    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Schema comes from the parquet footer itself so the stream follows the
+    // generator's encoding (it changed nanos→micros once already); the same
+    // ts normalization as Tables.events then yields the stable TimestampType
+    // contract regardless of which encoding landed.
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream.schema(rawSchema).parquet(landing.toString)
+    val events = rawSchema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
 
     val q = EventStream.windowedAgg(events).writeStream
       .format("memory").queryName("windowed").outputMode("complete").start()

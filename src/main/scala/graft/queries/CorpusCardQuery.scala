@@ -66,7 +66,7 @@ object T17CorpusCard extends GraftQuery {
        |         ${T1LangId.predLangSql.replace("toks", "list_distinct(t.toks)")} AS pred_lang
        |  FROM t JOIN qsc q ON t.doc_id = q.doc_id),
        |stats AS (
-       |  SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+       |  SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        |         ${graft.functions.Rounding.exactAvgSql("quality", 6)} AS avg_quality,
        |         CAST(sum(CASE WHEN quality < $lowQualityCut THEN 1 ELSE 0 END) AS BIGINT) AS n_lowq
        |  FROM base GROUP BY source),

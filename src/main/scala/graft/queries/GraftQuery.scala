@@ -46,4 +46,15 @@ trait GraftQuery {
   }
 
   def oracle: Option[String]
+
+  /** True for queries whose construction is deliberately exact-but-unscalable
+    * (all-pairs O(n²) joins or broadcast-the-probes shapes): they exist as
+    * the recall/agreement ORACLES that pin their bucketed scale twin's
+    * quality floor, and must not themselves be run at 100-TB scale. Each
+    * `oracleOnly` query names its scale twin in its scaladoc (d5/d10 → d16,
+    * s1 → s2/s4–s9, v2 → v2c, g1/g2 → g3/g4). Everything with the default
+    * `false` is the 100-TB-safe surface: candidates come from keyed
+    * equi-joins, state is bounded, and no driver-side loop touches O(n) rows.
+    */
+  def oracleOnly: Boolean = false
 }

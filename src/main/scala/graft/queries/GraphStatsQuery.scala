@@ -30,6 +30,7 @@ import org.apache.spark.sql.functions._
   * columns are single IEEE divisions rounded to 6 on both engines.
   */
 object G2Triangles extends GraftQuery {
+  override val oracleOnly = true // scale twin: g4_triangles_lsh (same engine over d16 pairs)
   val name = "g2_triangles"
   val describe = "triangle census of the d5 pair graph: wedges, triangles, clustering coefficient"
 

@@ -29,6 +29,7 @@ import graft.operators.VectorOps
   * vote — recall-pinned against this baseline in KnnCompositionSpec.
   */
 object V2KnnLabel extends GraftQuery {
+  override val oracleOnly = true // scale twin: v2c_knn_label_ivf (trained-IVF list routing)
   val name = "v2_knn_label"
   val describe = "kNN label transfer: majority vote of 10 nearest labeled neighbours per probe"
 

@@ -30,6 +30,7 @@ import org.apache.spark.sql.functions._
   * every division is the same IEEE double op on both sides.
   */
 object G1PageRank extends GraftQuery {
+  override val oracleOnly = true // scale twin: g3_pagerank_lsh (same engine over d16 pairs)
   val name = "g1_pagerank"
   val describe = "PageRank centrality over d5 cosine-pair graph (central-exemplar survivor ranking)"
 

@@ -25,6 +25,7 @@ import graft.operators.ConnectedComponents
   * fixpoint, so agreement is evidence, not construction.
   */
 object D10SemanticClusters extends GraftQuery {
+  override val oracleOnly = true // scale twin: d16_semantic_lsh (bucketed clusters)
   val name = "d10_semantic_clusters"
   val describe = "semantic dup clusters: connected components over d5 cosine pairs (min vec_id survivor)"
 

@@ -36,6 +36,7 @@ private[queries] object Embeddings {
   * element — the HOF-capture trap documented on TextOps.shingles).
   */
 object D5EmbedDedup extends GraftQuery {
+  override val oracleOnly = true // scale twin: d16_semantic_lsh (sign-LSH bucketed candidates)
   val name = "d5_embed_dup"
   val describe = "embedding cosine >= 0.35 similar pairs, exact tiled block-pairs (LSH scale path = s2)"
 
@@ -145,6 +146,7 @@ object D5EmbedDedup extends GraftQuery {
   * IEEE arithmetic), so ranks are too.
   */
 object S1AnnBrute extends GraftQuery {
+  override val oracleOnly = true // scale twin: s2/s4-s9 (LSH/IVF/PQ bucketed ladder)
   val name = "s1_ann_brute"
   val describe = "exact cosine top-10 neighbours for query vectors (vec_id < 5)"
 

@@ -31,4 +31,16 @@ class QueriesSpec extends AnyFunSuite {
     val names = Registry.all.map(_.name)
     assert(names.distinct.length == names.length)
   }
+
+  test("oracleOnly marks exactly the declared exact-twin set") {
+    // These six are exact-by-construction recall oracles; each must name a
+    // bucketed scale twin that IS in the default (100-TB-safe) surface.
+    assert(Registry.oracleOnlyTwins.map(_.name).toSet == Set(
+      "d5_embed_dup", "d10_semantic_clusters", "s1_ann_brute",
+      "v2_knn_label", "g1_pagerank", "g2_triangles"))
+    val safe = Registry.all.filterNot(_.oracleOnly).map(_.name).toSet
+    for (twin <- Seq("d16_semantic_lsh", "s4_ann_ivf", "v2c_knn_label_ivf",
+                     "g3_pagerank_lsh", "g4_triangles_lsh"))
+      assert(safe.contains(twin), s"scale twin $twin missing from the safe surface")
+  }
 }

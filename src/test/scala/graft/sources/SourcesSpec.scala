@@ -49,6 +49,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(got == payloads.map(_.toSeq).toSet)
   }
 
+  test("B2→C2: iterated sum runs over a SequenceFile source (reference parity)") {
+    // The reference's sum example consumes SequenceFiles through
+    // GuaguaSequenceRecordReader (guagua-examples SumWorker over seq input);
+    // here the same pipeline is source → parse → Iterate kernel, and the
+    // result must satisfy the reference recurrence s_i = P·s_{i-1} + X.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-seqsum").resolve("data").toString
+    val sc = spark.sparkContext
+    sc.parallelize((1L to 5L).map(i => (i, i.toString)), 2)
+      .map { case (k, v) => (new Text(k.toString), new Text(v)) }
+      .saveAsSequenceFile(dir)
+    val values = Sources.sequenceAsText(spark, dir).map(_._2.toLong).repartition(2)
+    val res = graft.operators.IterativeSum.run(values, maxIterations = 3, haltAbove = Long.MaxValue)
+    assert(res.master == graft.operators.IterativeSum.closedForm(15L, 2, 3))
+  }
+
   test("B1: delimited source parses pipe-separated numeric columns (kmeans fixture shape)") {
     val dir = Files.createTempDirectory("graft-psv")
     Files.writeString(dir.resolve("a.txt"), "1|2\n-2|-3\n4|5\n")
