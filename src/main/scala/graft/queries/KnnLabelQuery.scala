@@ -67,17 +67,25 @@ object V2KnnLabel extends GraftQuery {
   }
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
+    org.apache.spark.sql.graft.CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, sfDir)
-    // Norms are projected BEFORE the join (once per row, not once per pair —
-    // the join multiplies every post-join expression by |probes|).
     val probes = e.filter(pmod(col("vec_id"), lit(probeMod)) === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
-        VectorOps.norm(col("embedding"), d).as("qnrm"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
     val base = e.filter(pmod(col("vec_id"), lit(probeMod)) =!= 0)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nemb"),
-        col("label"), VectorOps.norm(col("embedding"), d).as("nnrm"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nemb"), col("label"))
 
-    val cos = VectorOps.dot(col("qemb"), col("nemb"), d) / (col("qnrm") * col("nnrm"))
+    // Fused codegen'd cosine (one tight loop per pair), NOT the unrolled
+    // per-dimension tree + precomputed norms: the 64-term unrolled dot was
+    // the last per-PAIR unrolled site in the repo and measured ~27 µs/row —
+    // the whole gap between v2 (5 s) and s1's identically-shaped scoring
+    // (0.4 s). Bit-identical to the oracle's unrolled SQL: the fused loop's
+    // 0.0-seeded left-to-right accumulation reproduces the same IEEE chain,
+    // and dot/(sqrt(nx)·sqrt(ny)) is the oracle's dot/(qnrm·nnrm) computed
+    // from the same doubles (s1 pins this contract hash-exact; recomputing
+    // the norms per pair inside the fused loop is cheaper than evaluating
+    // one unrolled tree, so the d822a20 norm-prepass is obsolete).
+    val cos = org.apache.spark.sql.graft.CosineSimilarity.cosineSimilarity(
+      col("qemb"), col("nemb"))
     // Top-k via the typed bounded aggregator, NOT a rank window: the window
     // would shuffle+sort the full probe×base pair stream on query_id; the
     // aggregator's map-side partial combine carries at most k entries per
