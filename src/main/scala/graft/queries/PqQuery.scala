@@ -169,31 +169,62 @@ object S7AnnPq extends GraftQuery {
       .filter(col("rank") <= k)
   }
 
-  val oracle = {
+  /** The ADC lookup table, QUANTIZED to an integer grid: per (query,
+    * subspace, code), `round(⟨q_m, codeword⟩ · scale)` as a long. The
+    * integer grid is what makes a COMPOSED consumer (s11) cross-engine
+    * deterministic: an ADC score is then a sum of M longs — exact in any
+    * order — where a double sum would rank-flip near ties on summation
+    * order (the Rounding.exactSum argument, applied to scores instead of
+    * aggregates; FAISS's fast-scan path quantizes its LUTs for SIMD the
+    * same way). O(nQueries·M·K) rows — broadcast-sized.
+    */
+  private[queries] def lutQuantized(
+      spark: SparkSession, sfDir: String, nQueries: Int, scale: Double): DataFrame = {
+    val qs = normalized(spark, sfDir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"),
+        explode(sequence(lit(0), lit(subspaces - 1))).as("m"), col("en"))
+      .select(col("qid"), col("m"),
+        slice(col("en"), col("m") * subDim + 1, lit(subDim)).as("qm"))
+    val dotQ = (0 until subDim).map(i => col("qm").getItem(i) * col("cv").getItem(i)).reduce(_ + _)
+    qs.join(codebook(spark, sfDir), "m")
+      .select(col("qid"), col("m"), col("k").as("code"),
+        round(dotQ * lit(scale)).cast("long").as("lq"))
+  }
+
+  /** The PQ pipeline as oracle CTEs — normalize, codebook, subspace slices,
+    * per-cell distances, argmin encode — with every CTE name prefixed by `p`
+    * so a composing query (s11 joins these against s6's trained-IVF CTE
+    * chain, which already owns the name `e`) can avoid collisions while
+    * [[oracle]] keeps the original unprefixed names (and therefore its
+    * byte-identical SQL).
+    */
+  private[queries] def pqCtesSql(p: String): String = {
     val en = s"list_transform(embedding, x -> CAST(x AS DOUBLE) / ${VectorOps.normSql("embedding", d)})"
     // DuckDB lists are 1-based; subspace slice = en[m*subDim+1 .. (m+1)*subDim],
     // materialized per (vector, subspace) so the distance terms index it 1..subDim.
     val d2 = (1 to subDim).map(i => s"(s.xm[$i] - c.cv[$i]) * (s.xm[$i] - c.cv[$i])")
       .mkString(" + ")
-    Some(
-      s"""WITH e AS (SELECT vec_id, $en AS en FROM embeddings),
-         |cb AS (
-         |  SELECT m.m, CAST(vec_id - $centLo AS INT) AS k,
-         |         e.en[m.m * $subDim + 1 : (m.m + 1) * $subDim] AS cv
-         |  FROM e CROSS JOIN (SELECT unnest(range(0, $subspaces)) AS m) m
-         |  WHERE vec_id >= $centLo AND vec_id < ${centLo + codes}),
-         |subs AS (
-         |  SELECT vec_id, m.m, e.en[m.m * $subDim + 1 : (m.m + 1) * $subDim] AS xm
-         |  FROM e CROSS JOIN (SELECT unnest(range(0, $subspaces)) AS m) m),
-         |scored AS (
-         |  SELECT s.vec_id, s.m, c.k, $d2 AS d2
-         |  FROM subs s JOIN cb c ON s.m = c.m),
-         |enc AS (
-         |  SELECT vec_id, m, k AS code, d2 FROM (
-         |    SELECT *, row_number() OVER (
-         |      PARTITION BY vec_id, m ORDER BY d2 ASC, k ASC) AS rk
-         |    FROM scored) WHERE rk = 1)
-         |SELECT m, code, count(*) AS cnt, round(sum(d2), 6) AS distortion
-         |FROM enc GROUP BY m, code""".stripMargin)
+    s"""${p}e AS (SELECT vec_id, $en AS en FROM embeddings),
+       |${p}cb AS (
+       |  SELECT m.m, CAST(vec_id - $centLo AS INT) AS k,
+       |         ${p}e.en[m.m * $subDim + 1 : (m.m + 1) * $subDim] AS cv
+       |  FROM ${p}e CROSS JOIN (SELECT unnest(range(0, $subspaces)) AS m) m
+       |  WHERE vec_id >= $centLo AND vec_id < ${centLo + codes}),
+       |${p}subs AS (
+       |  SELECT vec_id, m.m, ${p}e.en[m.m * $subDim + 1 : (m.m + 1) * $subDim] AS xm
+       |  FROM ${p}e CROSS JOIN (SELECT unnest(range(0, $subspaces)) AS m) m),
+       |${p}scored AS (
+       |  SELECT s.vec_id, s.m, c.k, $d2 AS d2
+       |  FROM ${p}subs s JOIN ${p}cb c ON s.m = c.m),
+       |${p}enc AS (
+       |  SELECT vec_id, m, k AS code, d2 FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id, m ORDER BY d2 ASC, k ASC) AS rk
+       |    FROM ${p}scored) WHERE rk = 1)""".stripMargin
   }
+
+  val oracle = Some(
+    s"""WITH ${pqCtesSql("")}
+       |SELECT m, code, count(*) AS cnt, round(sum(d2), 6) AS distortion
+       |FROM enc GROUP BY m, code""".stripMargin)
 }
