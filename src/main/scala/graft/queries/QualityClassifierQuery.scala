@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.KMeans.sqlLit
+import graft.operators.TextOps
+
+/** k4: DISCRIMINATIVE quality classifier — the fastText/GPT-3 counterpart of
+  * t19's generative CCNet filter. The weak-supervision recipe every large
+  * pretraining corpus used in some form (Brown et al. 2020 §A; Joulin et
+  * al. 2016 for the classifier family): label the trusted reference slice
+  * positive and the rest negative, train a linear classifier on cheap text
+  * features, and score EVERY document by P(reference-like). t19 asks "how
+  * probable is this text under a reference-trained LM"; k4 asks "can a
+  * trained discriminator tell this text from reference text" — the two
+  * filters disagree exactly where generative and discriminative filtering
+  * disagree in production, which is why pipelines run both.
+  *
+  * Training is the reference's C4 loop verbatim (k1's discipline —
+  * LogisticRegressionMaster/Worker semantics: per-iteration full-batch
+  * averaged gradient, driver-side weight update): 5 iterations, lr = 1.0
+  * (keeps every update ON the 1e-6 grid — k1's midpoint argument), w₀ = 0.
+  * Per-iteration gradients use `Rounding.exactAvg(_, 10, 6)` — the
+  * order-independent scaled-long fold, STRONGER than k1's round(sum/count)
+  * (which tolerates summation-order noise only away from grid midpoints);
+  * grid 1e-10 bounds per-group scaled mass at ~2·10¹⁰·n, safely under
+  * Long.Max beyond 10⁸ docs.
+  *
+  * Features (bias + 4, all from t2's quality family — same expressions,
+  * same SQL mirrors, scaled into O(1) ranges so one lr fits all weights):
+  * punct ratio, stopword ratio, mean-word-len/10, ln(n_tok+1)/10. Ratios
+  * of integers are exactly-rounded IEEE divisions (bit-equal cross-engine);
+  * ln/exp carry the usual ~1e-13 libm residue absorbed by the 6-decimal
+  * output grid (q3's sigmoid argument).
+  *
+  * Scale shape: the feature frame is one scan-bound projection (cached
+  * across the 5 passes — A2's load-once contract); each iteration is ONE
+  * codegen'd aggregate returning 5 doubles to the driver (the O(dims)
+  * master fold, regardless of corpus size); scoring is a second scan-bound
+  * projection under the final literal weights. No joins, no windows — at
+  * 100 TB this is 6 scans of a columnar projection, nothing else.
+  *
+  * Labels: positive = t19's `refSources` slice — the SAME trusted slice, so
+  * k4 and t19 are genuinely the two filters over one reference definition.
+  */
+object K4QualityClassifier extends GraftQuery {
+  val name = "k4_quality_classifier"
+  val describe = "discriminative quality classifier: LR on text features vs the trusted slice, scores every doc"
+
+  private[queries] val iterations = 5
+  private val lr = 1.0
+  private[queries] val dims = 5 // bias + 4 features
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
+  private def round6(x: Double): Double = graft.functions.Rounding.roundTo(x, 6)
+
+  /** Feature frame: (doc_id, is_ref label, f0..f4). One scan-bound
+    * projection; cached by the caller for the training passes.
+    */
+  private[queries] def features(spark: SparkSession, sfDir: String): DataFrame = {
+    val text = col("text")
+    val toks = TextOps.tokens(text)
+    val nTok = size(toks).cast("double")
+    val nChar = length(text).cast("double")
+    val nPunct = (length(text) -
+      length(regexp_replace(text, "[.,;:!?]", ""))).cast("double")
+    val nStop = size(array_intersect(array_distinct(toks),
+      array(stopwords.map(lit): _*))).cast("double")
+    val meanWordLen =
+      length(regexp_replace(text, "\\s+", "")).cast("double") / nTok
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      col("source").isin(T19LmFilter.refSources: _*).as("is_ref"),
+      lit(1.0).as("f0"),
+      (nPunct / nChar).as("f1"),
+      (nStop / lit(stopwords.length.toDouble)).as("f2"),
+      (meanWordLen / lit(10.0)).as("f3"),
+      (log(nTok + lit(1.0)) / lit(10.0)).as("f4"))
+  }
+
+  /** The feature CTE `<out>(doc_id, y, f0..f4)` over `documents` — the
+    * DuckDB mirror of [[features]], term order identical.
+    */
+  private def featuresSqlCte(out: String): String = {
+    val toks = TextOps.tokensSql("text")
+    val stopLit = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val refList = T19LmFilter.refSources.map(s => s"'$s'").mkString(", ")
+    s"""$out AS (
+       |  SELECT doc_id,
+       |         (source IN ($refList)) AS is_ref,
+       |         1.0 AS f0,
+       |         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS f1,
+       |         CAST(len(list_intersect(list_distinct($toks), $stopLit)) AS DOUBLE) / ${stopwords.length}.0 AS f2,
+       |         (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / CAST(len($toks) AS DOUBLE)) / 10.0 AS f3,
+       |         ln(CAST(len($toks) AS DOUBLE) + 1.0) / 10.0 AS f4
+       |  FROM documents)""".stripMargin
+  }
+
+  private def zExpr(w: Seq[Double]): Column =
+    (0 until dims).map(j => lit(w(j)) * col(s"f$j")).reduce(_ + _)
+
+  private def zSql(w: Seq[Double], alias: String): String =
+    (0 until dims).map(j => s"${sqlLit(w(j))} * $alias.f$j").mkString(" + ")
+
+  /** The C4 training loop over a (cached) feature frame — one aggregate per
+    * iteration, O(dims) to the driver. Shared with the replay-parity spec.
+    */
+  private[queries] def trainedWeights(df: DataFrame): Seq[Double] = {
+    var w: Seq[Double] = Seq.fill(dims)(0.0)
+    for (_ <- 1 to iterations) {
+      val err = lit(1.0) / (lit(1.0) + exp(-zExpr(w))) -
+        col("is_ref").cast("double")
+      val aggs = (0 until dims).map(j =>
+        graft.functions.Rounding.exactAvg(err * col(s"f$j"), 10, 6).as(s"g$j"))
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val g = (0 until dims).map(row.getDouble)
+      w = w.zip(g).map { case (wi, gi) => round6(wi - lr * gi) }
+    }
+    w
+  }
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = graft.CacheScope.persisted(features(spark, sfDir))
+    val w = trainedWeights(f)
+    val score = round(lit(1.0) / (lit(1.0) + exp(-zExpr(w))), 6)
+    f.select(col("doc_id"), col("is_ref"), score.as("score"))
+      .withColumn("pred_ref", col("score") >= 0.5)
+  }
+
+  val oracle = {
+    val sb = new StringBuilder
+    sb ++= s"WITH ${featuresSqlCte("f")}"
+    sb ++= s",\nw0(${(0 until dims).map(i => s"w$i").mkString(", ")}) AS (VALUES (${Seq.fill(dims)("0.0").mkString(", ")}))"
+    for (it <- 1 to iterations) {
+      val z = (0 until dims).map(j => s"w.w$j * f.f$j").mkString(" + ")
+      val err = s"1.0 / (1.0 + exp(-($z))) - CAST(is_ref AS DOUBLE)"
+      val gCols = (0 until dims)
+        .map(j => s"${graft.functions.Rounding.exactAvgSql(s"($err) * f.f$j", 10, 6)} AS g$j")
+        .mkString(", ")
+      sb ++= s",\ng$it AS (SELECT $gCols FROM f CROSS JOIN w${it - 1} w)"
+      val wCols = (0 until dims)
+        .map(j => s"round(w.w$j - ${sqlLit(lr)} * g.g$j, 6) AS w$j").mkString(", ")
+      sb ++= s",\nw$it AS (SELECT $wCols FROM w${it - 1} w CROSS JOIN g$it g)"
+    }
+    val zF = (0 until dims).map(j => s"w.w$j * f.f$j").mkString(" + ")
+    sb ++=
+      s"""
+         |SELECT f.doc_id, f.is_ref,
+         |       round(1.0 / (1.0 + exp(-($zF))), 6) AS score,
+         |       (round(1.0 / (1.0 + exp(-($zF))), 6) >= 0.5) AS pred_ref
+         |FROM f CROSS JOIN w$iterations w""".stripMargin
+    Some(sb.toString)
+  }
+}
