@@ -56,11 +56,12 @@ object K4QualityClassifier extends GraftQuery {
 
   private def round6(x: Double): Double = graft.functions.Rounding.roundTo(x, 6)
 
-  /** Feature frame: (doc_id, is_ref label, f0..f4). One scan-bound
-    * projection; cached by the caller for the training passes.
+  /** The feature expressions f0..f4 over a text column — the ONE definition
+    * both the batch query and the streaming serve path
+    * ([[graft.streaming.EventStream.classifierGate]]) read, so trained
+    * weights always apply to the features they were trained on.
     */
-  private[queries] def features(spark: SparkSession, sfDir: String): DataFrame = {
-    val text = col("text")
+  private[graft] def featureCols(text: Column): Seq[Column] = {
     val toks = TextOps.tokens(text)
     val nTok = size(toks).cast("double")
     val nChar = length(text).cast("double")
@@ -70,14 +71,32 @@ object K4QualityClassifier extends GraftQuery {
       array(stopwords.map(lit): _*))).cast("double")
     val meanWordLen =
       length(regexp_replace(text, "\\s+", "")).cast("double") / nTok
+    Seq(
+      lit(1.0),
+      nPunct / nChar,
+      nStop / lit(stopwords.length.toDouble),
+      meanWordLen / lit(10.0),
+      log(nTok + lit(1.0)) / lit(10.0))
+  }
+
+  /** round(sigmoid(w·f(text)), 6) — the serve-side scorer for FIXED trained
+    * weights (stateless: composes with batch frames and streams alike).
+    */
+  private[graft] def scoreCol(w: Seq[Double], text: Column): Column = {
+    val z = featureCols(text).zipWithIndex
+      .map { case (f, j) => lit(w(j)) * f }.reduce(_ + _)
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
+  /** Feature frame: (doc_id, is_ref label, f0..f4). One scan-bound
+    * projection; cached by the caller for the training passes.
+    */
+  private[graft] def features(spark: SparkSession, sfDir: String): DataFrame = {
+    val fs = featureCols(col("text"))
     Tables.documents(spark, sfDir).select(
-      col("doc_id"),
-      col("source").isin(T19LmFilter.refSources: _*).as("is_ref"),
-      lit(1.0).as("f0"),
-      (nPunct / nChar).as("f1"),
-      (nStop / lit(stopwords.length.toDouble)).as("f2"),
-      (meanWordLen / lit(10.0)).as("f3"),
-      (log(nTok + lit(1.0)) / lit(10.0)).as("f4"))
+      col("doc_id") +:
+        col("source").isin(T19LmFilter.refSources: _*).as("is_ref") +:
+        fs.zipWithIndex.map { case (f, j) => f.as(s"f$j") }: _*)
   }
 
   /** The feature CTE `<out>(doc_id, y, f0..f4)` over `documents` — the
@@ -107,7 +126,7 @@ object K4QualityClassifier extends GraftQuery {
   /** The C4 training loop over a (cached) feature frame — one aggregate per
     * iteration, O(dims) to the driver. Shared with the replay-parity spec.
     */
-  private[queries] def trainedWeights(df: DataFrame): Seq[Double] = {
+  private[graft] def trainedWeights(df: DataFrame): Seq[Double] = {
     var w: Seq[Double] = Seq.fill(dims)(0.0)
     for (_ <- 1 to iterations) {
       val err = lit(1.0) / (lit(1.0) + exp(-zExpr(w))) -

@@ -161,6 +161,28 @@ object EventStream {
       .drop("__st")
   }
 
+  /** The train-offline/serve-online half of k4: score a document stream
+    * under FIXED trained classifier weights (k4's batch loop produces `w`;
+    * this applies `round(sigmoid(w·f(text)), 6)` per arriving row). The
+    * feature expressions are k4's OWN ([[graft.queries.K4QualityClassifier
+    * .scoreCol]] — one definition, two surfaces), so the serving gate can
+    * never drift from the training features — the skew every production
+    * feature-store exists to prevent, here eliminated structurally.
+    * Stateless like [[qualityGate]]: no watermark, no state store; batch
+    * parity is exact because the expression tree is identical
+    * (ClassifierGateStreamSpec replays a batch frame through the stream).
+    */
+  def classifierGate(
+      docs: DataFrame,
+      weights: Seq[Double],
+      textCol: String = "text",
+      keepAbove: Double = 0.5): DataFrame = {
+    val score = graft.queries.K4QualityClassifier.scoreCol(weights, col(textCol))
+    docs
+      .withColumn("score", score)
+      .withColumn("pred_ref", col("score") >= keepAbove)
+  }
+
   final case class OpenSession(startSec: Long, lastSec: Long, nEvents: Long)
   final case class OpenSessions(sessions: List[OpenSession])
   final case class FinalizedSession(
