@@ -84,6 +84,7 @@ def run_bench():
 # 0.41x of its prefix — so the band is set between "slot noise" (~0.8x worst
 # observed) and "structurally impossible" (~0.4x).
 NOISE = 0.75
+NOTE = None
 
 
 def check(data):
@@ -110,24 +111,20 @@ def splice(data):
     with open(BASELINE) as f:
         head = f.read().split(MARKER)[0].rstrip() + "\n"
     rows = "\n".join(f"| {name} | {q[name]:.2f} |" for name in sorted(q))
+    note = NOTE or "see the recording commit's message for this recording's rationale"
     section = f"""
-{MARKER} round-7 numbers (sf0.1, local[{CPUS}], -Xmx8g=-Xms, {CPUS} shuffle partitions, interleaved reps={REPS})
+{MARKER} numbers (sf0.1, local[{CPUS}], -Xmx8g=-Xms, {CPUS} shuffle partitions, interleaved reps={REPS})
 
 Recorded by `tools/record_baseline.py` — the same Bench harness the driver
 runs (codegen warm pass at sf0.001, recursive page-cache prewarm, per-query
 minimum over {REPS} INTERLEAVED passes with per-pass permuted suite order,
 fixed heap, UNTIMED cache sweep between queries; see Bench.scala's scaladoc
 for why each knob exists — the cache-leak fix, the untimed sweep, and the
-permuted interleaving were each adopted after a measured artifact).
+permuted interleaving were each adopted after a measured artifact). This
+section is REGENERATED by the script on every recording — prose that must
+survive a re-record belongs above the marker or in the --note argument.
 
-Why round 7 re-recorded: (a) the surface grew to include d16_semantic_lsh
-and v2c_knn_label_ivf, which need baseline rows; (b) round 6 measured a
-fleet-wide +9% median drift on queries whose code was untouched since the
-round-5 recording (t5 +22%, q12 +27%, q17 +24% — trivial single-exchange
-plans), i.e. environment movement between recording sessions, not plan
-regressions. Bench now emits a per-run "sentinels" block (t5/q12/q17
-measured vs these rows) so the next drift is measured per round instead of
-inferred; re-record again when the sentinels move together by >10%.
+Why re-recorded: {note}
 
 Acceptance gate applied at recording time (violation = the run is rejected
 and repeated, never hand-edited): a query executing a strict superset of
@@ -150,8 +147,14 @@ minima): {total:.1f} s. Per query (seconds):
 
 
 def main():
-    if len(sys.argv) == 3 and sys.argv[1] == "--from-json":
-        path = sys.argv[2]
+    global NOTE
+    args = sys.argv[1:]
+    if "--note" in args:
+        i = args.index("--note")
+        NOTE = args[i + 1]
+        del args[i:i + 2]
+    if len(args) == 2 and args[0] == "--from-json":
+        path = args[1]
     else:
         path = run_bench()
     with open(path) as f:
