@@ -24,6 +24,53 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("physical layout: z-range-partitioned parquet files have bounded 2-D extents") {
+    import org.apache.spark.sql.functions._
+    // The actual write path the operator exists for: cluster storage by
+    // curve position (repartitionByRange on z), write parquet, then read
+    // each FILE back and compute the min/max stats a scan planner would
+    // take from its footer. Every file's 2-D extent area must be far below
+    // the full grid — the pruning a single-column sort cannot give both
+    // dimensions. (RangePartitioner boundaries come from sampling, so the
+    // per-file split points vary run to run; the BOUND asserted here holds
+    // for any contiguous z-range, which is the property being bought.)
+    val spark2 = spark
+    import spark2.implicits._
+    val li = graft.Tables.lineitem(spark, TestSpark.sf001)
+      .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+    val ext = li.agg(min($"x").as("minx"), max($"x").as("maxx"),
+      min($"y").as("miny"), max($"y").as("maxy"))
+    val grid = li.crossJoin(broadcast(ext)).select(
+      expr("CAST((x - minx) * 256 div (maxx - minx + 1) AS INT)").as("xb"),
+      expr("CAST((y - miny) * 256 div (maxy - miny + 1) AS INT)").as("yb"))
+    val z = grid.withColumn("z",
+      (0 until 8).map { i =>
+        shiftleft(shiftright($"xb", i).bitwiseAND(1), 2 * i) +
+          shiftleft(shiftright($"yb", i).bitwiseAND(1), 2 * i + 1)
+      }.reduce(_ + _))
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    z.repartitionByRange(16, $"z").write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length >= 8, s"expected >=8 part files, got ${files.length}")
+    val fullArea = 256.0 * 256.0
+    val areas = files.map { f =>
+      val s = spark.read.parquet(f.getAbsolutePath)
+        .agg(min($"xb"), max($"xb"), min($"yb"), max($"yb")).collect()(0)
+      (s.getInt(1) - s.getInt(0) + 1).toDouble * (s.getInt(3) - s.getInt(2) + 1)
+    }
+    val worst = areas.max / fullArea
+    info(f"worst per-file extent area: ${worst * 100}%.1f%% of the grid (${files.length} files)")
+    // A contiguous 1/16th of the z-curve spans at most a quarter of the
+    // grid's area in stats-extent terms (two adjacent aligned quadrants +
+    // spill); a y-sorted layout would put ~100%-width x-extents in EVERY
+    // file. The bound is deliberately loose — it must hold for any sampled
+    // range boundaries — but still excludes the no-locality layout.
+    assert(worst <= 0.5, f"a z-range file covered ${worst * 100}%.0f%% of the grid")
+    assert(areas.count(_ / fullArea <= 0.26) >= files.length / 2,
+      "fewer than half the files are quadrant-bounded — z-locality broken")
+  }
+
   test("pruning arithmetic: an x-slab touches a bounded fraction of units") {
     val units = Q24ZOrder.run(spark, TestSpark.sf001).collect()
       .map(r => (r.getInt(2), r.getInt(3))) // (min_x, max_x)
