@@ -49,6 +49,8 @@ PLAUSIBILITY = [
     ("d15_quality_survivor", "d7_dup_clusters"),  # d15 joins d7's components
     ("g2_triangles", "d5_embed_dup"),  # g2 runs D5EmbedDedup.run as stage 1
     ("v2c_knn_label_ivf", "s6_ann_ivf_trained"),  # v2c runs s6's training loop as stage 1
+    ("s11_ann_ivf_pq", "s6_ann_ivf_trained"),  # s11 routes through s6's trained lists
+    ("s11_ann_ivf_pq", "s7_ann_pq"),  # s11 scores candidates over s7's encode
 ]
 
 REPS = "3"
