@@ -68,4 +68,27 @@ class NewOpsPlanSpec extends AnyFunSuite {
       s"per-source rank window not keyed on source:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"weights join not broadcast:\n$p")
   }
+
+  test("q24: extent is a broadcast 1-row dimension, unit stats partial-aggregate") {
+    // The grid binning must read the extent through one broadcast of a 1-row
+    // aggregate (never a shuffle keyed on nothing), and the unit stats must
+    // map-side combine (partial_count/min/max before the exchange) — the
+    // two properties that keep the layout op scan-bound at 100 TB.
+    val p = plan(Q24ZOrder)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"extent not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"extent join degenerated:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"unit stats not partially aggregated:\n$p")
+  }
+
+  test("k4: training aggregate and scoring are scan-bound — no join, no window") {
+    // k4's whole cost model is "6 scans of a columnar projection": any join
+    // or window appearing in the scoring plan means a regression from the
+    // O(dims)-to-driver shape the scaladoc promises. (The broadcast-free
+    // claim is per-stage: scoring carries the weights as LITERALS.)
+    val p = plan(K4QualityClassifier)
+    assert(!p.contains("Join"), s"k4 scoring acquired a join:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"k4 scoring acquired a window:\n$p")
+  }
 }
