@@ -71,6 +71,15 @@ import graft.queries.Registry
   *     drift on untouched queries was only inferable, not measurable).
   *     Baselines are parsed from BASELINE.md's table at run time so a
   *     re-record updates the sentinels automatically.
+  *   - SCALING-SLOPE GATE: every query is additionally timed at the next
+  *     scale factor DOWN and the big/small ratio is compared against
+  *     1.5 × the data ratio — the automated 100×-design check (an
+  *     accidentally-O(n²) operator passes the oracle and can even beat its
+  *     absolute baseline row at sf0.1; only its SLOPE betrays it before the
+  *     cluster does). Non-oracleOnly queries over the threshold land in
+  *     `slope_red`; oracleOnly recall oracles are reported but exempt —
+  *     superlinear is their documented design. SPARK_GRAFT_SLOPE=none
+  *     disables (the slope block then reads null).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -208,6 +217,69 @@ object Bench {
     val results: Seq[(String, Option[Double])] = selected.map { q =>
       q.name -> timesByQuery.get(q.name).filter(_ => !failedSet(q.name)).map(_.min)
     }
+
+    // SCALING-SLOPE GATE: the automated 100×-design check. Correctness runs
+    // at one SF; nothing else catches a query whose cost curves
+    // superlinearly with data (an accidental O(n²) join that still passes
+    // the oracle and still beats its absolute baseline row at sf0.1 — the
+    // failure mode that only shows up on the cluster). So: time every query
+    // at the next SF DOWN (10× less data), and flag any non-oracleOnly
+    // query whose big/small wall-time ratio exceeds slack × the data ratio.
+    // oracleOnly queries are EXPECTED superlinear (all-pairs recall oracles,
+    // quarantined from the 100-TB surface) and are reported but never red.
+    // Slack 1.5 tolerates amortized constant overheads flipping sign;
+    // sub-second small-SF times are floored at 0.15 s so a constant-cost
+    // query (0.05 s → 0.6 s, ratio 12 of pure session noise) cannot
+    // false-positive — a genuine superlinear blowup at these corpus sizes
+    // clears both bars easily (d5's measured slope is ~40×). Min-of-2
+    // interleaved reps, same estimator as the main pass. Disable with
+    // SPARK_GRAFT_SLOPE=none.
+    val slopeDir = {
+      val small = sfDir.replaceAll("/+$", "").replaceAll("sf[0-9.]+$", "sf0.01")
+      Option(small).filter(s => s != sfDir && new java.io.File(s).isDirectory)
+    }
+    def sfOf(dir: String): Option[Double] =
+      "sf([0-9.]+)$".r.findFirstMatchIn(dir.replaceAll("/+$", ""))
+        .flatMap(m => m.group(1).toDoubleOption)
+    val slopeOn = sys.env.getOrElse("SPARK_GRAFT_SLOPE", "on") != "none"
+    val (slopeJson, slopeRedJson) = (for {
+      small <- slopeDir if slopeOn
+      rBig <- sfOf(sfDir); rSmall <- sfOf(small) if rSmall > 0
+    } yield {
+      val dataRatio = rBig / rSmall
+      val threshold = 1.5 * dataRatio
+      val smallTimes = scala.collection.mutable.Map.empty[String, List[Double]]
+      val measurable = selected.filter(q => !failedSet(q.name))
+      for (pass <- 1 to math.min(2, reps)) {
+        System.err.println(s"[bench] slope pass $pass/2 against $small")
+        new scala.util.Random(100 + pass).shuffle(measurable).foreach { q =>
+          val t0 = System.nanoTime()
+          try {
+            exec(q.name, small)
+            smallTimes(q.name) =
+              ((System.nanoTime() - t0) / 1e9) :: smallTimes.getOrElse(q.name, Nil)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] slope ${q.name} failed: ${e.getMessage}")
+          } finally sweep()
+        }
+      }
+      val rows = measurable.flatMap { q =>
+        for {
+          b <- timesByQuery.get(q.name).map(_.min)
+          s <- smallTimes.get(q.name).map(_.min)
+        } yield {
+          val ratio = b / math.max(s, 0.15)
+          (q.name, s, b, ratio, ratio > threshold && !q.oracleOnly)
+        }
+      }
+      val table = rows.map { case (n, s, b, r, red) =>
+        f""""$n":{"small":$s%.3f,"big":$b%.3f,"ratio":$r%.2f,"red":$red}"""
+      }.mkString("{", ",", "}")
+      val red = rows.collect { case (n, _, _, _, true) => "\"" + n + "\"" }
+        .mkString("[", ",", "]")
+      (s"""{"small_sf":"$small","data_ratio":$dataRatio,"threshold":$threshold,"queries":$table}""",
+        red)
+    }).getOrElse(("null", "[]"))
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v.map(_.toString).getOrElse("null") }
       .mkString("{", ",", "}")
@@ -240,7 +312,7 @@ object Bench {
       } yield f""""$n":{"sec":$m,"baseline":$b,"ratio":${m / b}%.3f}"""
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sentinels":$sentinels,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sentinels":$sentinels,"slope":$slopeJson,"slope_red":$slopeRedJson,"sf":"$sfDir"}"""
     println(line)
     val outDir = sys.env.get("SPARK_GRAFT_OUT").filter(_.nonEmpty)
     val outPath = Paths.get(outDir.getOrElse("."), "bench.json")

@@ -66,6 +66,16 @@ object Verify {
           // would keep submitting work for the rest of the round.
           task.cancel(true)
           spark.sparkContext.cancelJobGroupAndFutureJobs(name)
+          // Wait (bounded) for the cancelled writer thread to actually exit
+          // before writing the error marker: cancel() is asynchronous, and a
+          // zombie overwrite-mode writer racing on $outDir/$name could delete
+          // the marker during its own overwrite-prep/abort cleanup —
+          // reproducing the silent-drop this marker exists to prevent.
+          th.join(30000L)
+          if (th.isAlive)
+            System.err.println(
+              s"[verify] $name: cancelled writer still alive after 30s; " +
+              "error marker may race with its cleanup")
           val msg = s"timeout after ${timeoutSec}s"
           System.err.println(s"[verify] $name failed: $msg")
           errors(name) = msg

@@ -122,6 +122,65 @@ object TextOps {
       s"i -> (${lin(CoefA)}) * ${TokenPrime + 1} + (${lin(CoefB)}))"
   }
 
+  // ---- Wide-window rolling grams (d18 exact-substring dedup) ----
+  //
+  // ExactSubstr-style dedup (Lee et al. 2022, "Deduplicating Training Data
+  // Makes Language Models Better") needs k-TOKEN window hashes for k well
+  // beyond shingleHashes' 5-coefficient limit (the published threshold is 50
+  // BPE tokens). Each window hash is two independent polynomial folds of the
+  // token hashes mod TokenPrime, packed to 62 bits exactly like
+  // shingleHashes — one md5 per token, arithmetic only per window, and
+  // every intermediate stays < 2^63 so the DuckDB oracle (which errors on
+  // BIGINT overflow) computes bit-identical values.
+
+  /** Polynomial multipliers for the two independent window combines (any
+    * fixed constants < 2^31; primes for mixing quality).
+    */
+  private val GramA = 1000003L
+  private val GramB = 1000033L
+
+  /** 62-bit hash per k-token window over the token-hash array `ht`:
+    * position i (1-based) hashes tokens i..i+k−1. Empty when the document
+    * has < k tokens. Each window folds its k token hashes twice
+    * (h = ((t₁·A + t₂)·A + t₃)… mod P with A ∈ {GramA, GramB}) and packs
+    * cA·2^31 + cB.
+    *
+    * Binding: `ht` is bound ONCE as a lambda variable (the shingleHashes
+    * trick) so the expensive md5 subtree is never re-evaluated per window;
+    * the per-window work is a k-element slice + two O(k) folds —
+    * O(tokens·k) per document, executor-local, no shuffle. (A custom codegen
+    * Expression could make this O(tokens) with the true rolling update
+    * h′ = (h − t_i·A^{k−1})·A + t_{i+k}; at k ≤ 50 the slice form is within
+    * ~2× of that and stays whole-stage-codegen'd built-ins.)
+    */
+  def gramHashes(ht: Column, k: Int): Column = {
+    require(k >= 2, s"gramHashes requires k >= 2, got $k")
+    def inner(a: Column): Column = {
+      val m = size(a) - (k - 1)
+      val window = (i: Column) => slice(a, i, lit(k))
+      val fold = (w: Column, mult: Long) =>
+        aggregate(w, lit(0L), (acc, x) => (acc * mult + x) % TokenPrime)
+      when(size(a) >= k,
+        transform(sequence(lit(1), m), i =>
+          fold(window(i), GramA) * (TokenPrime + 1) + fold(window(i), GramB)))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    flatten(transform(array(ht), a => inner(a)))
+  }
+
+  /** DuckDB mirror of [[gramHashes]]. `list_reduce` seeds with the FIRST
+    * element where Spark's `aggregate` seeds 0; they coincide because
+    * f(0, t₁) = (0·A + t₁) mod P = t₁ (the t7 argument), and the slice is
+    * never empty (range stops at len−k+1).
+    */
+  def gramHashesSql(ht: String, k: Int): String = {
+    require(k >= 2, s"gramHashesSql requires k >= 2, got $k")
+    def fold(mult: Long) =
+      s"list_reduce($ht[i : i + ${k - 1}], (a, b) -> ((a * $mult) + b) % $TokenPrime)"
+    s"list_transform(range(1, greatest(len($ht) - ${k - 2}, 1)), " +
+      s"i -> ${fold(GramA)} * ${TokenPrime + 1} + ${fold(GramB)})"
+  }
+
   /** Per-document distinct hashed-shingle sets: (doc_id, shs array<long>).
     * The shared first stage of d2/d3/d4 — tokenize once, one md5 per token,
     * arithmetic shingle hashes, distinct. Callers persist this frame when

@@ -45,7 +45,11 @@ object TopK {
   @inline private def sortsAfterLast(last: Entry, e: Entry): Boolean =
     last._1 > e._1 || (last._1 == e._1 && last._2 < e._2)
 
-  def topK(k: Int): TypedColumn[Entry, Seq[Entry]] =
+  def topK(k: Int): TypedColumn[Entry, Seq[Entry]] = {
+    // The reduce fast path dereferences the buffer's last entry once
+    // size >= k; with k <= 0 that reads null off an empty buffer. No
+    // meaningful top-0 exists, so reject at construction.
+    require(k > 0, s"topK requires k > 0, got $k")
     new Aggregator[Entry, List[Entry], Seq[Entry]] {
       def zero: List[Entry] = Nil
       def reduce(b: List[Entry], a: Entry): List[Entry] = {
@@ -63,4 +67,5 @@ object TopK {
       def outputEncoder: Encoder[Seq[Entry]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Entry]]()
     }.toColumn
+  }
 }

@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TextOps
+
+/** Shared machinery for d18/p7 — the EXACT-SUBSTRING dedup family
+  * (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+  * Better", the ExactSubstr method): find every maximal verbatim token run
+  * of length ≥ k that occurs more than once in the corpus, at SUB-document
+  * granularity. This is the standard published dedup the set-similarity
+  * family cannot express: two long documents sharing one boilerplate
+  * paragraph have near-zero Jaccard (d4) and near-zero containment (d17)
+  * yet the paragraph is exactly what memorization studies remove.
+  *
+  * The paper builds a monolithic suffix array; the Spark-first
+  * re-expression is rolling k-token gram counting, which detects the same
+  * spans: a verbatim repeat of length L ≥ k contributes L−k+1 duplicated
+  * k-grams at CONSECUTIVE positions in each copy, so the maximal run of
+  * duplicated gram positions recovers the maximal repeated span (runs from
+  * overlapping distinct sources merge — the containment-closure any span
+  * remover wants anyway). Conversely every duplicated k-gram IS a ≥ k-token
+  * verbatim repeat (62-bit hashes make collisions negligible; a collision
+  * changes both engines identically so the oracle still matches).
+  * Occurrence counting follows the paper: ≥ 2 occurrences ANYWHERE,
+  * including twice within one document (self-repeats are memorization risk
+  * too).
+  *
+  * Scale shape (the reason this form replaces the suffix array): the
+  * occurrence frame is one row per token position — O(corpus tokens) —
+  * hash-partitioned by gram hash for the duplicate count (map-side partial
+  * aggregation collapses per-partition repeats), joined back keyed on the
+  * same hash, then run detection is a per-document window whose partitions
+  * are bounded by DOCUMENT length, not corpus size. No global sort, no
+  * driver state, nothing resembling the paper's shared-memory suffix
+  * array. At 100 TB: two shuffles (count, join) + one doc-bounded window.
+  */
+private[queries] object ExactSubstr {
+  /** Minimum verbatim run, in word tokens. The paper uses 50 BPE tokens on
+    * web pages; the synthetic corpus averages ~54 word tokens per doc, so
+    * the default keeps the same "about a fifth of a document" selectivity.
+    */
+  val k = 10
+
+  /** Duplicated-gram hit positions: (doc_id, pos, occ_n) — every 1-based
+    * token position whose k-gram occurs ≥ 2 times corpus-wide, with the
+    * gram's total occurrence count. The occurrence frame is persisted:
+    * the duplicate count and the join-back both read it, and recomputing
+    * it means re-tokenizing the corpus.
+    */
+  def hits(spark: SparkSession, sfDir: String): DataFrame = {
+    val occ = graft.CacheScope.persisted(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          TextOps.gramHashes(TextOps.tokenHashes(TextOps.tokens(col("text"))), k).as("gh"))
+        .select(col("doc_id"), posexplode(col("gh")).as(Seq("p0", "h")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h")))
+    val dup = occ.groupBy(col("h"))
+      .agg(count(lit(1)).as("occ_n"))
+      .filter(col("occ_n") >= 2)
+    occ.join(dup, "h").select(col("doc_id"), col("pos"), col("occ_n"))
+  }
+
+  /** CTE chain ending in relation `hit(doc_id, pos, occ_n)` — the DuckDB
+    * mirror of [[hits]]. Parallel unnests zip positionally (DuckDB
+    * semantics), giving each gram its 1-based position.
+    */
+  def hitsSqlCtes: String =
+    s"""tk AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks FROM documents),
+       |th AS (SELECT doc_id, ${TextOps.tokenHashesSql("toks")} AS ht FROM tk),
+       |g AS (SELECT doc_id, ${TextOps.gramHashesSql("ht", k)} AS gh FROM th),
+       |occ AS MATERIALIZED (
+       |  SELECT doc_id, unnest(gh) AS h, unnest(range(1, len(gh) + 1)) AS pos FROM g),
+       |dup AS (SELECT h, count(*) AS occ_n FROM occ GROUP BY h HAVING count(*) >= 2),
+       |hit AS (SELECT o.doc_id, o.pos, d.occ_n FROM occ o JOIN dup d USING (h))""".stripMargin
+}
+
+/** d18: exact-substring duplicate spans — one row per MAXIMAL run of
+  * duplicated k-grams per document: the span's token bounds, length, how
+  * many grams back it, and the hottest gram's corpus-wide occurrence count.
+  * This is the disposition input p7 consumes (and the report a human
+  * triages); see [[ExactSubstr]] for semantics and the 100-TB argument.
+  */
+object D18ExactSubstr extends GraftQuery {
+  val name = "d18_exact_substr"
+  val describe = "exact-substring dedup (ExactSubstr): maximal verbatim >=k-token duplicated spans per doc"
+
+  private val k = ExactSubstr.k
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    ExactSubstr.hits(spark, sfDir)
+      // Classic gaps-and-islands: a position extends the current run iff it
+      // is exactly prev+1; the running sum of break flags numbers the runs.
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byPos) === 1, 0).otherwise(1))
+      .withColumn("run_id", sum(col("brk")).over(byPos))
+      .groupBy(col("doc_id"), col("run_id"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1).cast("long")).as("span_end"),
+        (max(col("pos")) - min(col("pos")) + lit(k).cast("long")).as("span_tokens"),
+        count(lit(1)).as("n_grams"),
+        max(col("occ_n")).as("max_occ"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_tokens"), col("n_grams"), col("max_occ"))
+  }
+
+  val oracle = Some(
+    s"""WITH ${ExactSubstr.hitsSqlCtes},
+       |brk AS (
+       |  SELECT doc_id, pos, occ_n,
+       |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+       |              THEN 0 ELSE 1 END AS brk
+       |  FROM hit),
+       |rid AS (
+       |  SELECT doc_id, pos, occ_n,
+       |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+       |  FROM brk)
+       |SELECT doc_id,
+       |       min(pos) AS span_start,
+       |       max(pos) + ${k - 1} AS span_end,
+       |       max(pos) - min(pos) + $k AS span_tokens,
+       |       count(*) AS n_grams,
+       |       max(occ_n) AS max_occ
+       |FROM rid
+       |GROUP BY doc_id, run_id""".stripMargin)
+}
+
+/** p7: SUB-document disposition — the span REMOVER over d18's findings:
+  * every token covered by a duplicated ≥ k-token run is dropped (the paper
+  * removes all copies; keeping one canonical copy is a policy layered on
+  * top) and the surviving token stream is re-emitted. This is the
+  * "boilerplate strip" granularity p1/p5 lack: they keep or drop whole
+  * documents, p7 edits inside them.
+  *
+  * The covered-position set per doc is bounded by the doc's own token count,
+  * so the join payload and the per-row filter are document-bounded. Output
+  * is the cleaned token stream (tokens are what the training pipeline
+  * feeds the tokenizer anyway), plus audit counts.
+  */
+object P7SpanStrip extends GraftQuery {
+  val name = "p7_span_strip"
+  val describe = "sub-document disposition: strip verbatim-duplicated spans, emit cleaned token stream"
+
+  private val k = ExactSubstr.k
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val cov = ExactSubstr.hits(spark, sfDir)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1).cast("long"))).as("tp"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("tp")).as("cps"), count(lit(1)).as("n_dropped"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        concat_ws(" ",
+          // (token, 0-based index) filter; coalesce guards the un-joined
+          // (no duplicated span) docs, where `cps` is null and a null
+          // lambda result would silently DROP every token.
+          filter(col("toks"), (t, i) =>
+            !coalesce(array_contains(col("cps"), (i + 1).cast("long")), lit(false))))
+          .as("clean_text"))
+  }
+
+  val oracle = Some(
+    s"""WITH ${ExactSubstr.hitsSqlCtes},
+       |covp AS (
+       |  SELECT DISTINCT doc_id, tp FROM (
+       |    SELECT doc_id, unnest(range(pos, pos + $k)) AS tp FROM hit)),
+       |cov AS (
+       |  SELECT doc_id, list(tp) AS cps, count(*) AS n_dropped
+       |  FROM covp GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |       len(t.toks) AS n_tokens,
+       |       coalesce(c.n_dropped, 0) AS n_dropped,
+       |       coalesce(array_to_string(
+       |         list_filter(t.toks, (x, i) -> NOT coalesce(list_contains(c.cps, i), false)),
+       |         ' '), '') AS clean_text
+       |FROM tk t LEFT JOIN cov c USING (doc_id)""".stripMargin)
+}

@@ -12,22 +12,28 @@ import org.apache.spark.sql.functions._
   * triangle counting itself is the canonical "second join" graph workload
   * the reference's MapReduce lineage cannot express without a driver loop.
   *
-  * Algorithm: the canonical-orientation join — every d5 edge is stored once
-  * as (a < b), a wedge is e1(a,b) ⋈ e2(b,c) (so a < b < c), and a triangle
-  * is a wedge whose closing edge (a,c) exists. Each triangle is produced
-  * exactly once (its vertices in ascending order), so the count needs no
-  * dedup. Degree/wedge counts come from one grouped aggregate over both
-  * edge endpoints.
+  * Algorithm: the canonical-orientation join — every undirected edge is
+  * directed from its LOWER endpoint under a total order, a wedge is two
+  * out-edges of one pivot (ordered, so each unordered pair appears once),
+  * and a triangle is a wedge whose closing oriented edge exists. Each
+  * triangle is produced exactly once (its vertices ascending under the
+  * order), so the count needs no dedup. Degree/wedge counts come from one
+  * grouped aggregate over both edge endpoints.
   *
-  * Scale shape: two hash joins keyed on edge endpoints plus one
-  * node-bounded aggregate — no driver-side loop, nothing O(V²). The known
-  * skew trap at web scale is a hub vertex generating deg² wedges; the
-  * standard fix is orienting edges by (degree, id) instead of id so every
-  * wedge pivot has the LOWER degree of its pair (Suri & Vassilvitskii's
-  * MR triangle counting) — id-orientation is kept here because d5's degree
-  * distribution is threshold-bounded, and the orientation key is the only
-  * line that would change. All counts are exact integers; the two ratio
-  * columns are single IEEE divisions rounded to 6 on both engines.
+  * The total order is (degree, id) — Suri & Vassilvitskii's MR triangle
+  * counting (WWW 2011): a hub of degree Δ under plain id-order can pivot
+  * Δ² wedges into one task (the boilerplate-template-family shape at
+  * corpus scale), while degree-orientation bounds every out-degree by
+  * O(√E) — the hub's edges all point INTO it, so it pivots nothing.
+  * The census numbers are orientation-INVARIANT (each triangle is counted
+  * exactly once under any total order — OrientationSpec pins degree- vs
+  * id-oriented equality on a hub fixture and the real corpus), which is
+  * why the DuckDB oracle keeps the simpler id-oriented SQL.
+  *
+  * Scale shape: two hash joins keyed on edge endpoints (plus two
+  * node-bounded degree joins to orient) — no driver-side loop, nothing
+  * O(V²), worst per-key fan-out √E. All counts are exact integers; the two
+  * ratio columns are single IEEE divisions rounded to 6 on both engines.
   */
 object G2Triangles extends GraftQuery {
   override val oracleOnly = true // scale twin: g4_triangles_lsh (same engine over d16 pairs)
@@ -40,15 +46,22 @@ object G2Triangles extends GraftQuery {
   /** Pair source is pluggable (D10SemanticClusters.runOverPairs contract):
     * default is d5's exact pairs; feed D16's LSH-verified pairs for the
     * bucketed scale path. Expects canonical (vec_a < vec_b) pairs.
+    *
+    * `degreeOriented` selects the wedge-pivot order: (degree, id) — the
+    * hub-safe default — or plain id (the pre-round-9 shape, kept as the
+    * equality baseline OrientationSpec checks; the census is
+    * orientation-invariant).
     */
-  def runOverPairs(spark: SparkSession, pairs: DataFrame): DataFrame = {
-    // One canonical row per undirected edge (vec_a < vec_b from d5); both
-    // the degree aggregate and the two wedge/closure joins read it, so
-    // persist (the t8/d4 multi-consumer rule). Bench/Verify sweep caches.
+  def runOverPairs(spark: SparkSession, pairs: DataFrame,
+      degreeOriented: Boolean = true): DataFrame = {
+    // One canonical row per undirected edge (vec_a < vec_b from d5); the
+    // degree aggregate and the wedge/closure joins all read it, so persist
+    // (the t8/d4 multi-consumer rule). Bench/Verify sweep caches.
     val e = graft.CacheScope.persisted(
       pairs.select(col("vec_a").as("a"), col("vec_b").as("b")))
-    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
-      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val deg = graft.CacheScope.persisted(
+      e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg")))
     // deg*(deg-1) is always even, sum(deg) is 2|E| — the integer halvings
     // below are exact.
     val stats = deg.agg(
@@ -56,17 +69,52 @@ object G2Triangles extends GraftQuery {
       (sum(col("deg")) / 2).cast("long").as("n_edges"),
       (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("n_wedges"),
       (sum(col("deg")).cast("double") / count(lit(1))).as("avg_deg"))
-    val wedges = e.alias("x").join(e.alias("y"), col("x.b") === col("y.a"))
-      .select(col("x.a").as("wa"), col("y.b").as("wc"))
-    val tri = wedges
-      .join(e.alias("z"), col("wa") === col("z.a") && col("wc") === col("z.b"))
-      .agg(count(lit(1)).as("n_triangles"))
+    val tri =
+      if (degreeOriented) {
+        // Out-edges under (deg, id): s → d with (deg,id)(s) < (deg,id)(d);
+        // dd carries the DESTINATION's degree so the wedge join can order
+        // its two spokes without another degree join. Consumed three times
+        // (wedge self-join ×2 + closure) → persisted.
+        val or = graft.CacheScope.persisted(orientEdges(e, deg))
+        val wedges = or.alias("x").join(or.alias("y"),
+          col("x.s") === col("y.s") &&
+            (col("x.dd") < col("y.dd") ||
+              (col("x.dd") === col("y.dd") && col("x.d") < col("y.d"))))
+          .select(col("x.d").as("wa"), col("y.d").as("wc"))
+        // (deg,id)(wa) < (deg,id)(wc), so the closing edge — if present —
+        // is oriented wa → wc: one keyed join, each triangle found once.
+        wedges
+          .join(or.alias("z"), col("wa") === col("z.s") && col("wc") === col("z.d"))
+          .agg(count(lit(1)).as("n_triangles"))
+      } else {
+        val wedges = e.alias("x").join(e.alias("y"), col("x.b") === col("y.a"))
+          .select(col("x.a").as("wa"), col("y.b").as("wc"))
+        wedges
+          .join(e.alias("z"), col("wa") === col("z.a") && col("wc") === col("z.b"))
+          .agg(count(lit(1)).as("n_triangles"))
+      }
     stats.crossJoin(broadcast(tri))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
         round(col("avg_deg"), 6).as("avg_degree"),
         when(col("n_wedges") === 0, lit(0.0))
           .otherwise(round(col("n_triangles") * lit(3.0) / col("n_wedges"), 6))
           .as("clustering_coeff"))
+  }
+
+  /** Directed (s, d, dd) edge frame under the (degree, id) total order:
+    * s → d iff (deg(s), s) < (deg(d), d); `dd` = deg(d). Exposed to
+    * OrientationSpec, which pins the √E out-degree bound on a hub fixture.
+    */
+  private[queries] def orientEdges(e: DataFrame, deg: DataFrame): DataFrame = {
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val aLower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    withDeg.select(
+      when(aLower, col("a")).otherwise(col("b")).as("s"),
+      when(aLower, col("b")).otherwise(col("a")).as("d"),
+      when(aLower, col("db")).otherwise(col("da")).as("dd"))
   }
 
   /** The census SQL over ANY pair CTE chain (final CTE `pairCte` exposing

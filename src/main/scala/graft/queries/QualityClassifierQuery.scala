@@ -24,9 +24,14 @@ import graft.operators.TextOps
   * (keeps every update ON the 1e-6 grid — k1's midpoint argument), w₀ = 0.
   * Per-iteration gradients use `Rounding.exactAvg(_, 10, 6)` — the
   * order-independent scaled-long fold, STRONGER than k1's round(sum/count)
-  * (which tolerates summation-order noise only away from grid midpoints);
-  * grid 1e-10 bounds per-group scaled mass at ~2·10¹⁰·n, safely under
-  * Long.Max beyond 10⁸ docs.
+  * (which tolerates summation-order noise only away from grid midpoints).
+  * Capacity: grid 1e-10 puts per-doc scaled mass at ~2·10¹⁰ (|err·f| ≤ 2),
+  * so the LONG accumulator overflows near n ≈ Long.Max / 2·10¹⁰ ≈ 4.6·10⁸
+  * docs — enough for every test SF, but a 100-TB corpus (≥10⁹ docs) must
+  * swap this call site to exactAvg's documented `decimal(38, gridScale)`
+  * accumulator (same order-independence, unbounded mass) or lower gridScale
+  * to 8 (capacity ~4.6·10¹⁰ docs at 1e-8 grid, still finer than the 1e-6
+  * output grid).
   *
   * Features (bias + 4, all from t2's quality family — same expressions,
   * same SQL mirrors, scaled into O(1) ranges so one lr fits all weights):
@@ -63,8 +68,14 @@ object K4QualityClassifier extends GraftQuery {
     */
   private[graft] def featureCols(text: Column): Seq[Column] = {
     val toks = TextOps.tokens(text)
-    val nTok = size(toks).cast("double")
-    val nChar = length(text).cast("double")
+    // Divisors clamped to >= 1: an empty / whitespace-only doc has nChar=0
+    // or nTok=0, and a NaN feature silently poisons the exactAvg gradient
+    // in Spark (round(NaN).cast(long) -> 0) while DuckDB diverges — one
+    // degenerate doc would break cross-engine parity for the whole loop.
+    // Clamping (not filtering) keeps the scored surface = every document;
+    // the SQL mirror clamps identically.
+    val nTok = greatest(size(toks).cast("double"), lit(1.0))
+    val nChar = greatest(length(text).cast("double"), lit(1.0))
     val nPunct = (length(text) -
       length(regexp_replace(text, "[.,;:!?]", ""))).cast("double")
     val nStop = size(array_intersect(array_distinct(toks),
@@ -110,10 +121,10 @@ object K4QualityClassifier extends GraftQuery {
        |  SELECT doc_id,
        |         (source IN ($refList)) AS is_ref,
        |         1.0 AS f0,
-       |         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS f1,
+       |         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) AS f1,
        |         CAST(len(list_intersect(list_distinct($toks), $stopLit)) AS DOUBLE) / ${stopwords.length}.0 AS f2,
-       |         (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / CAST(len($toks) AS DOUBLE)) / 10.0 AS f3,
-       |         ln(CAST(len($toks) AS DOUBLE) + 1.0) / 10.0 AS f4
+       |         (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / greatest(CAST(len($toks) AS DOUBLE), 1.0)) / 10.0 AS f3,
+       |         ln(greatest(CAST(len($toks) AS DOUBLE), 1.0) + 1.0) / 10.0 AS f4
        |  FROM documents)""".stripMargin
   }
 
