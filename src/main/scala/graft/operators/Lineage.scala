@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Lineage-bounded iteration driver for DataFrame loops — the hygiene that
+  * makes LONG driver loops viable. The reference's default iteration budget
+  * is 50 (`GuaguaConstants.java:35-37` — GUAGUA_DEFAULT_ITERATION_COUNT);
+  * a naive `var df = step(df)` loop at that depth embeds every prior round
+  * in one Catalyst plan, so analysis/optimization cost grows per round
+  * (quadratic in total) and eventually dominates execution — the classic
+  * iterative-dataflow failure mode that never shows up in a 5-round demo
+  * and always shows up in production.
+  *
+  * `loop` runs `step` for `rounds` iterations and, every `cadence` rounds,
+  * truncates lineage through an RDD boundary: persist the round's RDD,
+  * materialize it, rebuild a DataFrame whose plan is a constant-size scan
+  * of that RDD, and unpersist the PREVIOUS boundary (no longer reachable).
+  * The RDD boundary is chosen over `localCheckpoint` for the
+  * ConnectedComponents reason (it keeps partitions recomputable on executor
+  * loss) and over reliable `checkpoint` because no distributed FS is
+  * assumed; a cluster deployment with an HDFS checkpoint dir would swap one
+  * line. Cadence trades per-boundary materialization cost against plan
+  * depth: cadence 1 = constant plan, one extra job per round; cadence 5 =
+  * plans ≤ 5 steps deep, one extra job per 5 rounds; cadence 0 = never
+  * (the lazy-composition shape the short declared loops use, where the
+  * caller's final action executes everything once).
+  *
+  * The final boundary RDD (if any) stays persisted — the returned frame
+  * reads it; callers sweep via Bench/Verify's clearCache+RDD sweep or
+  * `GraftQuery.runManaged`'s RDD snapshot diff, both of which already
+  * handle raw RDD persists.
+  */
+object Lineage {
+
+  /** Per-round observation: wall seconds for the round (step construction +
+    * boundary materialization when this round hit the cadence) and the
+    * analyzed-plan node count of the frame carried into the next round —
+    * the quantity that must stay FLAT for the loop to survive 50+ rounds.
+    */
+  final case class Round(i: Int, seconds: Double, planNodes: Int)
+
+  def loop(
+      spark: SparkSession,
+      init: DataFrame,
+      rounds: Int,
+      cadence: Int = 1,
+      observer: Round => Unit = _ => ())(step: DataFrame => DataFrame): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    require(cadence >= 0, s"cadence must be >= 0 (0 = never truncate), got $cadence")
+    var cur = init
+    var prevBoundary: RDD[Row] = null
+    for (i <- 1 to rounds) {
+      val t0 = System.nanoTime()
+      var next = step(cur)
+      if (cadence > 0 && i % cadence == 0) {
+        val rdd = next.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        rdd.count() // materialize: the old boundary is never read again
+        next = spark.createDataFrame(rdd, next.schema)
+        if (prevBoundary != null) prevBoundary.unpersist(blocking = false)
+        prevBoundary = rdd
+      }
+      val nodes = next.queryExecution.analyzed.collect { case p => p }.length
+      observer(Round(i, (System.nanoTime() - t0) / 1e9, nodes))
+      cur = next
+    }
+    cur
+  }
+}

@@ -164,6 +164,112 @@ object Multimodal {
     }
   }
 
+  // ---- REAL image decode: binary netpbm (PPM P6) ----
+  //
+  // The stub paths above stand in for codecs this environment lacks; PPM
+  // needs none — the format (netpbm, public spec) is an ASCII header
+  // ("P6", width, height, maxval, with '#' comments and arbitrary
+  // whitespace) followed by width·height packed RGB byte triples. The
+  // parser below is a REAL decoder with the real failure modes (bad magic,
+  // malformed header, truncated pixel data → None, the row-level
+  // disposition a production decode stage emits), so m5's pixel statistics
+  // are computed from genuinely DECODED pixels — the payload could have
+  // been written by any netpbm tool.
+
+  final case class PpmImage(width: Int, height: Int, maxval: Int, dataOffset: Int)
+
+  /** Parse a P6 header; None for anything that is not a complete, valid
+    * binary-PPM payload (wrong magic, non-numeric or missing header fields,
+    * zero/negative dimensions, pixel data shorter than width·height·3).
+    */
+  def decodePpm(payload: Array[Byte]): Option[PpmImage] = {
+    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6') return None
+    var i = 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < payload.length) {
+        val c = payload(i) & 0xff
+        if (c == '#') { while (i < payload.length && payload(i) != '\n') i += 1 }
+        else if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == 11 || c == 12) i += 1
+        else go = false
+      }
+    }
+    def int(): Int = { // -1 = malformed
+      skipWs()
+      val start = i
+      var v = 0
+      while (i < payload.length && payload(i) >= '0' && payload(i) <= '9' && v < (1 << 24)) {
+        v = v * 10 + (payload(i) - '0'); i += 1
+      }
+      if (i == start) -1 else v
+    }
+    val w = int(); val h = int(); val mv = int()
+    if (w <= 0 || h <= 0 || mv <= 0 || mv > 65535) return None
+    // exactly ONE whitespace byte separates maxval from the raster
+    if (i >= payload.length || !Character.isWhitespace(payload(i) & 0xff)) return None
+    i += 1
+    if (payload.length - i < w.toLong * h * 3) None
+    else Some(PpmImage(w, h, mv, i))
+  }
+
+  final case class ImageFeatures(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      n_pixels: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+      mean_brightness: Double)
+
+  /** Partition-batched REAL decode: parse each payload as PPM and compute
+    * per-channel pixel sums + mean brightness from the decoded raster.
+    * Invalid payloads are DROPPED (flatMap disposition) — the production
+    * contract for a decode stage. Same mapPartitions shape as
+    * [[extractFeatures]]; the payload bytes never leave the scan partition.
+    */
+  def decodeImages(media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        decodePpm(r.payload).map { img =>
+          val n = img.width * img.height
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var p = img.dataOffset
+          var k = 0
+          while (k < n) {
+            sr += r.payload(p) & 0xff
+            sg += r.payload(p + 1) & 0xff
+            sb += r.payload(p + 2) & 0xff
+            p += 3; k += 1
+          }
+          ImageFeatures(r.doc_id, img.width, img.height, n, sr, sg, sb,
+            graft.functions.Rounding.roundTo((sr + sg + sb).toDouble / (3.0 * n), 6))
+        }
+      }
+    }
+  }
+
+  /** Deterministic PPM fixture payload: a REAL, spec-valid P6 image (8-wide,
+    * tall enough to hold the text) whose raster is the document's UTF-8
+    * bytes repeated cyclically — so the oracle can replay the decoded pixel
+    * sums from the text alone while the decoder parses an actual header it
+    * has no construction knowledge of. Empty text yields an invalid payload
+    * (no raster to build), which the decode stage drops — exercising the
+    * disposition branch.
+    */
+  def ppmFixturePayload(text: String): Array[Byte] = {
+    val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (tb.isEmpty) return Array[Byte]('X')
+    val w = 8
+    val h = 1 + tb.length / 24
+    val header = s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val data = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < data.length) { data(i) = tb(i % tb.length); i += 1 }
+    header ++ data
+  }
+
   final case class VideoSignature(doc_id: Long, sig: Array[Long])
 
   /** Perceptual-hash-style VIDEO FINGERPRINT: the sequence of per-frame

@@ -54,4 +54,25 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Salted inner join on an ARBITRARY (pre-disambiguated: no shared column
+    * names) condition — the form a composite-key or self-join-shaped skew
+    * needs (d16's (table, bucket) candidate join, where one hot LSH bucket
+    * makes a single join key quadratic). Left rows scatter by physical
+    * partition id; the right side replicates `salts`×; each original row
+    * pair matches at exactly ONE salt (the left row's), so the output is
+    * row-identical to the unsalted join while the hot key's fan-out spreads
+    * over `salts` tasks. The replication multiplies the right side's shuffle
+    * volume `salts`× — worth it exactly when one key dominates.
+    */
+  def saltedJoinOn(
+      skewedLeft: DataFrame,
+      right: DataFrame,
+      condition: Column,
+      salts: Int): DataFrame = {
+    val l = skewedLeft.withColumn("__salt_l", pmod(spark_partition_id(), lit(salts)))
+    val r = right.withColumn("__salt_r", explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, condition && col("__salt_l") === col("__salt_r"))
+      .drop("__salt_l", "__salt_r")
+  }
 }

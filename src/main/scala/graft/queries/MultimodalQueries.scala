@@ -196,6 +196,66 @@ object M3KeyframePool extends GraftQuery {
       |FROM rk GROUP BY doc_id""".stripMargin)
 }
 
+/** m5: REAL image decode — the m-family row that is NOT a stub: payloads
+  * are complete binary-PPM (netpbm P6) images and
+  * [[graft.operators.Multimodal.decodePpm]] is a genuine decoder — ASCII
+  * header parse (magic, dimensions, maxval, comments/whitespace per the
+  * public netpbm spec), raster bounds check, invalid-payload drop — with
+  * per-channel pixel sums and mean brightness computed from the DECODED
+  * raster, not from construction knowledge. The fixture payloads are built
+  * from the documents' UTF-8 bytes (this sandbox ships no media files), but
+  * the decoder would accept any netpbm tool's output unchanged; only the
+  * payload SOURCE is synthetic, the decode is real.
+  *
+  * Oracle: the raster is the text's bytes repeated cyclically under an
+  * 8-wide geometry, so DuckDB replays the decoded channel sums from the
+  * text alone (the m2/m3 byte-replay discipline; ASCII corpus ⇒
+  * `ord(substr)` enumerates payload bytes). If the decoder mis-parses a
+  * header or mis-strides the raster, the sums diverge and the hash gate
+  * goes red — the decode itself is what is under test.
+  *
+  * Scale: identical to m2/m3 — decode inside the scan partition via typed
+  * mapPartitions, only O(1) integers per image continue.
+  */
+object M5ImageDecode extends GraftQuery {
+  val name = "m5_image_decode"
+  val describe = "REAL binary-PPM decode: per-channel pixel sums + brightness from parsed rasters"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => Multimodal.MediaRecord(id, Multimodal.ppmFixturePayload(t)) }
+    Multimodal.decodeImages(media).toDF()
+  }
+
+  val oracle = Some(
+    """WITH b AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS len,
+      |         list_transform(range(1, length(text) + 1),
+      |                        i -> CAST(ord(substr(text, i, 1)) AS BIGINT)) AS bytes
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, len, bytes, 8 AS w, 1 + (len // 24) AS h
+      |  FROM b WHERE len > 0),
+      |px AS (
+      |  SELECT doc_id, w, h, w * h AS n,
+      |         list_transform(range(0, w * h * 3),
+      |                        p -> bytes[CAST(p % len AS INT) + 1]) AS data
+      |  FROM d),
+      |s AS (
+      |  SELECT doc_id, w, h, n,
+      |         CAST(list_reduce(list_transform(range(0, n), i -> data[CAST(3 * i AS INT) + 1]), (a, x) -> a + x) AS BIGINT) AS sum_r,
+      |         CAST(list_reduce(list_transform(range(0, n), i -> data[CAST(3 * i + 1 AS INT) + 1]), (a, x) -> a + x) AS BIGINT) AS sum_g,
+      |         CAST(list_reduce(list_transform(range(0, n), i -> data[CAST(3 * i + 2 AS INT) + 1]), (a, x) -> a + x) AS BIGINT) AS sum_b
+      |  FROM px)
+      |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |       CAST(n AS INT) AS n_pixels, sum_r, sum_g, sum_b,
+      |       round(CAST(sum_r + sum_g + sum_b AS DOUBLE) / (3 * n), 6) AS mean_brightness
+      |FROM s""".stripMargin)
+}
+
 /** m4: video fingerprint dedup — m-family's d1: group videos by their
   * quantized frame-score signature ([[graft.operators.Multimodal
   * .videoSignatures]]; two videos match iff every sampled frame lands in

@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   * vec_id — working set proportional to the edge list, contributions
   * partially aggregated map-side, nothing driver-side but the loop counter
   * (rank frames stay distributed; only the O(P) metadata of the d5 stage
-  * ever visits the driver). Rounds are fixed (5), so lineage stays bounded
-  * without checkpointing; a convergence-driven variant would reuse d7's
-  * per-round truncation.
+  * ever visits the driver). The declared query runs 5 lazy rounds (lineage
+  * bounded by the fixed budget, matching the unrolled oracle); longer
+  * budgets — the reference defaults to 50 iterations — route the same step
+  * through Lineage.loop's RDD-boundary truncation via the
+  * `rounds`/`truncateEvery` knobs, keeping the plan constant-size.
   *
   * Determinism: contribution sums are rounded to 9 decimals each round
   * BEFORE damping (the s6 per-iteration-rounding precedent), so
@@ -44,8 +46,15 @@ object G1PageRank extends GraftQuery {
   /** Pair source is pluggable (D10SemanticClusters.runOverPairs contract):
     * default is d5's exact pairs; feed D16's LSH-verified pairs for the
     * bucketed scale path.
+    *
+    * `rounds`/`truncateEvery` expose the iteration budget and the lineage
+    * cadence ([[graft.operators.Lineage.loop]]): the declared 5-round query
+    * keeps cadence 0 (lazy composition, matching the unrolled oracle SQL);
+    * a reference-budget 50-round run sets cadence ≥ 1 so the plan stays
+    * constant-size (LineageHygieneSpec pins flat per-round cost at 50).
     */
-  def runOverPairs(spark: SparkSession, pairs: DataFrame): DataFrame = {
+  def runOverPairs(spark: SparkSession, pairs: DataFrame,
+      rounds: Int = iterations, truncateEvery: Int = 0): DataFrame = {
     // Persist the pair SOURCE first: it is referenced twice by the
     // direction union, and `deg` (itself read by the adjacency build AND
     // the final join) multiplies the references further — without the cache
@@ -63,15 +72,15 @@ object G1PageRank extends GraftQuery {
     val n = adj.select(col("src")).distinct().count()
     val teleport = (1.0 - damping) / n
 
-    var ranks = adj.select(col("src").as("id")).distinct()
+    val init = adj.select(col("src").as("id")).distinct()
       .withColumn("pr", round(lit(1.0 / n), roundScale))
-    for (_ <- 1 to iterations) {
-      val contrib = adj.join(ranks, adj("src") === ranks("id"))
+    val ranks = graft.operators.Lineage.loop(spark, init, rounds, truncateEvery) { prev =>
+      adj.join(prev, adj("src") === prev("id"))
         .groupBy(col("dst"))
         .agg(round(sum(col("pr") / col("deg")), roundScale).as("mass"))
-      ranks = contrib.select(
-        col("dst").as("id"),
-        round(lit(teleport) + lit(damping) * col("mass"), roundScale).as("pr"))
+        .select(
+          col("dst").as("id"),
+          round(lit(teleport) + lit(damping) * col("mass"), roundScale).as("pr"))
     }
     ranks.join(deg, ranks("id") === deg("src"))
       .select(col("id").as("vec_id"), col("deg").as("degree"),

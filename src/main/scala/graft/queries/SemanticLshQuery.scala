@@ -83,16 +83,29 @@ object D16SemanticLshClusters extends GraftQuery {
   def run(spark: SparkSession, sfDir: String): DataFrame =
     run(spark, sfDir, D7DupClusters.defaultEdgePartitions)
 
-  def run(spark: SparkSession, sfDir: String, edgePartitions: Int): DataFrame =
+  def run(spark: SparkSession, sfDir: String, edgePartitions: Int,
+      bucketSalts: Int = 1): DataFrame =
     D10SemanticClusters.runOverPairs(
-      spark, verifiedPairs(spark, sfDir).select(col("vec_a"), col("vec_b")),
+      spark, verifiedPairs(spark, sfDir, bucketSalts).select(col("vec_a"), col("vec_b")),
       edgePartitions, name)
 
   /** Stage 1+2: LSH candidates → exact-cosine verified pairs (canonical
     * a < b, with the verified cosine — the d5-shaped contract, so g1/g2/d12
     * consumers can swap sources without reshaping).
+    *
+    * `bucketSalts > 1` routes the (table, bucket) candidate join through
+    * [[graft.operators.Skew.saltedJoinOn]]: a template/boilerplate family
+    * whose near-identical embeddings all land in ONE bucket makes that
+    * single join key quadratic in family size — the d9 `joinSalts` hazard
+    * in LSH form. Salting spreads the hot bucket's fan-out over
+    * `bucketSalts` tasks; the candidate multiset (each probe-row × base-row
+    * pair matches at exactly one salt) and therefore the verified pairs and
+    * clusters are IDENTICAL (D16SaltedJoinSpec pins equality on a
+    * one-hot-bucket fixture and the real corpus).
     */
-  private[queries] def verifiedPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  private[queries] def verifiedPairs(spark: SparkSession, sfDir: String,
+      bucketSalts: Int = 1): DataFrame = {
+    require(bucketSalts >= 1, s"bucketSalts must be >= 1, got $bucketSalts")
     org.apache.spark.sql.graft.DotProduct.register(spark)
     org.apache.spark.sql.graft.CosineSimilarity.register(spark)
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
@@ -119,11 +132,17 @@ object D16SemanticLshClusters extends GraftQuery {
     // 128-dim cosine runs once per candidate PAIR, not once per collision
     // (measured 10.8 → ~4 s on d16 at sf0.1). The survivor set is
     // identical either way — cosine is a pure pair function.
-    val cand = pLong.alias("a")
-      .join(nLong.alias("b"),
-        col("a.t") === col("b.t") && col("a.probe") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    // Disambiguated column names so the optional salted route can take a
+    // plain Column condition (Skew.saltedJoinOn contract).
+    val pR = pLong.select(col("vec_id").as("pid"), col("t").as("pt"), col("probe"))
+    val nR = nLong.select(col("vec_id").as("nid"), col("t").as("nt"), col("bucket"))
+    val cond = col("pt") === col("nt") && col("probe") === col("bucket") &&
+      col("pid") < col("nid")
+    val joined =
+      if (bucketSalts <= 1) pR.join(nR, cond)
+      else graft.operators.Skew.saltedJoinOn(pR, nR, cond, bucketSalts)
+    val cand = joined
+      .select(col("pid").as("vec_a"), col("nid").as("vec_b"))
       .distinct()
     val cos = org.apache.spark.sql.graft.CosineSimilarity.cosineSimilarity(
       col("ea.embedding"), col("eb.embedding"))

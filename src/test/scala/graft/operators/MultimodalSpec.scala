@@ -96,6 +96,58 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("REAL PPM decode: hand-built P6 image (with header comments) yields exact pixel sums") {
+    // 2x2 image with known RGB values; the header exercises comments,
+    // multi-whitespace, and the one-raster-separator rule of the netpbm spec.
+    val header = "P6\n# a comment line\n2   2\n# another\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val raster = Array[Int](
+      255, 0, 0,   0, 255, 0,   // (red)(green)
+      0, 0, 255,   10, 20, 30   // (blue)(gray-ish)
+    ).map(_.toByte)
+    val img = Multimodal.decodePpm(header ++ raster)
+    assert(img.contains(Multimodal.PpmImage(2, 2, 255, header.length)))
+    import spark.implicits._
+    val feats = Multimodal.decodeImages(
+      Seq(Multimodal.MediaRecord(7L, header ++ raster)).toDS()).collect()
+    assert(feats.length == 1)
+    val f = feats(0)
+    assert((f.sum_r, f.sum_g, f.sum_b) == ((265L, 275L, 285L)))
+    assert(f.n_pixels == 4 && f.width == 2 && f.height == 2)
+    assert(f.mean_brightness == graft.functions.Rounding.roundTo(825.0 / 12, 6))
+  }
+
+  test("PPM decode rejects the real failure modes (disposition drop, not garbage rows)") {
+    // wrong magic
+    assert(Multimodal.decodePpm("P5\n2 2\n255\n".getBytes ++ Array.fill[Byte](12)(1)).isEmpty)
+    // truncated raster: 2x2 needs 12 bytes, give 11
+    assert(Multimodal.decodePpm("P6\n2 2\n255\n".getBytes ++ Array.fill[Byte](11)(1)).isEmpty)
+    // malformed dimension
+    assert(Multimodal.decodePpm("P6\nx 2\n255\n".getBytes ++ Array.fill[Byte](12)(1)).isEmpty)
+    // zero dimension
+    assert(Multimodal.decodePpm("P6\n0 2\n255\n".getBytes ++ Array.fill[Byte](12)(1)).isEmpty)
+    // empty / garbage payload (the fixture's empty-text disposition)
+    assert(Multimodal.decodePpm(Array[Byte]('X')).isEmpty)
+    assert(Multimodal.decodePpm(Multimodal.ppmFixturePayload("")).isEmpty)
+    // a decode stage over a mixed batch drops exactly the invalid rows
+    import spark.implicits._
+    val ok = Multimodal.ppmFixturePayload("hello world")
+    val rows = Multimodal.decodeImages(Seq(
+      Multimodal.MediaRecord(1L, ok),
+      Multimodal.MediaRecord(2L, Array[Byte]('X')),
+      Multimodal.MediaRecord(3L, ok.dropRight(1))).toDS()).collect()
+    assert(rows.map(_.doc_id).toSeq == Seq(1L))
+  }
+
+  test("fixture payloads are REAL spec-valid PPMs the decoder round-trips") {
+    val p = Multimodal.ppmFixturePayload("some document text")
+    val img = Multimodal.decodePpm(p)
+    assert(img.isDefined)
+    val i = img.get
+    assert(i.width == 8 && i.maxval == 255)
+    assert(p.length - i.dataOffset == i.width * i.height * 3)
+  }
+
   test("payload bytes equal UTF-8 text length for ASCII corpus") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     import org.apache.spark.sql.functions._

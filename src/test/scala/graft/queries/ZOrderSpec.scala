@@ -24,16 +24,13 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
-  test("physical layout: z-range-partitioned parquet files have bounded 2-D extents") {
+  /** The physical write path the operator exists for, materialized ONCE for
+    * the layout + pruned-read tests: cluster storage by curve position
+    * (repartitionByRange on z), write parquet, then build the per-FILE
+    * min/max stats index a table format (Delta/Iceberg) keeps in metadata.
+    */
+  private lazy val layout: (String, Array[(String, Int, Int, Int, Int)]) = {
     import org.apache.spark.sql.functions._
-    // The actual write path the operator exists for: cluster storage by
-    // curve position (repartitionByRange on z), write parquet, then read
-    // each FILE back and compute the min/max stats a scan planner would
-    // take from its footer. Every file's 2-D extent area must be far below
-    // the full grid — the pruning a single-column sort cannot give both
-    // dimensions. (RangePartitioner boundaries come from sampling, so the
-    // per-file split points vary run to run; the BOUND asserted here holds
-    // for any contiguous z-range, which is the property being bought.)
     val spark2 = spark
     import spark2.implicits._
     val li = graft.Tables.lineitem(spark, TestSpark.sf001)
@@ -52,14 +49,28 @@ class ZOrderSpec extends AnyFunSuite {
     z.repartitionByRange(16, $"z").write.mode("overwrite").parquet(dir)
     val files = new java.io.File(dir).listFiles()
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-    assert(files.length >= 8, s"expected >=8 part files, got ${files.length}")
-    val fullArea = 256.0 * 256.0
-    val areas = files.map { f =>
+    val stats = files.map { f =>
       val s = spark.read.parquet(f.getAbsolutePath)
         .agg(min($"xb"), max($"xb"), min($"yb"), max($"yb")).collect()(0)
-      (s.getInt(1) - s.getInt(0) + 1).toDouble * (s.getInt(3) - s.getInt(2) + 1)
+      (f.getAbsolutePath, s.getInt(0), s.getInt(1), s.getInt(2), s.getInt(3))
+    }
+    (dir, stats)
+  }
+
+  test("physical layout: z-range-partitioned parquet files have bounded 2-D extents") {
+    // Every file's 2-D extent area must be far below the full grid — the
+    // pruning a single-column sort cannot give both dimensions.
+    // (RangePartitioner boundaries come from sampling, so the per-file
+    // split points vary run to run; the BOUND asserted here holds for any
+    // contiguous z-range, which is the property being bought.)
+    val (_, stats) = layout
+    assert(stats.length >= 8, s"expected >=8 part files, got ${stats.length}")
+    val fullArea = 256.0 * 256.0
+    val areas = stats.map { case (_, minX, maxX, minY, maxY) =>
+      (maxX - minX + 1).toDouble * (maxY - minY + 1)
     }
     val worst = areas.max / fullArea
+    val files = stats
     info(f"worst per-file extent area: ${worst * 100}%.1f%% of the grid (${files.length} files)")
     // A contiguous 1/16th of the z-curve spans at most a quarter of the
     // grid's area in stats-extent terms (two adjacent aligned quadrants +
@@ -84,5 +95,33 @@ class ZOrderSpec extends AnyFunSuite {
     info(s"x-slab [0,15] touches $touched of $total units")
     assert(touched <= 16, s"x-slab touched $touched units — z-locality broken")
     assert(touched < total, "slab touched every unit — no pruning at all")
+  }
+
+  test("stats-pruned READ: the x-slab answer comes from a minority of files, exactly") {
+    import org.apache.spark.sql.functions._
+    // The consumer loop the layout exists for, executed physically: answer
+    // `xb ∈ [0, 15]` by consulting the per-file stats index (the metadata a
+    // table format keeps), reading ONLY the overlapping files, and applying
+    // the residual filter. Must (a) skip the majority of files — under a
+    // y-sorted layout every file's x-extent spans ~the full axis and ZERO
+    // files are skippable — and (b) return exactly the full-scan answer.
+    val (dir, stats) = layout
+    val (slabLo, slabHi) = (0, 15)
+    val survivors = stats.collect {
+      case (path, minX, maxX, _, _) if maxX >= slabLo && minX <= slabHi => path
+    }
+    info(s"stats pruned ${stats.length - survivors.length} of ${stats.length} files")
+    assert(survivors.nonEmpty, "slab empty — fixture degenerate")
+    assert(survivors.length * 2 <= stats.length,
+      s"stats pruning kept ${survivors.length}/${stats.length} files — z-locality broken")
+    def answer(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("xb").between(slabLo, slabHi))
+        .agg(count(lit(1)), coalesce(sum(col("xb") * 1000 + col("yb")), lit(0L)))
+        .collect()(0)
+    val pruned = answer(spark.read.parquet(survivors: _*))
+    val full = answer(spark.read.parquet(dir))
+    assert(pruned == full,
+      s"pruned read answered $pruned but full scan answered $full")
+    assert(full.getLong(0) > 0, "slab matched no rows — assertion vacuous")
   }
 }
