@@ -56,12 +56,15 @@ class LineageHygieneSpec extends AnyFunSuite {
     val (adj, n) = graph()
     val init = adj.select(col("src").as("id")).distinct()
       .withColumn("pr", lit(1.0 / n))
+    // snapshot-diff, not a global count: suites share one session and an
+    // earlier suite's leftover caches are not this loop's leak
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val rounds = scala.collection.mutable.ArrayBuffer.empty[Lineage.Round]
     val out = Lineage.loop(spark, init, 50, cadence = 1, observer = rounds += _)(step(adj))
     assert(out.count() == n)
     // ≤ 1 boundary RDD persisted at exit (the final one the result reads)
-    assert(spark.sparkContext.getPersistentRDDs.size <= 1,
-      s"boundary RDDs leaked: ${spark.sparkContext.getPersistentRDDs.size}")
+    val mine = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(mine.size <= 1, s"boundary RDDs leaked: ${mine.size}")
     sweep()
     // plan size: identical every round (each round = same step over a scan)
     assert(rounds.map(_.planNodes).distinct.size == 1,

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.SnapshotMerge
+
+/** q25 / operators.SnapshotMerge: the CDC upsert. The oracle pins the full
+  * merged table; these tests pin the operator CONTRACT on a hand-built
+  * fixture (delta-wins, null payloads don't fake a disposition, closed
+  * 3-set) and the derived-snapshot algebra on the real corpus (disposition
+  * sets partition the key universe the way the h%7 / h%3 carve-outs say
+  * they must).
+  */
+class SnapshotMergeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("merge contract: delta wins, null payload values never flip a disposition") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, Option("a"), 10L),
+      (2L, Option("b"), 20L),
+      (3L, Option.empty[String], 30L)) // null payload in base, absent in delta
+      .toDF("k", "tag", "v")
+    val delta = Seq(
+      (2L, Option.empty[String], 21L), // null payload in delta — must still win
+      (4L, Option("d"), 40L))
+      .toDF("k", "tag", "v")
+    val out = SnapshotMerge.merge(base, delta, "k", Seq("tag", "v"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, Some("a"), 10L, "carried"),
+      (2L, Some("b"), 21L, "updated"), // v from delta; null delta.tag falls back to base's
+      (3L, None, 30L, "carried"),      // null payload, still carried — not "inserted"
+      (4L, Some("d"), 40L, "inserted")))
+  }
+
+  test("q25 dispositions partition the key universe per the carve-out algebra (sf0.001)") {
+    import graft.functions.Portable
+    val orders = graft.Tables.orders(spark, TestSpark.sf0001)
+      .select(col("o_orderkey"),
+        Portable.hash60(concat(lit("snap:"), col("o_orderkey").cast("string"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Q25SnapshotMerge.run(spark, TestSpark.sf0001)
+      .select("o_orderkey", "disposition").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every order key appears iff it is in base (h%7!=0) or delta (h%3==0)
+    val expected = orders.collect {
+      case (k, h) if h % 7 != 0 || h % 3 == 0 =>
+        k -> (if (h % 7 == 0) "inserted" else if (h % 3 == 0) "updated" else "carried")
+    }.toMap
+    assert(out == expected)
+    // all three dispositions populated at this scale
+    assert(Set("inserted", "carried", "updated").subsetOf(out.values.toSet))
+  }
+
+  test("updated/inserted rows carry the exact +10% integer-cents price") {
+    val rows = Q25SnapshotMerge.run(spark, TestSpark.sf0001).collect()
+    val orig = graft.Tables.orders(spark, TestSpark.sf0001)
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (k, disp, price) = (r.getLong(0), r.getString(2), r.getDouble(3))
+      val c = orig(k)
+      val want = disp match {
+        case "carried" => c
+        case _         => c + c / 10 // inserted + updated both price off the delta
+      }
+      assert(price == want.toDouble / 100, s"key $k ($disp)")
+    }
+  }
+}
