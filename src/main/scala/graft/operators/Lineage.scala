@@ -14,18 +14,29 @@ import org.apache.spark.storage.StorageLevel
   * and always shows up in production.
   *
   * `loop` runs `step` for `rounds` iterations and, every `cadence` rounds,
-  * truncates lineage through an RDD boundary: persist the round's RDD,
-  * materialize it, rebuild a DataFrame whose plan is a constant-size scan
-  * of that RDD, and unpersist the PREVIOUS boundary (no longer reachable).
-  * The RDD boundary is chosen over `localCheckpoint` for the
-  * ConnectedComponents reason (it keeps partitions recomputable on executor
-  * loss) and over reliable `checkpoint` because no distributed FS is
-  * assumed; a cluster deployment with an HDFS checkpoint dir would swap one
-  * line. Cadence trades per-boundary materialization cost against plan
-  * depth: cadence 1 = constant plan, one extra job per round; cadence 5 =
-  * plans ≤ 5 steps deep, one extra job per 5 rounds; cadence 0 = never
-  * (the lazy-composition shape the short declared loops use, where the
-  * caller's final action executes everything once).
+  * truncates lineage through an RDD boundary: local-checkpoint the round's
+  * RDD (persist MEMORY_AND_DISK + clear its dependency chain once
+  * materialized), rebuild a DataFrame whose plan is a constant-size scan of
+  * that RDD, and unpersist the PREVIOUS boundary (no longer reachable).
+  *
+  * The checkpoint must be a REAL one — persist alone is not truncation.
+  * A merely-persisted boundary short-circuits recomputation but keeps the
+  * parent RDD object graph alive, and every task ships that graph: at the
+  * reference's 50-round budget the serialized chain is deep enough that
+  * task DESERIALIZATION stack-overflows (observed as a mid-suite
+  * `StackOverflowError` in a 9000-stage session — flaky, because overflow
+  * depends on thread stack state). `localCheckpoint` clears the
+  * dependencies after materialization, so the shipped graph is O(cadence)
+  * forever. The cost is the checkpoint contract: on executor loss the
+  * checkpointed partitions are unrecoverable and the JOB fails (retry
+  * restarts the loop from its last driver-side state — the A11 pattern);
+  * a cluster deployment that wants lineage-free recovery instead swaps in
+  * reliable `rdd.checkpoint` against an HDFS dir — one line. Cadence
+  * trades per-boundary materialization cost against plan depth: cadence 1
+  * = constant plan, one extra job per round; cadence 5 = plans ≤ 5 steps
+  * deep, one extra job per 5 rounds; cadence 0 = never (the
+  * lazy-composition shape the short declared loops use, where the caller's
+  * final action executes everything once).
   *
   * The final boundary RDD (if any) stays persisted — the returned frame
   * reads it; callers sweep via Bench/Verify's clearCache+RDD sweep or
@@ -56,7 +67,8 @@ object Lineage {
       var next = step(cur)
       if (cadence > 0 && i % cadence == 0) {
         val rdd = next.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-        rdd.count() // materialize: the old boundary is never read again
+        rdd.localCheckpoint() // sever the dependency graph, not just recompute
+        rdd.count() // materialize: deps drop here; old boundary never read again
         next = spark.createDataFrame(rdd, next.schema)
         if (prevBoundary != null) prevBoundary.unpersist(blocking = false)
         prevBoundary = rdd

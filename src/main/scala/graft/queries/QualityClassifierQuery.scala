@@ -159,9 +159,15 @@ object K4QualityClassifier extends GraftQuery {
       .withColumn("pred_ref", col("score") >= 0.5)
   }
 
-  val oracle = {
+  /** The full trained-and-scored CTE chain, ending in
+    * `<out>(doc_id, is_ref, score)` — k4's own oracle body, exposed so
+    * composed consumers (k5's evaluation table) replay the identical
+    * training + scoring SQL instead of re-deriving it (the s6/s7 → s11
+    * prefix-parameterization discipline).
+    */
+  private[queries] def scoredCte(out: String): String = {
     val sb = new StringBuilder
-    sb ++= s"WITH ${featuresSqlCte("f")}"
+    sb ++= featuresSqlCte("f")
     sb ++= s",\nw0(${(0 until dims).map(i => s"w$i").mkString(", ")}) AS (VALUES (${Seq.fill(dims)("0.0").mkString(", ")}))"
     for (it <- 1 to iterations) {
       val z = (0 until dims).map(j => s"w.w$j * f.f$j").mkString(" + ")
@@ -176,11 +182,89 @@ object K4QualityClassifier extends GraftQuery {
     }
     val zF = (0 until dims).map(j => s"w.w$j * f.f$j").mkString(" + ")
     sb ++=
-      s"""
-         |SELECT f.doc_id, f.is_ref,
-         |       round(1.0 / (1.0 + exp(-($zF))), 6) AS score,
-         |       (round(1.0 / (1.0 + exp(-($zF))), 6) >= 0.5) AS pred_ref
-         |FROM f CROSS JOIN w$iterations w""".stripMargin
-    Some(sb.toString)
+      s""",
+         |$out AS (
+         |  SELECT f.doc_id, f.is_ref,
+         |         round(1.0 / (1.0 + exp(-($zF))), 6) AS score
+         |  FROM f CROSS JOIN w$iterations w)""".stripMargin
+    sb.toString
+  }
+
+  val oracle = Some(
+    s"""WITH ${scoredCte("sc")}
+       |SELECT doc_id, is_ref, score, (score >= 0.5) AS pred_ref FROM sc""".stripMargin)
+}
+
+/** k5: classifier evaluation table — the audit artifact every production
+  * quality filter ships next to its weights: k4's scores swept over nine
+  * decision thresholds, with the exact confusion counts (TP/FP/FN/TN
+  * against t19's trusted-slice labels) and precision/recall/F1 per
+  * threshold. This is how the filter's operating point is CHOSEN (the
+  * fastText/CCNet papers pick thresholds off exactly this curve); without
+  * it k4's fixed 0.5 cut is a guess.
+  *
+  * Composition: the scored frame is k4's own `run` (one definition — the
+  * spec pins that k5's counts reproduce from k4's published output), and
+  * the oracle replays k4's full trained-and-scored CTE chain via
+  * [[K4QualityClassifier.scoredCte]] — byte-identical training SQL.
+  *
+  * Engine-exactness: counts are integer sums over (rounded score ≥ literal
+  * threshold) predicates — both engines compare identical doubles — and
+  * each ratio is ONE correctly-rounded division of identical integers;
+  * precision at an empty-positive threshold is pinned to the -1.0 sentinel
+  * on both sides (Spark 0/0 is NaN, DuckDB diverges — the CASE removes the
+  * hazard).
+  *
+  * Scale: a 9× literal fan-out (explode over an inlined array) followed by
+  * a 9-key aggregate — map-side partials reduce every task to ≤ 9 rows, so
+  * the shuffle is O(9 × partitions) regardless of corpus size.
+  */
+object K5ClassifierEval extends GraftQuery {
+  val name = "k5_classifier_eval"
+  val describe = "classifier threshold sweep: confusion counts + precision/recall/F1 per cut"
+
+  private val thresholds = (1 to 9).map(_ / 10.0)
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = K4QualityClassifier.run(spark, sfDir)
+      .select(col("is_ref"), col("score"))
+    val hit = col("score") >= col("threshold")
+    scored
+      .select(col("is_ref"), col("score"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(hit && col("is_ref"), 1L).otherwise(0L)).as("tp"),
+        sum(when(hit && !col("is_ref"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!hit && col("is_ref"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!hit && !col("is_ref"), 1L).otherwise(0L)).as("tn"))
+      .select(
+        col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") === 0, lit(-1.0))
+          .otherwise(round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+          .as("prec"),
+        round(col("tp").cast("double") / (col("tp") + col("fn")), 6).as("recall"),
+        round(lit(2.0) * col("tp") / (lit(2L) * col("tp") + col("fp") + col("fn")), 6)
+          .as("f1"))
+  }
+
+  val oracle = {
+    val values = thresholds.map(t => s"($t)").mkString(", ")
+    Some(
+      s"""WITH ${K4QualityClassifier.scoredCte("sc")},
+         |th AS (SELECT CAST(x AS DOUBLE) AS threshold FROM (VALUES $values) t(x)),
+         |c AS (
+         |  SELECT th.threshold,
+         |         CAST(sum(CASE WHEN sc.score >= th.threshold AND sc.is_ref THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(sum(CASE WHEN sc.score >= th.threshold AND NOT sc.is_ref THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |         CAST(sum(CASE WHEN sc.score < th.threshold AND sc.is_ref THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |         CAST(sum(CASE WHEN sc.score < th.threshold AND NOT sc.is_ref THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM sc CROSS JOIN th GROUP BY th.threshold)
+         |SELECT threshold, tp, fp, fn, tn,
+         |       CASE WHEN tp + fp = 0 THEN -1.0
+         |            ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS prec,
+         |       round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+         |       round(2.0 * tp / (2 * tp + fp + fn), 6) AS f1
+         |FROM c""".stripMargin)
   }
 }

@@ -183,6 +183,28 @@ object EventStream {
       .withColumn("pred_ref", col("score") >= keepAbove)
   }
 
+  /** Streaming PII gate: p8's redaction applied at ingestion time — each
+    * arriving document leaves with its emails/phones/IPv4s replaced by
+    * typed placeholders plus the per-type counts t20 reports, so PII never
+    * reaches any downstream stateful stage (the redact-at-the-edge rule of
+    * production anonymization). The pattern constants and the replacement
+    * chain are [[graft.queries.PiiOps]]'s OWN — one definition, two
+    * surfaces, same structural no-skew guarantee as [[classifierGate]].
+    * Stateless: pure per-row projection, no watermark, no state store, no
+    * shuffle; batch parity is exact because the expression tree is
+    * identical (PiiGateStreamSpec replays micro-batches against p8's
+    * expressions).
+    */
+  def piiGate(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import graft.queries.PiiOps._
+    val t = col(textCol)
+    docs
+      .withColumn("n_emails", size(regexp_extract_all(t, lit(emailRe), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(t, lit(phoneRe), lit(0))))
+      .withColumn("n_ips", size(regexp_extract_all(t, lit(ipRe), lit(0))))
+      .withColumn("redacted", redactCol(t))
+  }
+
   final case class OpenSession(startSec: Long, lastSec: Long, nEvents: Long)
   final case class OpenSessions(sessions: List[OpenSession])
   final case class FinalizedSession(

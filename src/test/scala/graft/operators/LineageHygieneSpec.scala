@@ -65,6 +65,17 @@ class LineageHygieneSpec extends AnyFunSuite {
     // ≤ 1 boundary RDD persisted at exit (the final one the result reads)
     val mine = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(mine.size <= 1, s"boundary RDDs leaked: ${mine.size}")
+    // the boundary truly severed the RDD object graph: a persist-only
+    // boundary short-circuits recomputation but still SHIPS the whole
+    // 50-round parent chain in every task, which stack-overflows on
+    // deserialization (the flaky mid-suite StackOverflowError this pins
+    // against). Depth must be O(one step), not O(rounds).
+    def depth(r: org.apache.spark.rdd.RDD[_],
+              seen: scala.collection.mutable.Set[Int]): Int =
+      if (!seen.add(r.id)) 0
+      else 1 + (0 +: r.dependencies.map(d => depth(d.rdd, seen))).max
+    val d = depth(out.rdd, scala.collection.mutable.Set.empty[Int])
+    assert(d <= 25, s"boundary did not sever lineage: dependency depth $d after 50 rounds")
     sweep()
     // plan size: identical every round (each round = same step over a scan)
     assert(rounds.map(_.planNodes).distinct.size == 1,

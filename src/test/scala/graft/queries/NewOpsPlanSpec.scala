@@ -91,4 +91,19 @@ class NewOpsPlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"k4 scoring acquired a join:\n$p")
     assert(!p.contains("windowspecdefinition"), s"k4 scoring acquired a window:\n$p")
   }
+
+  test("q25: the merge is ONE keyed join — full-outer shuffle join, nothing nested-loop") {
+    // SnapshotMerge's cost model is a single key-partitioned join of the
+    // two snapshots; a cartesian or nested-loop appearing here means the
+    // disposition logic leaked into the join condition. (FullOuter cannot
+    // broadcast, so the keyed form is specifically SortMergeJoin /
+    // ShuffledHashJoin.)
+    val p = plan(Q25SnapshotMerge)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q25 merge degenerated to a non-keyed join:\n$p")
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(joins == 1, s"q25 should be exactly one keyed merge join, got $joins:\n$p")
+    assert(p.contains("FullOuter"), s"merge lost its full-outer semantics:\n$p")
+  }
 }
