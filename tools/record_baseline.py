@@ -51,6 +51,7 @@ PLAUSIBILITY = [
     ("v2c_knn_label_ivf", "s6_ann_ivf_trained"),  # v2c runs s6's training loop as stage 1
     ("s11_ann_ivf_pq", "s6_ann_ivf_trained"),  # s11 routes through s6's trained lists
     ("s11_ann_ivf_pq", "s7_ann_pq"),  # s11 scores candidates over s7's encode
+    ("k5_classifier_eval", "k4_quality_classifier"),  # k5 recounts k4's own run
 ]
 
 REPS = "3"
