@@ -51,9 +51,16 @@ private[queries] object ExactSubstr {
     * the duplicate count and the join-back both read it, and recomputing
     * it means re-tokenizing the corpus.
     */
-  def hits(spark: SparkSession, sfDir: String): DataFrame = {
+  def hits(spark: SparkSession, sfDir: String): DataFrame =
+    hitsOn(Tables.documents(spark, sfDir))
+
+  /** [[hits]] over an arbitrary (doc_id, text) frame — the form a composed
+    * release (p9) runs over its SURVIVOR set: duplicated spans are found
+    * within the corpus actually being released, not the raw one.
+    */
+  def hitsOn(docs: DataFrame): DataFrame = {
     val occ = graft.CacheScope.persisted(
-      Tables.documents(spark, sfDir)
+      docs
         .select(col("doc_id"),
           TextOps.gramHashes(TextOps.tokenHashes(TextOps.tokens(col("text"))), k).as("gh"))
         .select(col("doc_id"), posexplode(col("gh")).as(Seq("p0", "h")))
@@ -64,18 +71,23 @@ private[queries] object ExactSubstr {
     occ.join(dup, "h").select(col("doc_id"), col("pos"), col("occ_n"))
   }
 
-  /** CTE chain ending in relation `hit(doc_id, pos, occ_n)` — the DuckDB
-    * mirror of [[hits]]. Parallel unnests zip positionally (DuckDB
-    * semantics), giving each gram its 1-based position.
+  /** CTE chain ending in relation `${p}hit(doc_id, pos, occ_n)` — the
+    * DuckDB mirror of [[hitsOn]] over source relation `src`, every CTE
+    * name prefixed with `p` so the chain composes into larger oracles
+    * without name collisions (p1's chain also defines `th` — the s7→s11
+    * prefix-parameterization discipline). Parallel unnests zip positionally
+    * (DuckDB semantics), giving each gram its 1-based position.
     */
-  def hitsSqlCtes: String =
-    s"""tk AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks FROM documents),
-       |th AS (SELECT doc_id, ${TextOps.tokenHashesSql("toks")} AS ht FROM tk),
-       |g AS (SELECT doc_id, ${TextOps.gramHashesSql("ht", k)} AS gh FROM th),
-       |occ AS MATERIALIZED (
-       |  SELECT doc_id, unnest(gh) AS h, unnest(range(1, len(gh) + 1)) AS pos FROM g),
-       |dup AS (SELECT h, count(*) AS occ_n FROM occ GROUP BY h HAVING count(*) >= 2),
-       |hit AS (SELECT o.doc_id, o.pos, d.occ_n FROM occ o JOIN dup d USING (h))""".stripMargin
+  def hitsSqlCtes(src: String, p: String): String =
+    s"""${p}tk AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks FROM $src),
+       |${p}th AS (SELECT doc_id, ${TextOps.tokenHashesSql("toks")} AS ht FROM ${p}tk),
+       |${p}g AS (SELECT doc_id, ${TextOps.gramHashesSql("ht", k)} AS gh FROM ${p}th),
+       |${p}occ AS MATERIALIZED (
+       |  SELECT doc_id, unnest(gh) AS h, unnest(range(1, len(gh) + 1)) AS pos FROM ${p}g),
+       |${p}dup AS (SELECT h, count(*) AS occ_n FROM ${p}occ GROUP BY h HAVING count(*) >= 2),
+       |${p}hit AS (SELECT o.doc_id, o.pos, d.occ_n FROM ${p}occ o JOIN ${p}dup d USING (h))""".stripMargin
+
+  def hitsSqlCtes: String = hitsSqlCtes("documents", "")
 }
 
 /** d18: exact-substring duplicate spans — one row per MAXIMAL run of
@@ -148,14 +160,21 @@ object P7SpanStrip extends GraftQuery {
 
   private val k = ExactSubstr.k
 
-  def run(spark: SparkSession, sfDir: String): DataFrame = {
-    val cov = ExactSubstr.hits(spark, sfDir)
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    stripOn(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+
+  /** The strip over an arbitrary (doc_id, text) frame — p9 runs it over
+    * the release's survivor set. Output: (doc_id, n_tokens, n_dropped,
+    * clean_text).
+    */
+  private[queries] def stripOn(docs: DataFrame): DataFrame = {
+    val cov = ExactSubstr.hitsOn(docs)
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1).cast("long"))).as("tp"))
       .distinct()
       .groupBy(col("doc_id"))
       .agg(collect_list(col("tp")).as("cps"), count(lit(1)).as("n_dropped"))
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .join(cov, Seq("doc_id"), "left")
       .select(
@@ -171,19 +190,28 @@ object P7SpanStrip extends GraftQuery {
           .as("clean_text"))
   }
 
-  val oracle = Some(
-    s"""WITH ${ExactSubstr.hitsSqlCtes},
-       |covp AS (
+  /** CTE chain ending in `${p}clean(doc_id, n_tokens, n_dropped,
+    * clean_text)` — the DuckDB mirror of [[stripOn]] over `src`,
+    * prefix-parameterized like [[ExactSubstr.hitsSqlCtes]].
+    */
+  private[queries] def stripSqlCtes(src: String, p: String): String =
+    s"""${ExactSubstr.hitsSqlCtes(src, p)},
+       |${p}covp AS (
        |  SELECT DISTINCT doc_id, tp FROM (
-       |    SELECT doc_id, unnest(range(pos, pos + $k)) AS tp FROM hit)),
-       |cov AS (
+       |    SELECT doc_id, unnest(range(pos, pos + $k)) AS tp FROM ${p}hit)),
+       |${p}cov AS (
        |  SELECT doc_id, list(tp) AS cps, count(*) AS n_dropped
-       |  FROM covp GROUP BY doc_id)
-       |SELECT t.doc_id,
-       |       len(t.toks) AS n_tokens,
-       |       coalesce(c.n_dropped, 0) AS n_dropped,
-       |       coalesce(array_to_string(
-       |         list_filter(t.toks, (x, i) -> NOT coalesce(list_contains(c.cps, i), false)),
-       |         ' '), '') AS clean_text
-       |FROM tk t LEFT JOIN cov c USING (doc_id)""".stripMargin)
+       |  FROM ${p}covp GROUP BY doc_id),
+       |${p}clean AS (
+       |  SELECT t.doc_id,
+       |         CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |         CAST(coalesce(c.n_dropped, 0) AS BIGINT) AS n_dropped,
+       |         coalesce(array_to_string(
+       |           list_filter(t.toks, (x, i) -> NOT coalesce(list_contains(c.cps, i), false)),
+       |           ' '), '') AS clean_text
+       |  FROM ${p}tk t LEFT JOIN ${p}cov c USING (doc_id))""".stripMargin
+
+  val oracle = Some(
+    s"""WITH ${stripSqlCtes("documents", "")}
+       |SELECT doc_id, n_tokens, n_dropped, clean_text FROM clean""".stripMargin)
 }

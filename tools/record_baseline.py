@@ -52,6 +52,7 @@ PLAUSIBILITY = [
     ("s11_ann_ivf_pq", "s6_ann_ivf_trained"),  # s11 routes through s6's trained lists
     ("s11_ann_ivf_pq", "s7_ann_pq"),  # s11 scores candidates over s7's encode
     ("k5_classifier_eval", "k4_quality_classifier"),  # k5 recounts k4's own run
+    ("p9_release_manifest", "p1_clean_corpus"),  # p9 runs p1's chain as stage 1
 ]
 
 REPS = "3"
