@@ -310,4 +310,113 @@ object Multimodal {
       }
     }
   }
+
+  /** Parsed WAV geometry: PCM sample window inside the payload. */
+  final case class WavAudio(sampleRate: Int, dataOffset: Int, nSamples: Int)
+
+  /** REAL RIFF/WAVE decoder (the audio twin of [[decodePpm]]): validates
+    * the RIFF container, WALKS the chunk list (skipping unknown chunks
+    * with the spec's odd-size padding rule — a real file's LIST/INFO or
+    * cue chunks must not break the parse), requires a PCM (`fmt ` code 1)
+    * mono 16-bit stream, and bounds-checks the `data` chunk against the
+    * payload. Any violation → None (disposition drop). Format reference:
+    * the public RIFF/WAVE specification (multimedia programming interface,
+    * IBM/Microsoft 1991) — chunk = 4-byte id + LE uint32 size + payload,
+    * odd payloads padded by one byte.
+    */
+  def decodeWav(payload: Array[Byte]): Option[WavAudio] = {
+    def le32(i: Int): Long =
+      (payload(i) & 0xffL) | ((payload(i + 1) & 0xffL) << 8) |
+        ((payload(i + 2) & 0xffL) << 16) | ((payload(i + 3) & 0xffL) << 24)
+    def le16(i: Int): Int = (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8)
+    def tag(i: Int, s: String): Boolean =
+      payload.length >= i + 4 && s.indices.forall(j => payload(i + j) == s(j).toByte)
+    if (payload.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // (code, channels, rate, bits)
+    var data: Option[(Int, Int)] = None          // (offset, size)
+    while (i + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
+      val size = le32(i + 4)
+      if (size < 0 || size > payload.length - (i + 8)) return None
+      val sz = size.toInt
+      if (tag(i, "fmt ")) {
+        if (sz < 16) return None
+        fmt = Some((le16(i + 8), le16(i + 10), le32(i + 12).toInt, le16(i + 22)))
+      } else if (tag(i, "data")) {
+        data = Some((i + 8, sz))
+      }
+      i += 8 + sz + (sz & 1) // spec: odd-sized chunks pad one byte
+    }
+    for {
+      (code, ch, rate, bits) <- fmt
+      if code == 1 && ch == 1 && bits == 16 && rate > 0
+      (off, sz) <- data
+      if sz % 2 == 0
+    } yield WavAudio(rate, off, sz / 2)
+  }
+
+  final case class AudioFeatures(
+      doc_id: Long,
+      n_samples: Int,
+      sample_rate: Int,
+      duration_ms: Long,
+      sum_samples: Long,
+      max_amp: Int,
+      mean_amp: Double)
+
+  /** Partition-batched REAL audio decode: parse each payload as RIFF/WAVE
+    * PCM and fold sample statistics from the DECODED little-endian int16
+    * stream. Invalid payloads are dropped, same disposition contract as
+    * [[decodeImages]]; payload bytes never leave the scan partition.
+    */
+  def decodeAudio(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeWav(r.payload).filter(_.nSamples > 0).map { a =>
+          var s = 0L; var mx = 0
+          var k = 0
+          while (k < a.nSamples) {
+            val p = a.dataOffset + 2 * k
+            val v = ((r.payload(p) & 0xff) | (r.payload(p + 1) << 8)).toShort.toInt
+            s += v
+            val amp = math.abs(v)
+            if (amp > mx) mx = amp
+            k += 1
+          }
+          AudioFeatures(r.doc_id, a.nSamples, a.sampleRate,
+            a.nSamples * 1000L / a.sampleRate, s, mx,
+            graft.functions.Rounding.roundTo(s.toDouble / a.nSamples, 6))
+        }
+      }
+    }
+  }
+
+  /** Deterministic WAV fixture payload: a REAL, spec-valid RIFF/WAVE PCM
+    * file — fmt chunk, a junk `LIST` chunk the chunk-walker must skip, and
+    * a data chunk whose int16 samples are the document's byte values — so
+    * the oracle replays the decoded statistics from the text alone while
+    * the decoder parses a container it has no construction knowledge of.
+    * Empty text yields an invalid payload (dropped), exercising the
+    * disposition branch like [[ppmFixturePayload]].
+    */
+  def wavFixturePayload(text: String): Array[Byte] = {
+    val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (tb.isEmpty) return Array[Byte]('X')
+    val rate = 8000
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit =
+      (0 until 4).foreach(j => out.write(((v >> (8 * j)) & 0xff).toInt))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def tag(s: String): Unit = s.foreach(c => out.write(c))
+    val dataSize = tb.length * 2
+    val junk = "fixture".getBytes // 7 bytes: odd, exercises the pad rule
+    tag("RIFF"); w32(4 + (8 + 16) + (8 + junk.length + 1) + (8 + dataSize)); tag("WAVE")
+    tag("fmt "); w32(16)
+    w16(1); w16(1); w32(rate); w32(rate * 2L); w16(2); w16(16)
+    tag("LIST"); w32(junk.length); out.write(junk); out.write(0) // pad byte
+    tag("data"); w32(dataSize)
+    tb.foreach(b => w16(b & 0xff))
+    out.toByteArray
+  }
 }

@@ -256,6 +256,52 @@ object M5ImageDecode extends GraftQuery {
       |FROM s""".stripMargin)
 }
 
+/** m6: REAL audio decode — the audio twin of m5: payloads are complete
+  * RIFF/WAVE PCM files (fmt chunk + a junk LIST chunk the walker must skip
+  * under the odd-size pad rule + data chunk) and
+  * [[graft.operators.Multimodal.decodeWav]] is a genuine container parser;
+  * sample statistics (count, duration, sum, peak, mean amplitude) are
+  * folded from the DECODED little-endian int16 stream, not from
+  * construction knowledge. Fixture samples are the document's byte values,
+  * so the DuckDB oracle replays the decoded statistics from the text alone
+  * (the m5 discipline); a mis-parsed chunk boundary or sample stride turns
+  * the gate red.
+  *
+  * Scale: decode inside the scan partition via typed mapPartitions, O(1)
+  * integers per clip continue — identical to m5.
+  */
+object M6AudioDecode extends GraftQuery {
+  val name = "m6_audio_decode"
+  val describe = "REAL RIFF/WAVE PCM decode: sample stats from parsed int16 streams"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => Multimodal.MediaRecord(id, Multimodal.wavFixturePayload(t)) }
+    Multimodal.decodeAudio(media).toDF()
+  }
+
+  val oracle = Some(
+    """WITH b AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n,
+      |         list_transform(range(1, length(text) + 1),
+      |                        i -> CAST(ord(substr(text, i, 1)) AS BIGINT)) AS bytes
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
+      |s AS (
+      |  SELECT doc_id, n,
+      |         CAST(list_reduce(bytes, (a, x) -> a + x) AS BIGINT) AS sum_samples,
+      |         CAST(list_reduce(bytes, (a, x) -> greatest(a, x)) AS INT) AS max_amp
+      |  FROM b)
+      |SELECT doc_id, CAST(n AS INT) AS n_samples,
+      |       CAST(8000 AS INT) AS sample_rate,
+      |       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+      |       sum_samples, max_amp,
+      |       round(CAST(sum_samples AS DOUBLE) / n, 6) AS mean_amp
+      |FROM s""".stripMargin)
+}
+
 /** m4: video fingerprint dedup — m-family's d1: group videos by their
   * quantized frame-score signature ([[graft.operators.Multimodal
   * .videoSignatures]]; two videos match iff every sampled frame lands in

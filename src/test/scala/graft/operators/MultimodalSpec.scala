@@ -157,4 +157,54 @@ class MultimodalSpec extends AnyFunSuite {
       .count()
     assert(mismatch == 0)
   }
+
+  test("REAL WAV decode: hand-built RIFF file (negative samples, junk chunk) parses exactly") {
+    // samples: -1, 300, -32768, 7 — signedness and LE byte order both bite
+    // if the int16 reassembly is wrong.
+    val samples = Seq(-1, 300, -32768, 7)
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = (0 until 4).foreach(j => out.write(((v >> (8 * j)) & 0xff).toInt))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def tag(s: String): Unit = s.foreach(c => out.write(c))
+    tag("RIFF"); w32(4 + 24 + 8 + samples.size * 2); tag("WAVE")
+    tag("fmt "); w32(16); w16(1); w16(1); w32(44100); w32(88200); w16(2); w16(16)
+    tag("data"); w32(samples.size * 2); samples.foreach(w16)
+    val a = Multimodal.decodeWav(out.toByteArray)
+    assert(a.contains(Multimodal.WavAudio(44100, 44, samples.size)))
+    // and the decoded fold over a MediaRecord matches hand arithmetic
+    import spark.implicits._
+    val f = Multimodal.decodeAudio(
+      Seq(Multimodal.MediaRecord(9L, out.toByteArray)).toDS()).collect()(0)
+    assert(f.n_samples == 4 && f.sum_samples == samples.map(_.toLong).sum)
+    assert(f.max_amp == 32768 && f.sample_rate == 44100)
+  }
+
+  test("WAV decode rejects the real failure modes (disposition drop, not garbage rows)") {
+    def wav(mutate: Array[Byte] => Unit = _ => ()): Array[Byte] = {
+      val p = Multimodal.wavFixturePayload("hello world")
+      mutate(p); p
+    }
+    assert(Multimodal.decodeWav(wav()).isDefined)
+    // wrong container magic
+    assert(Multimodal.decodeWav(wav(p => p(0) = 'X')).isEmpty)
+    // wrong form type (WAVE -> WAVX)
+    assert(Multimodal.decodeWav(wav(p => p(11) = 'X')).isEmpty)
+    // non-PCM format code (fmt code byte at offset 20)
+    assert(Multimodal.decodeWav(wav(p => p(20) = 2)).isEmpty)
+    // chunk size overrunning the payload must be rejected, not chased
+    assert(Multimodal.decodeWav(wav(p => p(4) = -1)).isDefined) // RIFF size unused: still fine
+    val truncated = wav().dropRight(3)
+    assert(Multimodal.decodeWav(truncated).isEmpty)
+    assert(Multimodal.decodeWav(Array[Byte]('X')).isEmpty)
+    assert(Multimodal.decodeWav(Multimodal.wavFixturePayload("")).isEmpty)
+  }
+
+  test("WAV fixture payloads are spec-valid and the junk LIST chunk is skipped") {
+    val p = Multimodal.wavFixturePayload("abc")
+    val a = Multimodal.decodeWav(p)
+    assert(a.isDefined && a.get.nSamples == 3 && a.get.sampleRate == 8000)
+    import spark.implicits._
+    val f = Multimodal.decodeAudio(Seq(Multimodal.MediaRecord(1L, p)).toDS()).collect()(0)
+    assert(f.sum_samples == "abc".map(_.toLong).sum && f.max_amp == 'c'.toInt)
+  }
 }
