@@ -79,6 +79,36 @@ object Q15Pivot extends GraftQuery {
       |GROUP BY l_returnflag""".stripMargin)
 }
 
+/** q26: UNPIVOT — q15's inverse: the four lineitem measures melted into
+  * long form (key, measure-name, value), the wide→tidy reshape every
+  * metrics pipeline runs before a generic per-measure aggregation. Uses
+  * Spark's native `Dataset.unpivot` (planned as one Expand over the scan —
+  * a projection-only fan-out, no shuffle, no join; at 100 TB the cost is
+  * exactly the 4× row fan-out and nothing else). Values pass through
+  * untouched (no arithmetic → no rounding discipline needed). The oracle
+  * states the operator's algebraic definition as UNION ALL of per-measure
+  * projections — a structurally different construction that must agree
+  * row-for-row.
+  */
+object Q26Unpivot extends GraftQuery {
+  val name = "q26_unpivot"
+  val describe = "UNPIVOT: lineitem measures melted to (key, measure, value) long form via one Expand"
+
+  private val measures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        measures.map(col).toArray,
+        "measure", "value")
+
+  val oracle = Some(
+    measures.map(m =>
+      s"SELECT l_orderkey, l_linenumber, '$m' AS measure, $m AS value FROM lineitem")
+      .mkString("\nUNION ALL\n"))
+}
+
 /** q16: distinct aggregates — multiple COUNT(DISTINCT) in one grouped pass
   * (Catalyst plans these via Expand; the reference has no distinct operator
   * at all).
