@@ -106,4 +106,26 @@ class NewOpsPlanSpec extends AnyFunSuite {
     assert(joins == 1, s"q25 should be exactly one keyed merge join, got $joins:\n$p")
     assert(p.contains("FullOuter"), s"merge lost its full-outer semantics:\n$p")
   }
+
+  test("q26: unpivot is one Expand over the scan — no shuffle, no join") {
+    val p = plan(Q26Unpivot)
+    assert(p.contains("Expand"), s"unpivot lost its Expand plan:\n$p")
+    assert(!p.contains("Exchange"), s"q26 melt acquired a shuffle:\n$p")
+    assert(!p.contains("Join"), s"q26 melt acquired a join:\n$p")
+  }
+
+  test("p9: the composed release chain contains no cartesian / nested-loop join") {
+    // p9 = p1 ∘ d18-strip ∘ p3 ∘ p2 plus doc_id-keyed stage-boundary joins;
+    // nothing in the composition may degenerate to a non-keyed pair join.
+    val p = plan(P9ReleaseManifest)
+    assert(!p.contains("CartesianProduct"), s"p9 has a cartesian:\n$p")
+    // The only nested loops allowed are p3's 1-row quota-aggregate crosses
+    // (budget n, total weight, p6's pinned shape) — and `samp` feeds BOTH
+    // the packing input and the manifest join, so its subplan (with those
+    // crosses inside) is duplicated into two consumers: measured 6 at head,
+    // all 1-row broadcasts. Pin a ceiling that a genuinely unbounded pair
+    // join (corpus × corpus would add at least one per stage) still trips.
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 8, s"p9 grew unbounded nested-loop joins ($bnlj):\n$p")
+  }
 }

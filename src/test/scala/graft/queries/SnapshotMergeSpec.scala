@@ -56,6 +56,33 @@ class SnapshotMergeSpec extends AnyFunSuite {
     assert(Set("inserted", "carried", "updated").subsetOf(out.values.toSet))
   }
 
+  test("merge algebra: model equivalence and idempotence on seeded random snapshots") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    for (_ <- 1 to 5) {
+      val baseM = (0 until 40).map(_ => rnd.nextInt(30).toLong -> rnd.nextLong() % 1000).toMap
+      val deltaM = (0 until 25).map(_ => rnd.nextInt(40).toLong -> rnd.nextLong() % 1000).toMap
+      val base = baseM.toSeq.toDF("k", "v")
+      val delta = deltaM.toSeq.toDF("k", "v")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+      val once = SnapshotMerge.merge(base, delta, "k", Seq("v"))
+      val got = canon(once)
+      // independent model: delta wins; dispositions from set membership
+      val model = (baseM.keySet ++ deltaM.keySet).toSeq.sorted.map { k =>
+        (k, deltaM.getOrElse(k, baseM(k)),
+          if (!baseM.contains(k)) "inserted"
+          else if (deltaM.contains(k)) "updated" else "carried")
+      }
+      assert(got == model)
+      // idempotence: re-applying the same delta to the merged snapshot
+      // changes values nowhere (dispositions re-derive, values fixpoint)
+      val twice = canon(SnapshotMerge.merge(once.select("k", "v"), delta, "k", Seq("v")))
+      assert(twice.map(t => (t._1, t._2)) == got.map(t => (t._1, t._2)),
+        "re-applying the delta moved a value — merge is not idempotent on payloads")
+    }
+  }
+
   test("updated/inserted rows carry the exact +10% integer-cents price") {
     val rows = Q25SnapshotMerge.run(spark, TestSpark.sf0001).collect()
     val orig = graft.Tables.orders(spark, TestSpark.sf0001)
