@@ -42,25 +42,22 @@ object M1MultimodalMeta extends GraftQuery {
   }
 }
 
-/** m2: frame sampling + resize over the binary payload column — the
+/** m2: frame sampling + downscale over PARSED video containers — the
   * video-shaped half of the multimodal surface ([[graft.operators.Multimodal
-  * .sampleFrames]]): every 2nd "frame" chunk of each payload, downscaled 4×,
-  * emitted as (doc_id, frame_idx, n_bytes). The decode/chunk stub runs
-  * inside a typed `mapPartitions` flatMap — the EXECUTION is not
-  * SQL-expressible, but its arithmetic contract is: the stub's FNV-ish
-  * rolling hash is mod-2^64 integer math, which DuckDB reproduces with
-  * HUGEINT intermediates (Java long multiplication wraps; DuckDB BIGINT
-  * errors on overflow, so the fold runs in 128-bit and reduces mod 2^64 —
-  * see the parity playbook's overflow rule taken to its limit). The oracle
-  * replays hash → frames → width → stride/resize lengths exactly, so even
-  * the typed-flatMap operator gets the full three-way hash gate instead of
-  * a rows-only check.
+  * .sampleFrames]]): each payload is a complete, spec-valid uncompressed AVI
+  * ([[graft.operators.Multimodal.aviFixturePayload]]) and
+  * [[graft.operators.Multimodal.decodeAvi]] is a GENUINE RIFF container
+  * parser — hdrl/strl/movi list walk, avih + BITMAPINFOHEADER validation,
+  * `00db` frame-chunk collection with per-frame size checks — so the
+  * emitted frames are genuinely parsed 8×4 rasters, every 2nd one,
+  * decimated 4×, as (doc_id, frame_idx, n_bytes).
   *
-  * Oracle validity note: the fake payload is the document's UTF-8 text and
-  * this corpus is pure ASCII, so `ord(substr(text, i, 1))` enumerates the
-  * payload BYTES; a production binary payload would not round-trip through
-  * SQL string functions (the oracle is for the fixture, the operator is for
-  * production).
+  * Oracle: the fixture's rasters are the document's UTF-8 bytes repeated
+  * cyclically with frame count `min(16, 1 + len/64)` (the m5/m6 replay
+  * discipline — ASCII corpus ⇒ `ord(substr)` enumerates payload bytes), so
+  * DuckDB replays the sampled-frame grid from the text alone; a mis-parsed
+  * chunk boundary, frame count, or raster window turns the gate red — the
+  * container parse itself is what is under test.
   *
   * Scale: flatMap fan-out happens executor-side after columnar pruning has
   * already limited the scan to (doc_id, payload); output partitioning
@@ -68,56 +65,43 @@ object M1MultimodalMeta extends GraftQuery {
   */
 object M2FrameSample extends GraftQuery {
   val name = "m2_frame_sample"
-  val describe = "payload frame sampling (stride 2) + 4x resize stub, hash-replayed oracle"
+  val describe = "REAL AVI parse: frame sampling (stride 2) + 4x decimation over parsed rasters"
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     import graft.operators.Multimodal
     Multimodal.sampleFrames(
-      Multimodal.attachPayload(Tables.documents(spark, sfDir)).as[Multimodal.MediaRecord])
+      Multimodal.aviMedia(spark, Tables.documents(spark, sfDir)))
       .select(col("doc_id"), col("frame_idx"), col("n_bytes"))
   }
 
   val oracle = Some(
     """WITH b AS (
-      |  SELECT doc_id, octet_length(encode(text)) AS len,
-      |         list_transform(range(1, length(text) + 1),
-      |                        i -> CAST(ord(substr(text, i, 1)) AS HUGEINT)) AS bytes
-      |  FROM documents),
-      |h AS (
-      |  SELECT doc_id, len,
-      |         list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), bytes),
-      |                     (a, x) -> (a * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS hh
-      |  FROM b WHERE len > 0),
-      |g AS (
-      |  SELECT doc_id, len,
-      |         CAST(hh % CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS pos
-      |  FROM h),
+      |  SELECT doc_id, octet_length(encode(text)) AS len
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
       |f AS (
-      |  SELECT doc_id, len, CAST(1 + ((pos >> 20) % 16) AS BIGINT) AS frames FROM g),
-      |w AS (
-      |  SELECT doc_id, len, frames, greatest(1, len // greatest(1, frames)) AS width FROM f),
+      |  SELECT doc_id, least(16, 1 + len // 64) AS frames FROM b),
       |fr AS (
-      |  SELECT doc_id, len, width, unnest(range(0, frames, 2)) AS fi FROM w)
-      |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
-      |       CAST(((least(len, fi * width + width) - fi * width) + 3) // 4 AS INT) AS n_bytes
-      |FROM fr WHERE fi * width < len""".stripMargin)
+      |  SELECT doc_id, unnest(range(0, frames, 2)) AS fi FROM f)
+      |SELECT doc_id, CAST(fi AS INT) AS frame_idx, CAST(8 AS INT) AS n_bytes
+      |FROM fr""".stripMargin)
 }
 
-/** m3: keyframe selection + per-video feature pooling — the feature-extract
-  * stage of the multimodal surface ([[graft.operators.Multimodal
-  * .frameFeatures]]): decode → resize → per-frame integer saliency score
-  * (stub: byte-sum of the resized frame), then ONE partial+final aggregate
-  * pools per video: frame count, resized byte count, score totals, the
-  * keyframe (max score, ties to the SMALLEST frame index via struct
-  * ordering on (score, -frame_idx)), and a rounded mean-byte summary.
+/** m3: keyframe selection + per-video feature pooling over PARSED frames —
+  * the feature-extract stage of the multimodal surface
+  * ([[graft.operators.Multimodal.frameFeatures]]): REAL AVI container parse
+  * (m2's decoder) → decimate → per-frame integer saliency score (byte-sum
+  * of the decimated raster), then ONE partial+final aggregate pools per
+  * video: frame count, decimated byte count, score totals, the keyframe
+  * (max score, ties to the SMALLEST frame index via struct ordering on
+  * (score, -frame_idx)), and a rounded mean-byte summary.
   *
   * Engine-exactness: every aggregated quantity is an integer (associative,
   * order-free — no float-accumulation hazard across engines); the only
   * float, mean_byte, is a single division of two exact integers per group,
   * which IEEE defines exactly, rounded to 6 decimals on both sides. The
-  * oracle replays the m2 hash → frames → width arithmetic in HUGEINT and
-  * scores each resized frame with a per-frame list_reduce.
+  * oracle replays the fixture's cyclic-raster construction (frame f,
+  * decimated byte j = text byte (32·f + 4·j) mod len) — so a parser that
+  * mis-strides the raster or miscounts frames turns the gate red.
   *
   * Scale: the payload column is pruned away right after the executor-side
   * flatMap — only O(frames-per-video) integer rows shuffle into the
@@ -127,13 +111,12 @@ object M2FrameSample extends GraftQuery {
   */
 object M3KeyframePool extends GraftQuery {
   val name = "m3_keyframe"
-  val describe = "frame features (resized byte-sum saliency) pooled per video + keyframe argmax"
+  val describe = "REAL AVI parse: frame saliency pooled per video + keyframe argmax"
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     import graft.operators.Multimodal
     Multimodal.frameFeatures(
-      Multimodal.attachPayload(Tables.documents(spark, sfDir)).as[Multimodal.MediaRecord])
+      Multimodal.aviMedia(spark, Tables.documents(spark, sfDir)))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).cast("int").as("n_frames"),
@@ -154,34 +137,18 @@ object M3KeyframePool extends GraftQuery {
     """WITH b AS (
       |  SELECT doc_id, octet_length(encode(text)) AS len,
       |         list_transform(range(1, length(text) + 1),
-      |                        i -> CAST(ord(substr(text, i, 1)) AS HUGEINT)) AS bytes
-      |  FROM documents),
-      |h AS (
-      |  SELECT doc_id, len, bytes,
-      |         list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), bytes),
-      |                     (a, x) -> (a * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS hh
-      |  FROM b WHERE len > 0),
-      |g AS (
-      |  SELECT doc_id, len, bytes,
-      |         CAST(hh % CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS pos
-      |  FROM h),
-      |w AS (
-      |  SELECT doc_id, len, bytes,
-      |         greatest(1, len // greatest(1, CAST(1 + ((pos >> 20) % 16) AS BIGINT))) AS width,
-      |         CAST(1 + ((pos >> 20) % 16) AS BIGINT) AS frames
-      |  FROM g),
+      |                        i -> CAST(ord(substr(text, i, 1)) AS BIGINT)) AS bytes
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
+      |f AS (
+      |  SELECT doc_id, len, bytes, least(16, 1 + len // 64) AS frames FROM b),
       |fr AS (
-      |  SELECT doc_id, len, bytes, width, unnest(range(0, frames, 2)) AS fi
-      |  FROM w),
-      |ff AS (
-      |  SELECT doc_id, fi,
-      |         list_transform(range(fi * width, least(len, fi * width + width), 4),
-      |                        p -> bytes[CAST(p AS INT) + 1]) AS rb
-      |  FROM fr WHERE fi * width < len),
+      |  SELECT doc_id, len, bytes, unnest(range(0, frames, 2)) AS fi FROM f),
       |sc AS (
-      |  SELECT doc_id, fi, len(rb) AS nres,
-      |         CAST(list_reduce(rb, (a, x) -> a + x) AS BIGINT) AS score
-      |  FROM ff),
+      |  SELECT doc_id, fi, 8 AS nres,
+      |         CAST(list_reduce(list_transform(range(0, 8),
+      |              j -> bytes[CAST((fi * 32 + 4 * j) % len AS INT) + 1]),
+      |              (a, x) -> a + x) AS BIGINT) AS score
+      |  FROM fr),
       |rk AS (
       |  SELECT doc_id, fi, nres, score,
       |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, fi ASC) AS rn
@@ -302,29 +269,29 @@ object M6AudioDecode extends GraftQuery {
       |FROM s""".stripMargin)
 }
 
-/** m4: video fingerprint dedup — m-family's d1: group videos by their
-  * quantized frame-score signature ([[graft.operators.Multimodal
-  * .videoSignatures]]; two videos match iff every sampled frame lands in
-  * the same saliency bucket) and report, per video, its match-group size
-  * and canonical (min-id) representative. The perceptual-hash dedup shape:
-  * fingerprint inside the decode pass, then ONE groupBy on the O(frames)
-  * signature — the payload bytes never shuffle, and the signature join is
-  * an equi-join on an array key, never pairwise.
+/** m4: video fingerprint dedup over PARSED frames — m-family's d1: group
+  * videos by their quantized frame-score signature
+  * ([[graft.operators.Multimodal.videoSignatures]]; two videos match iff
+  * every sampled PARSED frame lands in the same saliency bucket) and
+  * report, per video, its match-group size and canonical (min-id)
+  * representative. The perceptual-hash dedup shape: fingerprint inside the
+  * decode pass (REAL AVI parse, m2's decoder), then ONE groupBy on the
+  * O(frames) signature — the payload bytes never shuffle, and the
+  * signature join is an equi-join on an array key, never pairwise.
   *
-  * Oracle: m3's HUGEINT frame-score replay extended with an ordered
+  * Oracle: m3's cyclic-raster frame-score replay extended with an ordered
   * list-aggregation signature and a signature-keyed self-group. DuckDB
   * groups and joins on LIST values natively, so even the array-keyed
   * aggregate sits under the exact three-way gate.
   */
 object M4VideoDedup extends GraftQuery {
   val name = "m4_video_dedup"
-  val describe = "video fingerprint dedup: quantized frame-score signatures grouped (m-family d1)"
+  val describe = "video fingerprint dedup: quantized parsed-frame signatures grouped (m-family d1)"
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     import graft.operators.Multimodal
     val sigs = Multimodal.videoSignatures(
-      Multimodal.attachPayload(Tables.documents(spark, sfDir)).as[Multimodal.MediaRecord])
+      Multimodal.aviMedia(spark, Tables.documents(spark, sfDir)))
       .toDF("doc_id", "sig")
     val groups = sigs.groupBy(col("sig"))
       .agg(count(lit(1)).as("match_count"), min(col("doc_id")).as("canonical_id"))
@@ -337,34 +304,18 @@ object M4VideoDedup extends GraftQuery {
     """WITH b AS (
       |  SELECT doc_id, octet_length(encode(text)) AS len,
       |         list_transform(range(1, length(text) + 1),
-      |                        i -> CAST(ord(substr(text, i, 1)) AS HUGEINT)) AS bytes
-      |  FROM documents),
-      |h AS (
-      |  SELECT doc_id, len, bytes,
-      |         list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), bytes),
-      |                     (a, x) -> (a * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS hh
-      |  FROM b WHERE len > 0),
-      |g AS (
-      |  SELECT doc_id, len, bytes,
-      |         CAST(hh % CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS pos
-      |  FROM h),
-      |w AS (
-      |  SELECT doc_id, len, bytes,
-      |         greatest(1, len // greatest(1, CAST(1 + ((pos >> 20) % 16) AS BIGINT))) AS width,
-      |         CAST(1 + ((pos >> 20) % 16) AS BIGINT) AS frames
-      |  FROM g),
+      |                        i -> CAST(ord(substr(text, i, 1)) AS BIGINT)) AS bytes
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
+      |f AS (
+      |  SELECT doc_id, len, bytes, least(16, 1 + len // 64) AS frames FROM b),
       |fr AS (
-      |  SELECT doc_id, len, bytes, width, unnest(range(0, frames, 2)) AS fi
-      |  FROM w),
-      |ff AS (
-      |  SELECT doc_id, fi,
-      |         list_transform(range(fi * width, least(len, fi * width + width), 4),
-      |                        p -> bytes[CAST(p AS INT) + 1]) AS rb
-      |  FROM fr WHERE fi * width < len),
+      |  SELECT doc_id, len, bytes, unnest(range(0, frames, 2)) AS fi FROM f),
       |sc AS (
       |  SELECT doc_id, fi,
-      |         CAST(list_reduce(rb, (a, x) -> a + x) AS BIGINT) >> 7 AS q
-      |  FROM ff),
+      |         CAST(list_reduce(list_transform(range(0, 8),
+      |              j -> bytes[CAST((fi * 32 + 4 * j) % len AS INT) + 1]),
+      |              (a, x) -> a + x) AS BIGINT) >> 7 AS q
+      |  FROM fr),
       |sig AS (SELECT doc_id, list(q ORDER BY fi) AS sig FROM sc GROUP BY doc_id),
       |grp AS (
       |  SELECT sig, count(*) AS match_count, min(doc_id) AS canonical_id

@@ -7,33 +7,33 @@ import graft.{Tables, TestSpark}
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("pipeline: partition-batched decode emits typed features for every document") {
+  test("pipeline: partition-batched AVI decode emits parsed geometry for every non-empty document") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val feats = Multimodal.pipeline(spark, docs).collect()
-    assert(feats.length == docs.count())
+    assert(feats.length == docs.count()) // corpus has no empty docs → none dropped
+    val lens = docs.selectExpr("doc_id", "CAST(octet_length(text) AS BIGINT) AS len").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     feats.foreach { f =>
-      assert(f.n_bytes > 0)
-      assert(f.width >= 16 && f.width < 16 + 1024)
-      assert(f.height >= 16 && f.height < 16 + 1024)
-      assert(f.n_frames >= 1 && f.n_frames <= 16)
+      assert(f.width == 8 && f.height == 4)
+      assert(f.n_frames == math.min(16, 1 + lens(f.doc_id) / 64))
+      assert(f.n_bytes > f.n_frames * 32) // container overhead beyond the rasters
       assert(f.mean_byte > 0 && f.mean_byte < 256)
     }
   }
 
-  test("decode stub is deterministic across runs and partitionings") {
+  test("AVI decode is deterministic across runs and partitionings") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val a = Multimodal.pipeline(spark, docs).collect().sortBy(_.doc_id)
     val b = Multimodal.pipeline(spark, docs.repartition(7)).collect().sortBy(_.doc_id)
     assert(a.toSeq == b.toSeq)
   }
 
-  test("frame sampling emits ceil(n_frames/stride) frames per doc, deterministic") {
-    import spark.implicits._
+  test("frame sampling emits ceil(n_frames/stride) parsed frames per doc, deterministic") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
-    val media = Multimodal.attachPayload(docs).as[Multimodal.MediaRecord]
+    val media = Multimodal.aviMedia(spark, docs)
     val stride = 2
     val frames = Multimodal.sampleFrames(media, stride).collect()
-    // Per-doc frame count derives from the same stub decode pipeline() uses.
+    // Per-doc frame count derives from the same parsed container pipeline() reads.
     val expected = Multimodal.pipeline(spark, docs).collect()
       .map(f => f.doc_id -> (f.n_frames + stride - 1) / stride).toMap
     val got = frames.groupBy(_.doc_id).view.mapValues(_.length).toMap
@@ -46,32 +46,27 @@ class MultimodalSpec extends AnyFunSuite {
       again.map(f => (f.doc_id, f.frame_idx, f.n_bytes)).sorted.toSeq)
   }
 
-  test("frame sampling survives payloads shorter than the stub's frame count") {
+  test("frame sampling drops non-AVI payloads (decode disposition, no garbage rows)") {
     import spark.implicits._
-    // 3-byte payloads: the hash-derived frame count can exceed the length;
-    // only frames whose window starts inside the payload may be emitted.
     val tiny = spark.createDataset(Seq(
-      Multimodal.MediaRecord(1L, Array[Byte](1, 2, 3)),
-      Multimodal.MediaRecord(2L, Array[Byte](7)),
+      Multimodal.MediaRecord(1L, Multimodal.aviFixturePayload("a valid doc")),
+      Multimodal.MediaRecord(2L, Array[Byte](7, 8, 9)),
       Multimodal.MediaRecord(3L, Array.empty[Byte])))
     val frames = Multimodal.sampleFrames(tiny, stride = 1, resize = 1).collect()
-    frames.foreach { f =>
-      assert(f.n_bytes >= 1, s"empty frame emitted for doc ${f.doc_id}")
-    }
-    assert(!frames.exists(_.doc_id == 3L)) // empty payload → no frames
+    assert(frames.map(_.doc_id).distinct.toSeq == Seq(1L))
+    frames.foreach(f => assert(f.n_bytes == 32)) // resize 1: full parsed raster
   }
 
-  test("resize stub keeps every k-th byte (ceil(n/k) bytes)") {
+  test("decimate keeps every k-th byte (ceil(n/k) bytes)") {
     val bytes = Array.tabulate[Byte](10)(_.toByte)
-    assert(Multimodal.resizeStub(bytes, 4).toSeq == Seq[Byte](0, 4, 8))
-    assert(Multimodal.resizeStub(bytes, 1).toSeq == bytes.toSeq)
-    assert(Multimodal.resizeStub(Array.empty[Byte], 3).isEmpty)
+    assert(Multimodal.decimate(bytes, 4).toSeq == Seq[Byte](0, 4, 8))
+    assert(Multimodal.decimate(bytes, 1).toSeq == bytes.toSeq)
+    assert(Multimodal.decimate(Array.empty[Byte], 3).isEmpty)
   }
 
   test("frame features agree with sampled frames; m3 pools the smallest-index argmax keyframe") {
-    import spark.implicits._
     val docs = Tables.documents(spark, TestSpark.sf0001)
-    val media = Multimodal.attachPayload(docs).as[Multimodal.MediaRecord]
+    val media = Multimodal.aviMedia(spark, docs)
     // The feature path must score exactly the frames the sampling path
     // emits: same grid, same resize, score = byte-sum of the resized frame.
     val samples = Multimodal.sampleFrames(media, stride = 2, resize = 4).collect()
@@ -148,14 +143,84 @@ class MultimodalSpec extends AnyFunSuite {
     assert(p.length - i.dataOffset == i.width * i.height * 3)
   }
 
-  test("payload bytes equal UTF-8 text length for ASCII corpus") {
-    val docs = Tables.documents(spark, TestSpark.sf0001)
-    import org.apache.spark.sql.functions._
-    val mismatch = Multimodal.pipeline(spark, docs).toDF()
-      .join(docs, "doc_id")
-      .filter(col("n_bytes") =!= length(col("text")))
-      .count()
-    assert(mismatch == 0)
+  test("AVI container size follows the fixture framing exactly (header overhead + 40B/frame)") {
+    // RIFF(12) + LIST hdrl(8+1216) + JUNK(8+8) + LIST movi hdr(8+4) = 1264,
+    // then each 00db frame chunk is 8 + 32 bytes.
+    val feats = Multimodal.pipeline(spark, Tables.documents(spark, TestSpark.sf0001)).collect()
+    feats.foreach(f => assert(f.n_bytes == 1264 + 40 * f.n_frames))
+  }
+
+  test("REAL AVI decode: hand-built container parses to exact geometry and raster bytes") {
+    val text = "x" * 100 // 100 bytes -> min(16, 1 + 100/64) = 2 frames
+    val p = Multimodal.aviFixturePayload(text)
+    val v = Multimodal.decodeAvi(p)
+    assert(v.isDefined)
+    val a = v.get
+    assert(a.width == 8 && a.height == 4 && a.nFrames == 2 && a.frameSize == 32)
+    // decoded rasters are the text bytes repeated cyclically
+    val tb = text.getBytes("UTF-8")
+    for (f <- 0 until a.nFrames; j <- 0 until 32)
+      assert(p(a.frameOffsets(f) + j) == tb((f * 32 + j) % tb.length))
+    // extractFeatures folds the mean from the PARSED rasters
+    import spark.implicits._
+    val feats = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRecord(5L, p)).toDS()).collect()
+    assert(feats.length == 1)
+    val expMean = (0 until 64).map(i => tb(i % tb.length) & 0xff).sum / 64.0
+    assert(feats(0).mean_byte == expMean && feats(0).n_frames == 2)
+  }
+
+  test("AVI decode rejects the real failure modes (disposition drop, not garbage rows)") {
+    def avi(mutate: Array[Byte] => Unit = _ => ()): Array[Byte] = {
+      val p = Multimodal.aviFixturePayload("hello multimodal world " * 5)
+      mutate(p); p
+    }
+    def at(p: Array[Byte], tag: String): Int = {
+      val t = tag.getBytes("US-ASCII")
+      p.indexOfSlice(t)
+    }
+    assert(Multimodal.decodeAvi(avi()).isDefined)
+    // wrong container magic
+    assert(Multimodal.decodeAvi(avi(p => p(0) = 'X')).isEmpty)
+    // wrong form type (AVI  -> AVX )
+    assert(Multimodal.decodeAvi(avi(p => p(10) = 'X')).isEmpty)
+    // stream is not video: strh fccType vids -> xids
+    assert(Multimodal.decodeAvi(avi(p => p(at(p, "vids")) = 'x')).isEmpty)
+    // compressed BITMAPINFOHEADER (biCompression != 0 at strf body + 16)
+    assert(Multimodal.decodeAvi(avi(p => p(at(p, "strf") + 8 + 16) = 1)).isEmpty)
+    // wrong bit depth (biBitCount at strf body + 14): 8 -> 24
+    assert(Multimodal.decodeAvi(avi(p => p(at(p, "strf") + 8 + 14) = 24)).isEmpty)
+    // frame-count lie (avih dwTotalFrames at avih body + 16)
+    assert(Multimodal.decodeAvi(avi(p => p(at(p, "avih") + 8 + 16) = 99)).isEmpty)
+    // header/strf dimension mismatch (avih dwWidth at body + 32): 8 -> 9
+    assert(Multimodal.decodeAvi(avi(p => p(at(p, "avih") + 8 + 32) = 9)).isEmpty)
+    // truncated movi: last frame chunk overruns the payload
+    assert(Multimodal.decodeAvi(avi().dropRight(1)).isEmpty)
+    // garbage / empty-text fixture
+    assert(Multimodal.decodeAvi(Array[Byte]('X')).isEmpty)
+    assert(Multimodal.decodeAvi(Multimodal.aviFixturePayload("")).isEmpty)
+    // a decode stage over a mixed batch drops exactly the invalid rows
+    import spark.implicits._
+    val rows = Multimodal.extractFeatures(Seq(
+      Multimodal.MediaRecord(1L, avi()),
+      Multimodal.MediaRecord(2L, Array[Byte]('X')),
+      Multimodal.MediaRecord(3L, avi().dropRight(1))).toDS()).collect()
+    assert(rows.map(_.doc_id).toSeq == Seq(1L))
+  }
+
+  test("AVI fixture is spec-valid: odd JUNK chunk pad-skipped, 8bpp palette present") {
+    val p = Multimodal.aviFixturePayload("abc")
+    // the odd-sized JUNK chunk sits between hdrl and movi; the walker must
+    // skip it with the pad rule or the movi list is never reached
+    assert(p.indexOfSlice("JUNK".getBytes("US-ASCII")) > 0)
+    assert(p.indexOfSlice("fixture".getBytes("US-ASCII")) > 0)
+    val v = Multimodal.decodeAvi(p)
+    assert(v.isDefined && v.get.nFrames == 1)
+    // strf carries BITMAPINFOHEADER + full 256-entry palette
+    val strf = p.indexOfSlice("strf".getBytes("US-ASCII"))
+    val sz = (p(strf + 4) & 0xff) | ((p(strf + 5) & 0xff) << 8) |
+      ((p(strf + 6) & 0xff) << 16) | ((p(strf + 7) & 0xff) << 24)
+    assert(sz == 40 + 256 * 4)
   }
 
   test("REAL WAV decode: hand-built RIFF file (negative samples, junk chunk) parses exactly") {
