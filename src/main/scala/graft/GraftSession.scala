@@ -30,6 +30,7 @@ object GraftSession {
   def registerFunctions(spark: SparkSession): Unit = {
     org.apache.spark.sql.graft.CosineSimilarity.register(spark)
     org.apache.spark.sql.graft.DotProduct.register(spark)
+    org.apache.spark.sql.graft.SortedContains.register(spark)
   }
 }
 
@@ -62,5 +63,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       info(org.apache.spark.sql.graft.DotProduct.FunctionName,
         "dot_product(a, b) - dot product of two double arrays"),
       org.apache.spark.sql.graft.DotProduct.builder))
+    ext.injectFunction((
+      FunctionIdentifier(org.apache.spark.sql.graft.SortedContains.FunctionName),
+      info(org.apache.spark.sql.graft.SortedContains.FunctionName,
+        "sorted_contains(arr, v) - binary-search membership in a sorted long array"),
+      org.apache.spark.sql.graft.SortedContains.builder))
   }
 }

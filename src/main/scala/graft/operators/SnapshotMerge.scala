@@ -19,8 +19,16 @@ import org.apache.spark.sql.functions._
   *   - key in both      → `updated`  (delta wins),
   *   - key in base only → `carried`  (base row survives unchanged),
   *   - key in delta only → `inserted`.
-  * Deletes are the caller's convention (a tombstone column in the delta
-  * filtered after the merge) — dispositions stay a closed 3-set here.
+  * [[merge]] is the plain 3-set upsert; [[mergeCdc]] is the full CDC form —
+  * a closed 4-set with first-class `deleted` tombstones and per-column
+  * presence flags so a delta can SET a payload column to NULL (plain
+  * `coalesce` cannot express that: the base value would resurrect).
+  *
+  * PRECONDITION (both forms): the merge key is UNIQUE within `base` and
+  * within `delta`. A duplicated key fans out through the full-outer join
+  * (every base match × every delta match) and silently multiplies output
+  * rows. A raw CDC batch is NOT unique — run [[reduceDelta]] (highest-`seq`
+  * wins, the batch twin of UpsertStream's fold) before merging.
   *
   * Scale: the join shuffles both sides on the merge key once. At 100 TB the
   * two cheaper regimes are (a) delta ≪ base — broadcast the delta (Spark
@@ -36,6 +44,9 @@ object SnapshotMerge {
     * through (present in both inputs); for each, the output holds
     * `coalesce(delta.c, base.c)` — delta wins where both exist. Adds
     * `disposition ∈ {inserted, carried, updated}`.
+    *
+    * Requires unique keys per side — see the object scaladoc; pre-reduce a
+    * raw CDC batch with [[reduceDelta]].
     */
   def merge(base: DataFrame, delta: DataFrame, key: String, payload: Seq[String]): DataFrame = {
     // Null-ness of a SIDE (not of a payload value) must drive the
@@ -50,5 +61,70 @@ object SnapshotMerge {
     val merged: Seq[Column] = payload.map(c =>
       coalesce(col(s"d.$c"), col(s"b.$c")).as(c))
     joined.select(col(key) +: merged :+ disposition.as("disposition"): _*)
+  }
+
+  /** Collapse a raw CDC batch to ONE row per key — the highest-`seqCol` row
+    * wins, exactly UpsertStream's per-key fold run as a batch: the
+    * uniqueness precondition [[merge]]/[[mergeCdc]] require, made
+    * executable. `seqCol` must be unique per key (it is the CDC log offset),
+    * so the winner is deterministic. One keyed shuffle (window over the
+    * merge key); at scale this is the same partitioning the merge join
+    * needs, so AQE reuses the exchange.
+    */
+  def reduceDelta(delta: DataFrame, key: String, seqCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(seqCol).desc)
+    delta.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Full CDC merge: [[merge]] extended to the closed 4-set
+    * `{inserted, carried, updated, deleted}` with per-column presence.
+    *
+    * Delta wire convention:
+    *   - `tombstone` (boolean, default column name `deleted`): true marks
+    *     the key deleted as of this batch. A tombstone for a key ABSENT
+    *     from the base is a no-op and is dropped from the output (nothing
+    *     to delete); a tombstone for a present key yields one output row
+    *     with `disposition = deleted` carrying the base's last-known
+    *     payload values — the release filter downstream drops or archives
+    *     them.
+    *   - for each payload column `c`, an OPTIONAL boolean `c_set` column:
+    *     true = the delta assigns `c` (possibly to NULL — the
+    *     delta-sets-NULL case `coalesce` cannot express), false = the delta
+    *     does not mention `c` (base value carries; NULL for an inserted
+    *     key). A missing `c_set` column means `c` is always assigned —
+    *     [[merge]]'s delta-wins behavior, minus its inability to null.
+    *
+    * Same single full-outer keyed join as [[merge]]; same unique-key
+    * precondition ([[reduceDelta]] a raw batch first).
+    */
+  def mergeCdc(
+      base: DataFrame,
+      delta: DataFrame,
+      key: String,
+      payload: Seq[String],
+      tombstone: String = "deleted"): DataFrame = {
+    val deltaCols = delta.columns.toSet
+    val presence: Seq[Column] = payload.map { c =>
+      (if (deltaCols(s"${c}_set")) col(s"${c}_set") else lit(true)).as(s"__set_$c")
+    }
+    val b = base.select((key +: payload).map(col) :+ lit(1).as("__in_base"): _*)
+    val d = delta.select(
+      ((key +: payload).map(col) ++ presence) :+
+        col(tombstone).as("__tomb") :+ lit(1).as("__in_delta"): _*)
+    val joined = b.alias("b").join(d.alias("d"), Seq(key), "full_outer")
+    val disposition = when(col("__in_base").isNull, "inserted")
+      .when(col("__in_delta").isNull, "carried")
+      .when(col("__tomb"), "deleted")
+      .otherwise("updated")
+    // delete-of-absent-key: a no-op, not a row
+    val kept = joined.filter(
+      !(col("__in_base").isNull && col("__in_delta").isNotNull && col("__tomb")))
+    val merged: Seq[Column] = payload.map { c =>
+      when(col("__in_delta").isNotNull && !col("__tomb") && col(s"__set_$c"), col(s"d.$c"))
+        .otherwise(col(s"b.$c")).as(c)
+    }
+    kept.select(col(key) +: merged :+ disposition.as("disposition"): _*)
   }
 }

@@ -166,14 +166,27 @@ object P7SpanStrip extends GraftQuery {
   /** The strip over an arbitrary (doc_id, text) frame — p9 runs it over
     * the release's survivor set. Output: (doc_id, n_tokens, n_dropped,
     * clean_text).
+    *
+    * Cost model: the covered-position list is SORTED once per doc
+    * (`sort_array`, O(C log C)) and each of the L tokens probes it by
+    * binary search ([[org.apache.spark.sql.graft.SortedContains]], a
+    * codegen'd Catalyst expression) — O(L log C) per document, vs the
+    * O(L·C) an `array_contains` probe costs, which a pathological
+    * fully-duplicated long doc (C ≈ L) turns quadratic. Both forms are
+    * doc-bounded (never corpus-bounded); the log form removes the
+    * long-document executor-stall tail at 100 TB. StripEquivalenceSpec
+    * pins output equality of the two forms on the corpus + a hostile
+    * fully-duplicated fixture.
     */
   private[queries] def stripOn(docs: DataFrame): DataFrame = {
+    org.apache.spark.sql.graft.SortedContains.register(
+      docs.sparkSession)
     val cov = ExactSubstr.hitsOn(docs)
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1).cast("long"))).as("tp"))
       .distinct()
       .groupBy(col("doc_id"))
-      .agg(collect_list(col("tp")).as("cps"), count(lit(1)).as("n_dropped"))
+      .agg(sort_array(collect_list(col("tp"))).as("cps"), count(lit(1)).as("n_dropped"))
     docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .join(cov, Seq("doc_id"), "left")
@@ -186,7 +199,10 @@ object P7SpanStrip extends GraftQuery {
           // (no duplicated span) docs, where `cps` is null and a null
           // lambda result would silently DROP every token.
           filter(col("toks"), (t, i) =>
-            !coalesce(array_contains(col("cps"), (i + 1).cast("long")), lit(false))))
+            !coalesce(
+              org.apache.spark.sql.graft.SortedContains.sortedContains(
+                col("cps"), (i + 1).cast("long")),
+              lit(false))))
           .as("clean_text"))
   }
 

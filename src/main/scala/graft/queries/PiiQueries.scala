@@ -86,18 +86,21 @@ object PiiOps {
       text.substr((cut + 1).cast("int"), length(text)))
   }
 
-  /** DuckDB CTE chain producing (doc_id, pii_text) — the SQL mirror of
-    * [[piiTextCol]], same literals, same op order.
+  /** DuckDB CTE chain ending in `${p}pii(doc_id, pii_text)` — the SQL
+    * mirror of [[piiTextCol]] over source relation `src` (must expose
+    * doc_id, text, source), same literals, same op order; CTE names
+    * prefix-parameterized so the chain composes into larger oracles
+    * without collisions (the s7→s11 / d18 discipline).
     */
-  val piiTextCte: String = {
+  def piiTextCtes(src: String, p: String): String = {
     val h = Portable.hash60Sql("'pii:' || text")
-    s"""ph AS (
-       |  SELECT doc_id, text, source, $h AS h FROM documents),
-       |pe AS (
+    s"""${p}ph AS (
+       |  SELECT doc_id, text, source, $h AS h FROM $src),
+       |${p}pe AS (
        |  SELECT doc_id, text, source, h, h % 3 AS n_em,
        |         h % greatest(length(text), 1) AS cut
-       |  FROM ph),
-       |pii AS (
+       |  FROM ${p}ph),
+       |${p}pii AS (
        |  SELECT doc_id,
        |         substr(text, 1, CAST(cut AS INT)) || ' ' ||
        |         concat_ws(' ',
@@ -106,8 +109,11 @@ object PiiOps {
        |           CASE WHEN (h >> 5) % 5 < 2 THEN '555-' || lpad(CAST(h % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST((h >> 10) % 10000 AS VARCHAR), 4, '0') END,
        |           CASE WHEN (h >> 7) % 7 < 3 THEN ((h >> 16) % 256) || '.' || ((h >> 24) % 256) || '.' || ((h >> 32) % 256) || '.' || ((h >> 40) % 256) END) ||
        |         ' ' || substr(text, CAST(cut AS INT) + 1) AS pii_text
-       |  FROM pe)""".stripMargin
+       |  FROM ${p}pe)""".stripMargin
   }
+
+  /** The unprefixed chain over `documents` — t20/p8's original oracle form. */
+  val piiTextCte: String = piiTextCtes("documents", "")
 
   /** Chained three-type redaction. Order is immaterial (disjoint patterns,
     * and no placeholder contains a digit or '@' that could seed a later

@@ -15,9 +15,9 @@ import graft.Tables
   *      span duplicated only against dropped docs is not boilerplate);
   *   3. redact  — p8's PII replacement chain over the stripped text (on
   *      this corpus an identity pass — the raw text holds no PII; its
-  *      differentiating power is pinned separately by t20/p8's injected
-  *      fixture — composed here so the released bytes go through every
-  *      editor in deployment order);
+  *      differentiating power WITHIN the composition is pinned by p10,
+  *      which runs this same chain over PII-injected text — composed here
+  *      so the released bytes go through every editor in deployment order);
   *   4. mix     — p3's per-source quotas over the kept set;
   *   5. pack    — p2's distributed prefix-sum packing over the POST-STRIP
   *      token counts (the material difference vs p4: chunk boundaries
@@ -107,4 +107,113 @@ object P9ReleaseManifest extends GraftQuery {
        |       (p.cum_end - p.n_tokens) % ${P2SequencePack.seqLen} AS start_offset,
        |       md5(${PiiOps.redactSql("c.clean_text")}) AS release_md5
        |FROM pcum p JOIN xclean c USING (doc_id)""".stripMargin)
+}
+
+/** p10: the PII-DIFFERENTIATED complete release — p9's exact chain
+  * (clean → strip → redact → mix → pack) with the redact stage operating on
+  * text that actually CONTAINS PII: the post-strip `clean_text` with
+  * [[PiiOps]]' deterministic entity injection spliced in (the t20/p8
+  * fixture device, applied INSIDE the composition). p9's redact stage is an
+  * identity pass on this corpus, so a wiring mistake within p9's
+  * composition — redacting the wrong column, dropping the stage — could not
+  * flip p9's hash; here every composed stage has differentiating mass under
+  * ONE gate: the manifest carries `n_redactions` (nonzero for ~all packed
+  * docs by the injection knobs) and `release_md5` = md5 of the
+  * redact(inject(strip(clean_text))) bytes, so a dropped or misordered
+  * editor, a span boundary error, or a packing mistake each flip the hash.
+  *
+  * Injection sits AFTER strip deliberately: the injected entities must not
+  * perturb p1's dedup hashes or p7's duplicated-gram detection (their
+  * oracles run on the raw corpus), so the chain upstream of the redact
+  * boundary is byte-identical to p9's — p10 pins the COMPOSITION of the
+  * redact stage, p8 pins its standalone semantics, and the token counts
+  * keep p9's definition (the injected block is a gate fixture, not corpus
+  * content).
+  *
+  * Scale shape: p9's plus one more shuffle-free projection (inject+redact
+  * are per-row string ops riding the existing manifest join).
+  */
+object P10ReleasePii extends GraftQuery {
+  val name = "p10_release_pii"
+  val describe = "PII-differentiated release: p9's chain with redaction mass inside the composition"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    import PiiOps._
+    val docs = Tables.documents(spark, sfDir)
+    val kept = P1CleanCorpus.runOn(spark, docs)
+      .filter(col("status") === "kept").select(col("doc_id"))
+    val ksrc = graft.CacheScope.persisted(
+      docs.join(kept, "doc_id").select(col("doc_id"), col("source"), col("text")))
+    val clean = graft.CacheScope.persisted(
+      P7SpanStrip.stripOn(ksrc.select(col("doc_id"), col("text"))))
+    val samp = P3MixtureSample.sample(ksrc.select(col("doc_id"), col("source")))
+      .select(col("doc_id"), col("source"))
+    val packed = P2SequencePack.pack(spark,
+      samp.join(clean, "doc_id")
+        .select(col("doc_id"), (col("n_tokens") - col("n_dropped")).as("n_tokens")),
+      spark.sparkContext.defaultParallelism)
+    val pii = piiTextCol(col("doc_id"), col("clean_text"), col("source"))
+    val red = redactCol(pii)
+    packed.join(samp, "doc_id")
+      .join(clean.select(col("doc_id"), col("clean_text"),
+        col("n_tokens").as("n_raw_tokens"), col("n_dropped")), "doc_id")
+      .select(col("doc_id"), col("source"),
+        col("n_raw_tokens"), col("n_dropped"), col("n_tokens"),
+        col("start_chunk"), col("end_chunk"), col("start_offset"),
+        (size(regexp_extract_all(pii, lit(emailRe), lit(0)))
+          + size(regexp_extract_all(pii, lit(phoneRe), lit(0)))
+          + size(regexp_extract_all(pii, lit(ipRe), lit(0)))).cast("int").as("n_redactions"),
+        md5(red.cast("binary")).as("release_md5"))
+  }
+
+  val oracle = Some(
+    s"""WITH RECURSIVE ${P1CleanCorpus.dispositionCtesSql},
+       |kept AS (
+       |  SELECT a.doc_id FROM alive a LEFT JOIN comp c ON a.doc_id = c.node
+       |  WHERE c.component IS NULL OR c.component = a.doc_id),
+       |ksrc AS (
+       |  SELECT d.doc_id, d.source, d.text
+       |  FROM documents d JOIN kept k ON d.doc_id = k.doc_id),
+       |${P7SpanStrip.stripSqlCtes("ksrc", "x")},
+       |mw AS (
+       |  SELECT DISTINCT source,
+       |         CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS w
+       |  FROM ksrc),
+       |mtw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM mw),
+       |mn AS (SELECT count(*) AS n FROM ksrc),
+       |mrk AS (
+       |  SELECT source, doc_id,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY source
+       |           ORDER BY ${P3MixtureSample.sampleHashSql} ASC, doc_id ASC) AS BIGINT) AS rk
+       |  FROM ksrc),
+       |samp AS (
+       |  SELECT r.doc_id, r.source
+       |  FROM mrk r JOIN mw USING (source) CROSS JOIN mn CROSS JOIN mtw
+       |  WHERE r.rk <= (mn.n // ${P3MixtureSample.budgetDiv}) * mw.w // mtw.tw),
+       |ptok AS (
+       |  SELECT s.doc_id, s.source,
+       |         (c.n_tokens - c.n_dropped) AS n_tokens,
+       |         ${P2SequencePack.orderHashSql} AS h
+       |  FROM samp s JOIN xclean c USING (doc_id)),
+       |pcum AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         CAST(sum(n_tokens) OVER (
+       |           ORDER BY h ASC, doc_id ASC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_end
+       |  FROM ptok WHERE n_tokens > 0),
+       |vsrc AS (
+       |  SELECT c.doc_id, c.clean_text AS text, k.source
+       |  FROM xclean c JOIN ksrc k USING (doc_id)),
+       |${PiiOps.piiTextCtes("vsrc", "v")}
+       |SELECT p.doc_id, p.source,
+       |       c.n_tokens AS n_raw_tokens, c.n_dropped, p.n_tokens,
+       |       (p.cum_end - p.n_tokens) // ${P2SequencePack.seqLen} AS start_chunk,
+       |       (p.cum_end - 1) // ${P2SequencePack.seqLen} AS end_chunk,
+       |       (p.cum_end - p.n_tokens) % ${P2SequencePack.seqLen} AS start_offset,
+       |       CAST(len(regexp_extract_all(i.pii_text, '${PiiOps.emailRe}'))
+       |            + len(regexp_extract_all(i.pii_text, '${PiiOps.phoneRe}'))
+       |            + len(regexp_extract_all(i.pii_text, '${PiiOps.ipRe}')) AS INT) AS n_redactions,
+       |       md5(${PiiOps.redactSql("i.pii_text")}) AS release_md5
+       |FROM pcum p JOIN xclean c USING (doc_id) JOIN vpii i USING (doc_id)""".stripMargin)
 }

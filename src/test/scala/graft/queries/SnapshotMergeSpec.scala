@@ -83,6 +83,109 @@ class SnapshotMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeCdc contract: tombstones, delta-sets-NULL, unset-carry, no-op delete drop") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, Option("a"), 10L),
+      (2L, Option("b"), 20L),
+      (3L, Option("c"), 30L),
+      (5L, Option.empty[String], 50L))
+      .toDF("k", "tag", "v")
+    val delta = Seq(
+      // set tag to NULL explicitly (tag_set=true, value null) — the case
+      // coalesce would silently resurrect "b" for
+      (2L, Option.empty[String], true, 21L, false),
+      // tag UNSET (tag_set=false): its delta value must be IGNORED, base carries
+      (3L, Option("z"), false, 31L, false),
+      // tombstone for a present key: disposition deleted, last-known payload
+      (5L, Option.empty[String], false, 0L, true),
+      // insert with tag unset: no base to carry -> null
+      (4L, Option("d"), false, 40L, false),
+      // tombstone for an ABSENT key: a no-op, dropped from the output
+      (9L, Option.empty[String], false, 0L, true))
+      .toDF("k", "tag", "tag_set", "v", "deleted")
+    val out = SnapshotMerge.mergeCdc(base, delta, "k", Seq("tag", "v"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, Some("a"), 10L, "carried"),
+      (2L, None, 21L, "updated"),      // delta NULLED tag; v assigned (no v_set col)
+      (3L, Some("c"), 31L, "updated"), // unset tag carried from base, "z" ignored
+      (4L, None, 40L, "inserted"),     // unset tag on an insert -> null
+      (5L, None, 50L, "deleted")))     // last-known base payload, not the delta's 0
+  }
+
+  test("reduceDelta collapses a raw CDC batch to the highest-seq row per key") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, 3L, 30.0), (1L, 7L, 70.0), (1L, 5L, 50.0),
+      (2L, 1L, 10.0),
+      (3L, 9L, 90.0), (3L, 2L, 20.0))
+      .toDF("k", "seq", "v")
+    val got = SnapshotMerge.reduceDelta(raw, "k", "seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 7L, 70.0), (2L, 1L, 10.0), (3L, 9L, 90.0)))
+  }
+
+  test("q27 model equivalence: 4-set dispositions + presence semantics (sf0.001)") {
+    import graft.functions.Portable
+    val orders = graft.Tables.orders(spark, TestSpark.sf0001)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("c"),
+        Portable.hash60(concat(lit("snap:"), col("o_orderkey").cast("string"))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val out = Q27CdcMergeFull.run(spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getString(2), r.getDouble(3)))
+      .toMap
+    val expected = orders.flatMap { case (k, cust, c, h) =>
+      val inBase = h % 7 != 0; val inDelta = h % 3 == 0; val tomb = h % 5 == 0
+      if (!inBase && (!inDelta || tomb)) None // absent, or a dropped no-op delete
+      else {
+        val disp =
+          if (!inBase) "inserted"
+          else if (!inDelta) "carried"
+          else if (tomb) "deleted"
+          else "updated"
+        val custNew = if (h % 4 == 0) None else Some(cust + 1000000L)
+        val custOut =
+          if (inDelta && !tomb && h % 2 == 0) custNew
+          else if (inBase) Some(cust)
+          else None
+        val cents = if (inDelta && !tomb) c + c / 10 else c
+        Some(k -> ((custOut, disp, cents.toDouble / 100)))
+      }
+    }.toMap
+    assert(out == expected)
+    // every semantic branch has corpus mass at this scale
+    assert(out.values.map(_._2).toSet == Set("inserted", "carried", "updated", "deleted"))
+    assert(out.exists { case (_, (cust, d, _)) => d == "updated" && cust.isEmpty },
+      "no delta-sets-NULL row")
+    assert(out.exists { case (_, (cust, d, _)) => d == "inserted" && cust.isEmpty },
+      "no unset-column insert")
+    val dropped = orders.count { case (_, _, _, h) => h % 7 == 0 && h % 3 == 0 && h % 5 == 0 }
+    assert(dropped > 0, "no no-op tombstone exercised the drop branch")
+  }
+
+  test("mergeCdc idempotence: re-applying the delta to the surviving snapshot is a fixpoint") {
+    import spark.implicits._
+    val base = Seq((1L, 10L), (2L, 20L), (5L, 50L)).toDF("k", "v")
+    val delta = Seq((2L, 21L, false), (5L, 0L, true), (4L, 40L, false), (9L, 0L, true))
+      .toDF("k", "v", "deleted")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    val once = SnapshotMerge.mergeCdc(base, delta, "k", Seq("v"))
+    val got = canon(once)
+    assert(got == Seq((1L, 10L, "carried"), (2L, 21L, "updated"),
+      (4L, 40L, "inserted"), (5L, 50L, "deleted")))
+    // the release filter drops deleted rows; re-applying the same delta must
+    // move nothing: 5's tombstone is now a no-op, 2/4 re-assign equal values
+    val surviving = once.filter(col("disposition") =!= "deleted").select("k", "v")
+    val twice = canon(SnapshotMerge.mergeCdc(surviving, delta, "k", Seq("v")))
+    assert(twice.map(t => (t._1, t._2)) == got.filterNot(_._3 == "deleted").map(t => (t._1, t._2)),
+      "re-applying the delta moved a value — mergeCdc is not idempotent on payloads")
+  }
+
   test("updated/inserted rows carry the exact +10% integer-cents price") {
     val rows = Q25SnapshotMerge.run(spark, TestSpark.sf0001).collect()
     val orig = graft.Tables.orders(spark, TestSpark.sf0001)

@@ -53,6 +53,8 @@ PLAUSIBILITY = [
     ("s11_ann_ivf_pq", "s7_ann_pq"),  # s11 scores candidates over s7's encode
     ("k5_classifier_eval", "k4_quality_classifier"),  # k5 recounts k4's own run
     ("p9_release_manifest", "p1_clean_corpus"),  # p9 runs p1's chain as stage 1
+    ("p10_release_pii", "p1_clean_corpus"),  # p10 runs p1's chain as stage 1
+    ("p10_release_pii", "p9_release_manifest"),  # p10 = p9's chain + injection + redact counts
 ]
 
 REPS = "3"
