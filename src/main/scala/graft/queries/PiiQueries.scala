@@ -136,10 +136,17 @@ object PiiOps {
 
 /** t20: PII scan — per-document entity counts by type over the injected
   * fixture text (see [[PiiOps]]). `pii_chars` measures the total matched
-  * extent via delete-and-diff (length before minus length after deleting
-  * every match), so the hash gate pins match SPANS, not just counts: two
-  * engines agreeing that a line holds one email but disagreeing where it
-  * ends go red here even though the counts tie.
+  * extent as the SUM OF MATCH LENGTHS per type (round-10 change): the
+  * previous delete-and-diff form could in principle overcount on
+  * adversarial text, because deleting one match can juxtapose the
+  * surrounding characters into a NEW match of a later pattern that the
+  * original text never contained — the measurement itself synthesizing
+  * extent. Summing `length` over each type's `regexp_extract_all` matches
+  * measures exactly the spans present in the ORIGINAL text (the three
+  * patterns are mutually non-overlapping, so the per-type sums cannot
+  * double-count a character). The hash gate still pins match SPANS, not
+  * just counts: engines agreeing a line holds one email but disagreeing
+  * where it ends go red here even though the counts tie.
   */
 object T20PiiScan extends GraftQuery {
   val name = "t20_pii_scan"
@@ -150,28 +157,31 @@ object T20PiiScan extends GraftQuery {
     val d = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         piiTextCol(col("doc_id"), col("text"), col("source")).as("pii_text"))
-    val stripped = regexp_replace(
-      regexp_replace(
-        regexp_replace(col("pii_text"), emailRe, ""), phoneRe, ""), ipRe, "")
+    def matchedChars(re: String): Column =
+      aggregate(regexp_extract_all(col("pii_text"), lit(re), lit(0)),
+        lit(0), (acc, m) => acc + length(m))
     d.select(
       col("doc_id"),
       size(regexp_extract_all(col("pii_text"), lit(emailRe), lit(0))).as("n_emails"),
       size(regexp_extract_all(col("pii_text"), lit(phoneRe), lit(0))).as("n_phones"),
       size(regexp_extract_all(col("pii_text"), lit(ipRe), lit(0))).as("n_ips"),
-      (length(col("pii_text")) - length(stripped)).as("pii_chars"))
+      (matchedChars(emailRe) + matchedChars(phoneRe) + matchedChars(ipRe)).as("pii_chars"))
       .withColumn("n_pii", (col("n_emails") + col("n_phones") + col("n_ips")).cast("int"))
   }
 
   val oracle = {
     import PiiOps._
+    def matchedCharsSql(re: String): String =
+      s"coalesce(list_sum(list_transform(regexp_extract_all(pii_text, '$re'), m -> length(m))), 0)"
     Some(
       s"""WITH ${piiTextCte}
          |SELECT doc_id,
          |       CAST(len(regexp_extract_all(pii_text, '$emailRe')) AS INT) AS n_emails,
          |       CAST(len(regexp_extract_all(pii_text, '$phoneRe')) AS INT) AS n_phones,
          |       CAST(len(regexp_extract_all(pii_text, '$ipRe')) AS INT) AS n_ips,
-         |       CAST(length(pii_text)
-         |            - length(regexp_replace(regexp_replace(regexp_replace(pii_text, '$emailRe', '', 'g'), '$phoneRe', '', 'g'), '$ipRe', '', 'g')) AS INT) AS pii_chars,
+         |       CAST(${matchedCharsSql(emailRe)}
+         |            + ${matchedCharsSql(phoneRe)}
+         |            + ${matchedCharsSql(ipRe)} AS INT) AS pii_chars,
          |       CAST(len(regexp_extract_all(pii_text, '$emailRe'))
          |            + len(regexp_extract_all(pii_text, '$phoneRe'))
          |            + len(regexp_extract_all(pii_text, '$ipRe')) AS INT) AS n_pii

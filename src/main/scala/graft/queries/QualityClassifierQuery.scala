@@ -211,9 +211,9 @@ object K4QualityClassifier extends GraftQuery {
   * Engine-exactness: counts are integer sums over (rounded score ≥ literal
   * threshold) predicates — both engines compare identical doubles — and
   * each ratio is ONE correctly-rounded division of identical integers;
-  * precision at an empty-positive threshold is pinned to the -1.0 sentinel
-  * on both sides (Spark 0/0 is NaN, DuckDB diverges — the CASE removes the
-  * hazard).
+  * ALL THREE ratios (precision, recall, F1) pin their empty-denominator
+  * case to the -1.0 sentinel on both sides (Spark 0/0 is NaN, DuckDB
+  * diverges — the CASE removes the hazard for any SF's label mix).
   *
   * Scale: a 9× literal fan-out (explode over an inlined array) followed by
   * a 9-key aggregate — map-side partials reduce every task to ≤ 9 rows, so
@@ -243,8 +243,16 @@ object K5ClassifierEval extends GraftQuery {
         when(col("tp") + col("fp") === 0, lit(-1.0))
           .otherwise(round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
           .as("prec"),
-        round(col("tp").cast("double") / (col("tp") + col("fn")), 6).as("recall"),
-        round(lit(2.0) * col("tp") / (lit(2L) * col("tp") + col("fp") + col("fn")), 6)
+        // recall/f1 carry the same -1.0 empty-denominator sentinel as prec:
+        // tp+fn = 0 (no reference-labeled docs at some SF) or an all-empty
+        // confusion row would otherwise be Spark NaN vs DuckDB divergence —
+        // the exact hazard the prec CASE was added for.
+        when(col("tp") + col("fn") === 0, lit(-1.0))
+          .otherwise(round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+          .as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") === 0, lit(-1.0))
+          .otherwise(
+            round(lit(2.0) * col("tp") / (lit(2L) * col("tp") + col("fp") + col("fn")), 6))
           .as("f1"))
   }
 
@@ -263,8 +271,10 @@ object K5ClassifierEval extends GraftQuery {
          |SELECT threshold, tp, fp, fn, tn,
          |       CASE WHEN tp + fp = 0 THEN -1.0
          |            ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS prec,
-         |       round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
-         |       round(2.0 * tp / (2 * tp + fp + fn), 6) AS f1
+         |       CASE WHEN tp + fn = 0 THEN -1.0
+         |            ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+         |       CASE WHEN 2 * tp + fp + fn = 0 THEN -1.0
+         |            ELSE round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
          |FROM c""".stripMargin)
   }
 }

@@ -205,6 +205,29 @@ object EventStream {
       .withColumn("redacted", redactCol(t))
   }
 
+  /** Markup-extraction gate — t21's strip chain applied at ingestion: the
+    * HTML-boilerplate removal that runs ahead of even langid in a
+    * web-corpus pipeline, as the stateless streaming stage it is in
+    * production (crawl frames arrive, text leaves). Reads
+    * [[graft.queries.T21MarkupStrip]]'s OWN pattern set and stripCol, so
+    * batch strip and this gate structurally cannot disagree about what
+    * markup is (the piiGate discipline); MarkupGateStreamSpec pins
+    * byte-for-byte batch parity across micro-batches. Per-row projection:
+    * no shuffle, no state, no watermark — partitioning follows the source.
+    */
+  def markupGate(docs: DataFrame, htmlCol: String = "html"): DataFrame = {
+    import graft.queries.T21MarkupStrip
+    val h = col(htmlCol)
+    docs
+      .withColumn("n_scripts",
+        size(regexp_extract_all(h, lit(T21MarkupStrip.scriptRe), lit(0))))
+      .withColumn("n_tags",
+        size(regexp_extract_all(
+          regexp_replace(h, T21MarkupStrip.scriptRe, " "),
+          lit(T21MarkupStrip.tagRe), lit(0))))
+      .withColumn("clean_text", T21MarkupStrip.stripCol(h))
+  }
+
   final case class OpenSession(startSec: Long, lastSec: Long, nEvents: Long)
   final case class OpenSessions(sessions: List[OpenSession])
   final case class FinalizedSession(

@@ -81,6 +81,31 @@ class PiiSpec extends AnyFunSuite {
     }
   }
 
+  test("pii_chars is the exact matched extent of the ORIGINAL text (sum of match lengths)") {
+    // independent java.util.regex re-computation — pins the round-10
+    // semantics change from delete-and-diff (which can synthesize extent by
+    // juxtaposing characters around a deleted match) to sum-of-match-lengths
+    // (which measures only spans present in the original text)
+    import PiiOps._
+    def extent(text: String): Int =
+      Seq(emailRe, phoneRe, ipRe).map { re =>
+        val m = java.util.regex.Pattern.compile(re).matcher(text)
+        var s = 0
+        while (m.find()) s += m.end() - m.start()
+        s
+      }.sum
+    val d = graft.Tables.documents(spark, TestSpark.sf0001)
+    val piiTexts = d.select(col("doc_id"),
+      piiTextCol(col("doc_id"), col("text"), col("source")).as("pii_text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val t20 = T20PiiScan.run(spark, TestSpark.sf0001)
+      .select("doc_id", "pii_chars").collect().map(r => r.getLong(0) -> r.getInt(1))
+    t20.foreach { case (id, chars) =>
+      assert(chars == extent(piiTexts(id)), s"doc $id extent mismatch")
+    }
+    assert(t20.exists(_._2 > 0))
+  }
+
   test("every injection branch has mass at sf0.001 (0/1/2 emails, ±phone, ±ip)") {
     val t20 = T20PiiScan.run(spark, TestSpark.sf0001)
       .select("n_emails", "n_phones", "n_ips").collect()

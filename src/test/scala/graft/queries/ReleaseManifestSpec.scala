@@ -38,18 +38,23 @@ class ReleaseManifestSpec extends AnyFunSuite {
       assert(off >= 0 && off < P2SequencePack.seqLen)
     }
     val vanished = p4.keySet -- p9.keySet
-    // every doc missing vs p4 must be fully stripped (clean count 0)
-    if (vanished.nonEmpty) {
-      val clean = P7SpanStrip.stripOn(
-        graft.Tables.documents(spark, TestSpark.sf0001)
-          .select(col("doc_id"), col("text")))
-        .collect().map(r => r.getLong(0) -> (r.getLong(1) - r.getLong(2))).toMap
-      sweep()
-      // raw-corpus strip is an upper bound on kept-corpus drops, so a doc
-      // with raw-strip residue could still vanish only via kept-scope
-      // strips being smaller — impossible; assert via p9's own inputs
-      // instead: vanished docs are exactly those absent from packing input.
-      vanished.foreach { id => assert(!p9.contains(id)) }
+    // REAL invariant: a doc sampled by p4 goes missing from p9's manifest
+    // iff the KEPT-corpus strip leaves it zero clean tokens — recompute the
+    // strip over the same kept set p9 uses and check n_tokens == n_dropped
+    // for every vanished id (and for no surviving id).
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+    val kept = P1CleanCorpus.runOn(spark, docs)
+      .filter(col("status") === "kept").select(col("doc_id"))
+    val keptStrip = P7SpanStrip.stripOn(
+      docs.join(kept, "doc_id").select(col("doc_id"), col("text")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) - r.getLong(2))).toMap
+    sweep()
+    vanished.foreach { id =>
+      assert(keptStrip(id) == 0L,
+        s"doc $id vanished from p9 but kept-corpus strip leaves ${keptStrip(id)} tokens")
+    }
+    p9.keys.foreach { id =>
+      assert(keptStrip(id) > 0L, s"doc $id survived p9 with zero clean tokens")
     }
     // token conservation: total packed tokens == sum of clean counts, and
     // the global chunk stream is dense (max end_chunk == ceil(total/seqLen) - 1)
