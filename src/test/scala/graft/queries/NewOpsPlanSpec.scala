@@ -128,4 +128,26 @@ class NewOpsPlanSpec extends AnyFunSuite {
     val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
     assert(bnlj <= 8, s"p9 grew unbounded nested-loop joins ($bnlj):\n$p")
   }
+
+  test("q27: the CDC merge stays ONE keyed full-outer join — presence flags ride it free") {
+    // mergeCdc adds tombstone + per-column presence logic to q25's shape;
+    // all of it must stay projection-side — the join itself is still the
+    // single key-partitioned full-outer of the two snapshots.
+    val p = plan(Q27CdcMergeFull)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q27 merge degenerated to a non-keyed join:\n$p")
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(joins == 1, s"q27 should be exactly one keyed merge join, got $joins:\n$p")
+    assert(p.contains("FullOuter"), s"q27 lost its full-outer semantics:\n$p")
+  }
+
+  test("p10: the PII-differentiated release keeps p9's join discipline") {
+    // p10 = p9's chain + a per-row inject/redact projection; the extra
+    // stage must add ZERO joins — same cartesian/nested-loop bounds as p9.
+    val p = plan(P10ReleasePii)
+    assert(!p.contains("CartesianProduct"), s"p10 has a cartesian:\n$p")
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 8, s"p10 grew unbounded nested-loop joins ($bnlj):\n$p")
+  }
 }
