@@ -150,4 +150,21 @@ class NewOpsPlanSpec extends AnyFunSuite {
     val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
     assert(bnlj <= 8, s"p10 grew unbounded nested-loop joins ($bnlj):\n$p")
   }
+
+  test("t22: the rule gate is a pure projection — no shuffle, no join") {
+    val p = plan(T22GopherRules)
+    assert(!p.contains("Exchange"), s"t22 acquired a shuffle:\n$p")
+    assert(!p.contains("Join"), s"t22 acquired a join:\n$p")
+  }
+
+  test("t23: drift is one token aggregate + broadcast 1-row dims + TakeOrdered") {
+    // the two global aggregates (totals, js sum) must come back as 1-row
+    // BROADCAST dimensions, never a shuffled join; the top-10 must be
+    // TakeOrdered (no global sort of the vocabulary).
+    val p = plan(T23CorpusDrift)
+    assert(!p.contains("CartesianProduct"), s"t23 has a cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"t23's 1-row dimensions degenerated to shuffled joins:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"t23 lost its TakeOrdered top-10:\n$p")
+  }
 }
