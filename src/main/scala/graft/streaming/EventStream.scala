@@ -205,6 +205,32 @@ object EventStream {
       .withColumn("redacted", redactCol(t))
   }
 
+  /** Streaming corpus-drift COUNTS — t23's count stage as a live monitor:
+    * per-token counts per slice maintained by stateful grouped aggregation
+    * (the t15 count-min discipline: the aggregation state IS the merge, so
+    * arbitrary micro-batch splits land on the same counts a batch pass
+    * computes). State is VOCABULARY-bounded — one (token, two longs) row
+    * per distinct token ever seen, not per event — which is exactly the
+    * memory bound the batch t23 aggregate carries per partition. The JS
+    * divergence itself is a cheap vocabulary-sized computation run on each
+    * snapshot of these counts (a monitoring job reads the complete-mode
+    * sink on its alert cadence); keeping it OUT of the stream keeps the
+    * stateful operator single-purpose. DriftStreamSpec pins count parity
+    * with batch t23 and that the JS computed from the streamed counts
+    * equals t23's published js_e9.
+    */
+  def driftCounts(
+      docs: DataFrame,
+      grpCol: String = "grp",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(grpCol).as("grp"),
+        explode(graft.operators.TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("cnt_b"))
+
   /** Markup-extraction gate — t21's strip chain applied at ingestion: the
     * HTML-boilerplate removal that runs ahead of even langid in a
     * web-corpus pipeline, as the stateless streaming stage it is in
