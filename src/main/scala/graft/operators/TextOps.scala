@@ -196,8 +196,14 @@ object TextOps {
   /** DuckDB mirror of [[shingleHashSets]] as a WITH-clause body; emits a
     * relation `shs(doc_id, shs)`.
     */
-  def shingleHashSetsSql(n: Int = 3): String =
-    s"""th AS (SELECT doc_id, ${tokenHashesSql(tokensSql("text"))} AS ht FROM documents),
+  def shingleHashSetsSql(n: Int = 3): String = shingleHashSetsSql("documents", n)
+
+  /** Source-parameterized form (`src` must expose doc_id, text) — lets a
+    * composed oracle (p11's merged snapshot) run the whole shingle→LSH→
+    * dedup chain over a derived corpus CTE instead of the raw table.
+    */
+  def shingleHashSetsSql(src: String, n: Int): String =
+    s"""th AS (SELECT doc_id, ${tokenHashesSql(tokensSql("text"))} AS ht FROM $src),
        |shs AS (SELECT doc_id, list_distinct(${shingleHashesSql("ht", n)}) AS shs FROM th)""".stripMargin
 
   /** Minhash value for one seeded hash over a shingle array (null when the
@@ -247,12 +253,18 @@ object TextOps {
     * [[shingleHashSetsSql]]; emits relations `th, shs, bh, sig` where
     * sig = (doc_id, m0..m{k−1}).
     */
-  def minhashSignaturesSql(k: Int, n: Int = 3): String = {
+  def minhashSignaturesSql(k: Int, n: Int = 3): String =
+    minhashSignaturesSql("documents", k, n)
+
+  /** Source-parameterized twin of [[minhashSignaturesSql]] (see
+    * [[shingleHashSetsSql]]'s src contract).
+    */
+  def minhashSignaturesSql(src: String, k: Int, n: Int): String = {
     val params = minhashParams(k)
     val mins = params.zipWithIndex
       .map { case ((a, b), i) => s"min((base * $a + $b) % $MinhashPrime) AS m$i" }
       .mkString(", ")
-    s"""${shingleHashSetsSql(n)},
+    s"""${shingleHashSetsSql(src, n)},
        |bh AS (SELECT doc_id, unnest(shs) % $MinhashPrime AS base FROM shs),
        |sig AS (SELECT doc_id, $mins FROM bh GROUP BY doc_id)""".stripMargin
   }

@@ -108,9 +108,15 @@ object P1CleanCorpus extends GraftQuery {
     * (post-exact alive set), `comp` (near-dup components). Shared with p4's
     * end-to-end assembly oracle.
     */
-  private[queries] val dispositionCtesSql: String =
-    s"""${D4NgramJaccard.pairsCtesSql},
-       |${T2Quality.scoreSqlCte("documents", "qsc")},
+  private[queries] val dispositionCtesSql: String = dispositionCtesSqlOver("documents")
+
+  /** Source-parameterized form (`src` exposes doc_id, text): the whole p1
+    * chain over a derived corpus CTE — p11 runs it over the CDC-merged
+    * snapshot.
+    */
+  private[queries] def dispositionCtesSqlOver(src: String): String =
+    s"""${D4NgramJaccard.pairsCtesSql(src)},
+       |${T2Quality.scoreSqlCte(src, "qsc")},
        |qual AS (
        |  SELECT doc_id, text, round(quality, 6) AS quality FROM qsc
        |  WHERE round(quality, 6) >= $qualityThreshold),

@@ -61,11 +61,16 @@ private[graft] object MinhashLsh {
       TextOps.shingleHashSets(Tables.documents(spark, sfDir))))
 
   /** CTE chain `th, shs, bh, sig, bands, cand` mirroring [[candidatePairs]]. */
-  def candidatePairsSql: String = {
+  def candidatePairsSql: String = candidatePairsSql("documents")
+
+  /** Source-parameterized form — the whole LSH chain over a derived corpus
+    * CTE (p11's merged snapshot).
+    */
+  def candidatePairsSql(src: String): String = {
     val bandSelects = (0 until nBands).map { b =>
       s"SELECT doc_id, $b AS band, (m${b * bandSize} * ${TextOps.MinhashPrime + 1} + m${b * bandSize + 1}) AS key FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""${TextOps.minhashSignaturesSql(nHashes)},
+    s"""${TextOps.minhashSignaturesSql(src, nHashes, 3)},
        |bands AS (
        |  $bandSelects
        |),
@@ -201,8 +206,11 @@ object D4NgramJaccard extends GraftQuery {
   /** CTE chain ending in relation `d4(doc_a, doc_b, jaccard)` — shared by
     * [[oracle]] and d7's clustering oracle.
     */
-  private[queries] def pairsCtesSql: String =
-    s"""${MinhashLsh.candidatePairsSql},
+  private[queries] def pairsCtesSql: String = pairsCtesSql("documents")
+
+  /** Source-parameterized form (p11's merged-snapshot oracle). */
+  private[queries] def pairsCtesSql(src: String): String =
+    s"""${MinhashLsh.candidatePairsSql(src)},
        |sized AS (SELECT doc_id, shs AS toks, len(shs) AS ntok FROM shs),
        |d4 AS (
        |  SELECT doc_a, doc_b,
