@@ -7,13 +7,12 @@ import graft.Tables
 import graft.functions.Portable
 
 /** m1: multimodal metadata extraction, declarative path — binary payload
-  * sizes plus hash-derived fake media dimensions (the oracle-checkable twin
-  * of [[graft.operators.Multimodal]]'s mapPartitions decode; the decode stub
-  * itself is exercised in MultimodalSpec since DuckDB can't run it).
-  *
-  * The point under test: binary-column handling (string→blob cast,
-  * octet_length) agrees between engines, and metadata derivation is a pure
-  * projection that never shuffles.
+  * sizes plus hash-derived SYNTHETIC media dimensions. This row's job is
+  * the binary-column PLUMBING (string→blob cast, octet_length, and a
+  * metadata projection that never shuffles) agreeing between engines; the
+  * REAL decoders live in m2–m6 ([[graft.operators.Multimodal.decodeAvi]] /
+  * decodePpm / decodeWav), so the hash-derived dimensions here are a
+  * deliberate declarative device, not a decode claim.
   */
 object M1MultimodalMeta extends GraftQuery {
   val name = "m1_multimodal_meta"

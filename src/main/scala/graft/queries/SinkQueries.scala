@@ -96,6 +96,40 @@ object Q19OrcSink extends GraftQuery {
       |GROUP BY l_returnflag, l_linestatus""".stripMargin)
 }
 
+/** Q28: JSONL sink round-trip — the interchange format LLM corpora actually
+  * ship as (The Pile, Dolma, C4 dumps, fine-tuning datasets: one JSON
+  * object per line). Documents are written as JSON Lines and read back
+  * under an EXPLICIT schema (production discipline: schema inference over
+  * 100 TB is a full extra pass and a type-drift hazard), and the oracle
+  * pins the reread data — doc text included via md5 — against the source
+  * table, so JSON's escaping/encoding round-trip itself is under test (a
+  * lossy escape of any character in any document flips the hash).
+  *
+  * Scale: the write is executor-parallel; uncompressed JSON Lines are
+  * SPLITTABLE on read (each line self-contained), so the reread
+  * parallelizes like any text source — the reason the format survives at
+  * corpus scale despite being the least compact one (pair with zstd in
+  * production; the codec rides `option("compression", ...)`).
+  */
+object Q28JsonlSink extends GraftQuery {
+  val name = "q28_jsonl_sink"
+  val describe = "JSONL corpus sink + schema-explicit reread, text md5-pinned (the LLM interchange format)"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = SinkPaths.dir("q28_jsonl")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"), col("text"))
+    docs.write.mode("overwrite").json(out)
+    spark.read.schema(docs.schema).json(out)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        md5(col("text").cast("binary")).as("text_md5"))
+  }
+
+  val oracle = Some(
+    """SELECT doc_id, source, lang, n_chars, md5(text) AS text_md5
+      |FROM documents""".stripMargin)
+}
+
 /** Q20: Hive-partitioned sink + partition-PRUNED read — the layout that
   * makes 100 TB metadata-selective: documents written `partitionBy(source)`
   * (one directory per source), then read back with a source predicate. The
