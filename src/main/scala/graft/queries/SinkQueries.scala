@@ -130,6 +130,69 @@ object Q28JsonlSink extends GraftQuery {
       |FROM documents""".stripMargin)
 }
 
+/** Q29: CSV sink round-trip — the tabular metadata-export format (quality
+  * reports, datasheet tables, spreadsheet handoffs), completing the sink
+  * matrix: parquet (q8), ORC (q19), partitioned (q20), JSONL (q28), CSV.
+  * Written with header + RFC-4180-style quoting and reread under an
+  * EXPLICIT schema (CSV carries no types at all — worse than JSON — so
+  * schema-on-read is non-negotiable), document text md5-pinned through the
+  * quote/escape cycle like q28 so a lossy escape flips the gate.
+  *
+  * Scale judgment, and why this is NOT the corpus interchange format: a
+  * CSV field containing a newline must be quoted, and a quoted-newline CSV
+  * is only parseable with `multiLine=true` — which makes each FILE one
+  * split (the parser cannot resync mid-file), forfeiting the splittability
+  * that q28's one-object-per-line layout keeps. Ship corpora as JSONL;
+  * export TABLES (bounded, newline-free) as CSV — this query does the
+  * latter and documents the cliff. CsvSinkSpec drives hostile text
+  * (quotes, commas, newlines, the empty-vs-null distinction) through the
+  * same option set to pin the round-trip policy.
+  */
+object Q29CsvSink extends GraftQuery {
+  val name = "q29_csv_sink"
+  val describe = "CSV sink + schema-explicit reread, text md5-pinned (tabular export; splittability cliff documented)"
+
+  /** Write and read option sets — a round-trip is only as lossless as its
+    * two sides agreeing on quote/escape/empty conventions, and the
+    * empty-vs-null distinction is the trap (probed byte-level while
+    * building this). The WRITER is fine by default: empty → `5,""`,
+    * null → `6,` (bare). The READER is not: its default `nullValue` is the
+    * empty string, and the nullValue comparison runs on the PARSED value —
+    * so the quoted-empty field parses to "" and is then collapsed to null;
+    * setting read `emptyValue` to "" is silently treated as unset (only a
+    * non-empty sentinel takes effect, which would rewrite "" to the
+    * sentinel — worse). The fix that works: move the READ-side nullValue
+    * off the empty string to a value no real text carries (NUL). Then
+    * `""` → "" (≠ NUL, survives) and the bare field → null at the parser
+    * level. Residual caveat, documented rather than hidden: a text value
+    * exactly equal to the lone NUL char would read as null — CSV
+    * fundamentally cannot represent both null and its own nullValue
+    * sentinel, one more reason q28's JSONL (which has a real `null`
+    * token) is the corpus format and CSV is the TABLE-export format.
+    * CsvSinkSpec holds the distinction through this option pair.
+    */
+  val csvWriteOptions: Map[String, String] = Map(
+    "header" -> "true",
+    "quote" -> "\"",
+    "escape" -> "\"", // RFC 4180: quotes double inside quoted fields
+    "multiLine" -> "true")
+  val csvReadOptions: Map[String, String] = csvWriteOptions + ("nullValue" -> "\u0000")
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = SinkPaths.dir("q29_csv")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"), col("text"))
+    docs.write.mode("overwrite").options(csvWriteOptions).csv(out)
+    spark.read.schema(docs.schema).options(csvReadOptions).csv(out)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        md5(col("text").cast("binary")).as("text_md5"))
+  }
+
+  val oracle = Some(
+    """SELECT doc_id, source, lang, n_chars, md5(text) AS text_md5
+      |FROM documents""".stripMargin)
+}
+
 /** Q20: Hive-partitioned sink + partition-PRUNED read — the layout that
   * makes 100 TB metadata-selective: documents written `partitionBy(source)`
   * (one directory per source), then read back with a source predicate. The

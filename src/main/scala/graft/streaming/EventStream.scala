@@ -231,6 +231,24 @@ object EventStream {
         sum(when(col("grp") === 0, 1L).otherwise(0L)).as("cnt_a"),
         sum(when(col("grp") === 1, 1L).otherwise(0L)).as("cnt_b"))
 
+  /** Streaming HyperLogLog registers — t24's register stage over a live
+    * document stream, and the strongest form of the streamed-sketch
+    * argument yet: where driftCounts' state is vocabulary-bounded and the
+    * streamed count-min is cell-bounded, this state is FIXED-width — at
+    * most 512 (register, max-rank) rows per source forever, no matter how
+    * many tokens the stream ever carries — because the stateful grouped
+    * max IS the HLL merge. The code is literally batch t24's `registers`
+    * run on the unbounded frame (the mediaGate discipline: needing no new
+    * operator is the point); a monitoring job reads the complete-mode sink
+    * and runs `T24HllCardinality.estimate` over the snapshot on its alert
+    * cadence, keeping the float-bearing estimate out of the stateful
+    * stream. HllStreamSpec pins streamed registers == batch registers and
+    * estimate-from-streamed == batch t24's row under arbitrary
+    * micro-batch splits.
+    */
+  def hllRegisters(docs: DataFrame): DataFrame =
+    graft.queries.T24HllCardinality.registers(docs)
+
   /** Markup-extraction gate — t21's strip chain applied at ingestion: the
     * HTML-boilerplate removal that runs ahead of even langid in a
     * web-corpus pipeline, as the stateless streaming stage it is in
