@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TextOps
+
+/** p12: the ATTRITION FUNNEL — the per-stage doc/token retention table
+  * every serious corpus release publishes in its datasheet (the "what
+  * survived each filter" table in the Dolma/RefinedWeb/Gopher writeups),
+  * here as one oracle-gated query over the library's own stages run in
+  * deployment order:
+  *
+  *   0 raw            — the crawl as ingested
+  *   1 quality_gate   — t2 score ≥ p1's threshold
+  *   2 exact_dedup    — p1's md5-canonical survivors
+  *   3 near_dedup     — p1's `kept` (LSH cluster survivors)
+  *   4 decontaminated — minus d9's eval-overlap hits (p5's gate)
+  *   5 span_stripped  — p7's exact-substring spans removed WITHIN the
+  *                      decontaminated corpus; docs stripped to zero
+  *                      tokens leave; the token column drops far more than
+  *                      the doc column here — the stage exists to show that
+  *   6 mixture        — p3's weighted per-source quotas over what remains:
+  *                      the shipped set
+  *
+  * Output: (stage, name, n_docs, n_tokens) — all integers, so nothing
+  * floats across the gate. Token counts for stages 0–4 are raw TextOps
+  * token counts; 5–6 are post-strip clean counts (the number the packer
+  * actually sees — p9's convention).
+  *
+  * This is a REPORT over the library's stage operators, not a new
+  * pipeline: every set is derived from p1's dispositions, d9's verdicts,
+  * p7's stripOn, and p3's sample — the same code paths their own oracles
+  * gate — so a funnel/stage disagreement means a composition seam broke,
+  * not a reimplementation drifted. Note the corpus narrows at every stage,
+  * so the heavy chains (shingling, gram counting) run over shrinking
+  * inputs exactly as p9 argues; the funnel itself adds only one-row
+  * aggregates per stage over persisted intermediates.
+  *
+  * vs p9/p11: p9 strips within `kept` (its release does not decontaminate);
+  * this funnel inserts the d9 gate BEFORE strip — the safest-release
+  * ordering (never ship eval text, never let eval text's spans count as
+  * boilerplate evidence). The mixture quota base is therefore the
+  * stripped, decontaminated survivor set, recomputed here just as p3's
+  * library form does over any frame.
+  */
+object P12AttritionFunnel extends GraftQuery {
+  val name = "p12_attrition_funnel"
+  val describe = "release datasheet funnel: per-stage doc/token retention through quality->exact->near->decontam->strip->mixture"
+
+  private def stageRow(ord: Int, nm: String, df: DataFrame, tok: Column): DataFrame =
+    df.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(tok), lit(0L)).cast("long").as("n_tokens"))
+      .select(lit(ord.toLong).as("stage"), lit(nm).as("name"),
+        col("n_docs"), col("n_tokens"))
+
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    funnelOn(spark, Tables.documents(spark, sfDir),
+      D9Contamination.run(spark, sfDir).select(col("doc_id"), col("contaminated")))
+
+  /** The funnel over an arbitrary (doc_id, source, text) frame with an
+    * explicit (doc_id, contaminated) verdict frame — the seam
+    * AttritionFunnelSpec uses to drive a fixture where EVERY stage has
+    * differentiating mass (on the driver corpus the strip stage is
+    * legitimately empty: near-dedup already removed every doc whose chunks
+    * repeat, which the funnel faithfully reports — but that would let a
+    * mis-wired stage 5 hide, so the spec pins it synthetically, the p10
+    * injection discipline).
+    */
+  private[queries] def funnelOn(
+      spark: SparkSession, docs: DataFrame, cont: DataFrame): DataFrame = {
+    val toks = graft.CacheScope.persisted(
+      docs.select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok")))
+    val disp = P1CleanCorpus.runOn(spark, docs).select(col("doc_id"), col("status"))
+    val st = graft.CacheScope.persisted(
+      toks.join(disp, "doc_id")
+        .join(cont, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("n_tok"), col("status"),
+          coalesce(col("contaminated"), lit(false)).as("contaminated")))
+    val dec = st.filter(col("status") === "kept" && !col("contaminated"))
+    // Strip runs over the decontaminated corpus only (see ordering note).
+    val clean = graft.CacheScope.persisted(
+      P7SpanStrip.stripOn(docs.join(dec.select(col("doc_id")), "doc_id")
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), (col("n_tokens") - col("n_dropped")).as("n_clean"))
+        .filter(col("n_clean") > 0))
+    val shipped = P3MixtureSample.sample(
+        clean.join(st.select(col("doc_id"), col("source")), "doc_id")
+          .select(col("doc_id"), col("source")))
+      .select(col("doc_id")).join(clean, "doc_id")
+    stageRow(0, "raw", st, col("n_tok"))
+      .unionByName(stageRow(1, "quality_gate",
+        st.filter(col("status") =!= "low_quality"), col("n_tok")))
+      .unionByName(stageRow(2, "exact_dedup",
+        st.filter(col("status").isin("kept", "near_dup")), col("n_tok")))
+      .unionByName(stageRow(3, "near_dedup",
+        st.filter(col("status") === "kept"), col("n_tok")))
+      .unionByName(stageRow(4, "decontaminated", dec, col("n_tok")))
+      .unionByName(stageRow(5, "span_stripped", clean, col("n_clean")))
+      .unionByName(stageRow(6, "mixture", shipped, col("n_clean")))
+  }
+
+  val oracle = Some(
+    s"""WITH RECURSIVE ${P1CleanCorpus.dispositionCtesSql},
+       |kept AS (
+       |  SELECT a.doc_id FROM alive a LEFT JOIN comp c ON a.doc_id = c.node
+       |  WHERE c.component IS NULL OR c.component = a.doc_id),
+       |${P5Decontaminated.contamCtesSql},
+       |dec AS (
+       |  SELECT k.doc_id FROM kept k LEFT JOIN contam c ON k.doc_id = c.doc_id
+       |  WHERE NOT COALESCE(c.contaminated, false)),
+       |rtok AS (
+       |  SELECT doc_id, CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |dsrc AS (
+       |  SELECT d.doc_id, d.source, d.text
+       |  FROM documents d JOIN dec USING (doc_id)),
+       |${P7SpanStrip.stripSqlCtes("dsrc", "f")},
+       |s5 AS (
+       |  SELECT c.doc_id, (c.n_tokens - c.n_dropped) AS n_clean
+       |  FROM fclean c WHERE c.n_tokens - c.n_dropped > 0),
+       |s5s AS (SELECT s.doc_id, d.source, s.n_clean FROM s5 s JOIN dsrc d USING (doc_id)),
+       |mw AS (
+       |  SELECT DISTINCT source,
+       |         CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS w
+       |  FROM s5s),
+       |mtw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM mw),
+       |mn AS (SELECT count(*) AS n FROM s5s),
+       |mrk AS (
+       |  SELECT source, doc_id, n_clean,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY source
+       |           ORDER BY ${P3MixtureSample.sampleHashSql} ASC, doc_id ASC) AS BIGINT) AS rk
+       |  FROM s5s),
+       |samp AS (
+       |  SELECT r.doc_id, r.n_clean
+       |  FROM mrk r JOIN mw USING (source) CROSS JOIN mn CROSS JOIN mtw
+       |  WHERE r.rk <= (mn.n // ${P3MixtureSample.budgetDiv}) * mw.w // mtw.tw)
+       |SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS name, count(*) AS n_docs,
+       |       CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens FROM rtok
+       |UNION ALL
+       |SELECT 1, 'quality_gate', count(*), CAST(coalesce(sum(t.n_tok), 0) AS BIGINT)
+       |FROM qual q JOIN rtok t USING (doc_id)
+       |UNION ALL
+       |SELECT 2, 'exact_dedup', count(*), CAST(coalesce(sum(t.n_tok), 0) AS BIGINT)
+       |FROM alive a JOIN rtok t USING (doc_id)
+       |UNION ALL
+       |SELECT 3, 'near_dedup', count(*), CAST(coalesce(sum(t.n_tok), 0) AS BIGINT)
+       |FROM kept k JOIN rtok t USING (doc_id)
+       |UNION ALL
+       |SELECT 4, 'decontaminated', count(*), CAST(coalesce(sum(t.n_tok), 0) AS BIGINT)
+       |FROM dec d JOIN rtok t USING (doc_id)
+       |UNION ALL
+       |SELECT 5, 'span_stripped', count(*), CAST(coalesce(sum(n_clean), 0) AS BIGINT) FROM s5
+       |UNION ALL
+       |SELECT 6, 'mixture', count(*), CAST(coalesce(sum(n_clean), 0) AS BIGINT) FROM samp""".stripMargin)
+}

@@ -45,6 +45,25 @@ object P5Decontaminated extends GraftQuery {
         col("overlap_frac").as("eval_overlap_frac"))
   }
 
+  /** d9's contamination verdict as a reusable CTE block (requires `shs`
+    * from the disposition chain's pair CTEs): evens are the eval reference
+    * set, odds are probed, `contam(doc_id, overlap_frac, contaminated)`.
+    * Shared with p12's funnel so the two gates cannot drift.
+    */
+  private[queries] val contamCtesSql: String =
+    s"""cref AS (SELECT DISTINCT unnest(shs) AS sh FROM shs WHERE doc_id % 2 = 0),
+       |cprobe AS (SELECT doc_id, unnest(shs) AS sh FROM shs WHERE doc_id % 2 = 1),
+       |cov AS (
+       |  SELECT p.doc_id, count(*) AS n_shingles,
+       |         CAST(sum(CASE WHEN r.sh IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_overlap
+       |  FROM cprobe p LEFT JOIN cref r ON p.sh = r.sh
+       |  GROUP BY p.doc_id),
+       |contam AS (
+       |  SELECT doc_id,
+       |         round(CAST(n_overlap AS DOUBLE) / n_shingles, 6) AS overlap_frac,
+       |         (CAST(n_overlap AS DOUBLE) / n_shingles >= ${D9Contamination.threshold}) AS contaminated
+       |  FROM cov)""".stripMargin
+
   val oracle = Some(
     s"""WITH RECURSIVE ${P1CleanCorpus.dispositionCtesSql},
        |p1d AS (
@@ -61,18 +80,7 @@ object P5Decontaminated extends GraftQuery {
        |         CASE WHEN c.component IS NOT NULL AND c.component <> a.doc_id
        |              THEN c.component ELSE a.doc_id END AS survivor
        |  FROM alive a LEFT JOIN comp c ON a.doc_id = c.node),
-       |cref AS (SELECT DISTINCT unnest(shs) AS sh FROM shs WHERE doc_id % 2 = 0),
-       |cprobe AS (SELECT doc_id, unnest(shs) AS sh FROM shs WHERE doc_id % 2 = 1),
-       |cov AS (
-       |  SELECT p.doc_id, count(*) AS n_shingles,
-       |         CAST(sum(CASE WHEN r.sh IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_overlap
-       |  FROM cprobe p LEFT JOIN cref r ON p.sh = r.sh
-       |  GROUP BY p.doc_id),
-       |contam AS (
-       |  SELECT doc_id,
-       |         round(CAST(n_overlap AS DOUBLE) / n_shingles, 6) AS overlap_frac,
-       |         (CAST(n_overlap AS DOUBLE) / n_shingles >= ${D9Contamination.threshold}) AS contaminated
-       |  FROM cov)
+       |$contamCtesSql
        |SELECT p.doc_id, p.quality,
        |       CASE WHEN p.status = 'kept' AND COALESCE(c.contaminated, false)
        |            THEN 'eval_overlap' ELSE p.status END AS status,
