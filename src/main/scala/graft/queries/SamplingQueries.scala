@@ -35,6 +35,72 @@ object T6Vocab extends GraftQuery {
        |LIMIT $k""".stripMargin)
 }
 
+/** p13: train/val/test SPLIT manifest — the last assignment every training
+  * pipeline makes, built on the property that actually matters for it:
+  * GROWTH STABILITY. The split is a pure hash-threshold function of the
+  * doc_id (bucket = h % 100 → 98/1/1), so a document's split can NEVER
+  * change when the corpus grows — the opposite contract from s3's
+  * rank-based sampling, where adding one document can push another out of
+  * the top-k (val-set membership drifting across releases is exactly how
+  * eval contamination sneaks into a later training set; SplitManifestSpec
+  * makes the contrast executable by showing s3's mechanism unstable and
+  * this one stable on a half corpus).
+  *
+  * Output: one row per (split, source) — docs, token mass, and
+  * `member_xor`, an ORDER-INDEPENDENT membership digest (bit_xor of a
+  * per-doc salted hash). The xor digest is the distributed-safe
+  * fingerprint: commutative and associative, so it merges map-side across
+  * any partitioning with no sort and no list materialization — the
+  * md5-of-sorted-ids alternative needs a per-split global sort and an
+  * O(split-size) buffer in one task, which is exactly what dies at 100 TB.
+  * Any single reassigned/lost/duplicated doc flips the digest.
+  *
+  * Plan: one scan, per-row projection (hash, bucket, CASE), one
+  * source×split-keyed aggregate with map-side partial count/sum/xor —
+  * bounded output, one shuffle, nothing else.
+  */
+object P13SplitManifest extends GraftQuery {
+  val name = "p13_split_manifest"
+  val describe = "growth-stable train/val/test split (hash-threshold 98/1/1) + xor membership digest per (split, source)"
+
+  private[queries] val trainCut = 98L
+  private[queries] val valCut = 99L
+
+  /** Per-doc assignment — the seam SplitManifestSpec uses for the
+    * stability and sensitivity pins. Pure function of doc_id.
+    */
+  private[queries] def assignments(docs: DataFrame): DataFrame = {
+    val bucket = Portable.hash60(concat(lit("split:"), col("doc_id").cast("string"))) % lit(100L)
+    docs.select(col("doc_id"), col("source"),
+      when(bucket < trainCut, "train")
+        .when(bucket < valCut, "val")
+        .otherwise("test").as("split"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tok"),
+      Portable.hash60(concat(lit("m:"), col("doc_id").cast("string"))).as("mh"))
+  }
+
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    assignments(Tables.documents(spark, sfDir))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        expr("bit_xor(mh)").as("member_xor"))
+
+  val oracle = Some(
+    s"""WITH a AS (
+       |  SELECT source,
+       |         CASE WHEN ${Portable.hash60Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < $trainCut THEN 'train'
+       |              WHEN ${Portable.hash60Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < $valCut THEN 'val'
+       |              ELSE 'test' END AS split,
+       |         CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_tok,
+       |         ${Portable.hash60Sql("'m:' || CAST(doc_id AS VARCHAR)")} AS mh
+       |  FROM documents)
+       |SELECT split, source, count(*) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |       bit_xor(mh) AS member_xor
+       |FROM a GROUP BY split, source""".stripMargin)
+}
+
 /** s3: deterministic stratified sampling — k documents per language, chosen
   * by hash rank (every executor can recompute membership from the row
   * alone; no global state, no RNG). The standard down-sampling step for

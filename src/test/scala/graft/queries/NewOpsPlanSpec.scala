@@ -167,4 +167,30 @@ class NewOpsPlanSpec extends AnyFunSuite {
       s"t23's 1-row dimensions degenerated to shuffled joins:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"t23 lost its TakeOrdered top-10:\n$p")
   }
+
+  test("t24: registers are a partial-aggregated max (the sketch merge); comparator join broadcasts") {
+    // The scale claim IS the plan shape: each partition's local registers
+    // are a complete sub-sketch merged map-side (partial_max before the
+    // exchange), and the per-source exact comparator — bounded rows —
+    // comes back over a broadcast join, never a shuffled one.
+    val p = plan(T24HllCardinality)
+    assert(p.contains("partial_max"),
+      s"t24 lost its map-side register combine (the sketch merge):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"t24 degenerated to a non-keyed join:\n$p")
+    assert(p.contains("BroadcastHashJoin") &&
+      !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"t24's comparator join must broadcast:\n$p")
+  }
+
+  test("p12: the funnel adds only keyed stage joins — p9's cartesian/nested-loop discipline") {
+    // p12 composes p1 + d9 + p7-strip + p3 and then seven 1-row stage
+    // aggregates; the only nested loops allowed are p3's bounded 1-row
+    // quota crosses (p9's pinned pattern). A corpus-shaped pair join
+    // appearing anywhere in the chain trips the ceiling.
+    val p = plan(P12AttritionFunnel)
+    assert(!p.contains("CartesianProduct"), s"p12 has a cartesian:\n$p")
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 4, s"p12 grew unbounded nested-loop joins ($bnlj):\n$p")
+  }
 }
