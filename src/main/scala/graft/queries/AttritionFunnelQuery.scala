@@ -35,8 +35,9 @@ import graft.operators.TextOps
   * gate — so a funnel/stage disagreement means a composition seam broke,
   * not a reimplementation drifted. Note the corpus narrows at every stage,
   * so the heavy chains (shingling, gram counting) run over shrinking
-  * inputs exactly as p9 argues; the funnel itself adds only one-row
-  * aggregates per stage over persisted intermediates.
+  * inputs exactly as p9 argues; the five disposition-derived stages are
+  * ONE conditional-aggregation pass over the persisted disposition frame
+  * (not five scans), and stages 5/6 aggregate their own narrowed frames.
   *
   * vs p9/p11: p9 strips within `kept` (its release does not decontaminate);
   * this funnel inserts the d9 gate BEFORE strip — the safest-release
@@ -54,6 +55,16 @@ object P12AttritionFunnel extends GraftQuery {
         coalesce(sum(tok), lit(0L)).cast("long").as("n_tokens"))
       .select(lit(ord.toLong).as("stage"), lit(nm).as("name"),
         col("n_docs"), col("n_tokens"))
+
+  /** One (stage, name, docs, tokens) struct for the single-pass
+    * conditional aggregate: counts and token mass accumulate only where
+    * `cond` holds (sum-over-when skips the null branch; coalesce restores
+    * 0 for an empty stage).
+    */
+  private def condStage(ord: Int, nm: String, cond: Column, tok: Column): Column =
+    struct(lit(ord.toLong).as("stage"), lit(nm).as("name"),
+      coalesce(sum(when(cond, 1L)), lit(0L)).as("n_docs"),
+      coalesce(sum(when(cond, tok)), lit(0L)).as("n_tokens"))
 
   def run(spark: SparkSession, sfDir: String): DataFrame =
     funnelOn(spark, Tables.documents(spark, sfDir),
@@ -90,14 +101,23 @@ object P12AttritionFunnel extends GraftQuery {
         clean.join(st.select(col("doc_id"), col("source")), "doc_id")
           .select(col("doc_id"), col("source")))
       .select(col("doc_id")).join(clean, "doc_id")
-    stageRow(0, "raw", st, col("n_tok"))
-      .unionByName(stageRow(1, "quality_gate",
-        st.filter(col("status") =!= "low_quality"), col("n_tok")))
-      .unionByName(stageRow(2, "exact_dedup",
-        st.filter(col("status").isin("kept", "near_dup")), col("n_tok")))
-      .unionByName(stageRow(3, "near_dedup",
-        st.filter(col("status") === "kept"), col("n_tok")))
-      .unionByName(stageRow(4, "decontaminated", dec, col("n_tok")))
+    // Stages 0–4 are all predicates over the SAME corpus-sized frame, so
+    // they are computed in ONE conditional-aggregation pass (sum-over-when
+    // per stage) instead of five separate scans — at 100 TB that is the
+    // difference between one read of the disposition table and five. The
+    // 1-row, 5-struct aggregate then explodes into the funnel rows for
+    // free; stages 5/6 aggregate their own (already narrowed, persisted)
+    // frames.
+    val kept = col("status") === "kept"
+    val disposed = st.agg(
+        condStage(0, "raw", lit(true), col("n_tok")).as("s0"),
+        condStage(1, "quality_gate", col("status") =!= "low_quality", col("n_tok")).as("s1"),
+        condStage(2, "exact_dedup", col("status").isin("kept", "near_dup"), col("n_tok")).as("s2"),
+        condStage(3, "near_dedup", kept, col("n_tok")).as("s3"),
+        condStage(4, "decontaminated", kept && !col("contaminated"), col("n_tok")).as("s4"))
+      .select(explode(array((0 to 4).map(i => col(s"s$i")): _*)).as("s"))
+      .select(col("s.stage"), col("s.name"), col("s.n_docs"), col("s.n_tokens"))
+    disposed
       .unionByName(stageRow(5, "span_stripped", clean, col("n_clean")))
       .unionByName(stageRow(6, "mixture", shipped, col("n_clean")))
   }
