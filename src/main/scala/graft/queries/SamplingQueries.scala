@@ -66,18 +66,26 @@ object P13SplitManifest extends GraftQuery {
   private[queries] val trainCut = 98L
   private[queries] val valCut = 99L
 
+  /** The split verdict for a doc_id column — pure hash threshold, shared
+    * by the batch manifest and [[graft.streaming.EventStream.splitGate]]
+    * so batch assignment and at-ingestion routing structurally cannot
+    * disagree (the piiGate discipline).
+    */
+  def splitCol(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bucket = Portable.hash60(concat(lit("split:"), docId.cast("string"))) % lit(100L)
+    when(bucket < trainCut, "train")
+      .when(bucket < valCut, "val")
+      .otherwise("test")
+  }
+
   /** Per-doc assignment — the seam SplitManifestSpec uses for the
     * stability and sensitivity pins. Pure function of doc_id.
     */
-  private[queries] def assignments(docs: DataFrame): DataFrame = {
-    val bucket = Portable.hash60(concat(lit("split:"), col("doc_id").cast("string"))) % lit(100L)
+  private[queries] def assignments(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"),
-      when(bucket < trainCut, "train")
-        .when(bucket < valCut, "val")
-        .otherwise("test").as("split"),
+      splitCol(col("doc_id")).as("split"),
       size(TextOps.tokens(col("text"))).cast("long").as("n_tok"),
       Portable.hash60(concat(lit("m:"), col("doc_id").cast("string"))).as("mh"))
-  }
 
   def run(spark: SparkSession, sfDir: String): DataFrame =
     assignments(Tables.documents(spark, sfDir))

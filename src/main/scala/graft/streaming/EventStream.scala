@@ -231,6 +231,22 @@ object EventStream {
         sum(when(col("grp") === 0, 1L).otherwise(0L)).as("cnt_a"),
         sum(when(col("grp") === 1, 1L).otherwise(0L)).as("cnt_b"))
 
+  /** Split routing gate — p13's train/val/test verdict stamped on each
+    * document AT INGESTION (the point of a hash-threshold split: the
+    * verdict is a pure function of doc_id, so the edge can route without
+    * any state, coordination, or knowledge of the rest of the corpus —
+    * rank-based sampling could never run here, since a rank needs the
+    * population). Reads [[graft.queries.P13SplitManifest.splitCol]]
+    * itself, so batch assignment and streamed routing structurally cannot
+    * disagree; a val-routed doc stays val forever regardless of arrival
+    * order or batch boundaries. Per-row projection: no shuffle, no state,
+    * no watermark. SplitGateStreamSpec pins batch parity and
+    * arrival-order invariance.
+    */
+  def splitGate(docs: DataFrame, docIdCol: String = "doc_id"): DataFrame =
+    docs.withColumn("split",
+      graft.queries.P13SplitManifest.splitCol(col(docIdCol)))
+
   /** Streaming HyperLogLog registers — t24's register stage over a live
     * document stream, and the strongest form of the streamed-sketch
     * argument yet: where driftCounts' state is vocabulary-bounded and the
