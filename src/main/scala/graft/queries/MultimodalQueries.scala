@@ -323,3 +323,87 @@ object M4VideoDedup extends GraftQuery {
       |       g.match_count, g.canonical_id
       |FROM sig s JOIN grp g ON s.sig = g.sig""".stripMargin)
 }
+
+/** m7: perceptual image dedup over GENUINELY DECODED rasters — d1's
+  * exact-dedup shape lifted from byte space into pixel space: each
+  * document's spec-valid PPM payload is parsed by the real decoder
+  * ([[graft.operators.Multimodal.decodePpm]]), an average-hash fingerprint
+  * is computed from the decoded pixels (grayscale → 4×4 cell lattice by
+  * index scaling → one bit per cell, cell mean vs image mean compared
+  * CROSS-MULTIPLIED so no division ever rounds — every bit exact integer
+  * arithmetic), and images collapse on identical fingerprints via one
+  * md5-window-style aggregate keyed on the 16-bit hash.
+  *
+  * The oracle replays the whole construction from the text alone (the m5
+  * discipline): raster bytes → grayscale → cell sums → cross-multiplied
+  * bits → packed hash → survivor window. A mis-parsed header, a wrong cell
+  * boundary, or a rounding division anywhere flips the gate.
+  *
+  * Scale: decode + hash run inside the scan partition (the payload never
+  * shuffles; only doc_id + 16 bits continue), then ONE window aggregate
+  * keyed on the fingerprint — the standard first stage of perceptual dedup
+  * at billions of images. Production widens to 8×8/64 bits and adds a
+  * hamming-ball verify within buckets (d6's banding shape); the
+  * fingerprint-and-group contract is identical.
+  */
+object M7ImagePhash extends GraftQuery {
+  val name = "m7_image_phash"
+  val describe = "perceptual aHash dedup over decoded PPM rasters: exact-integer 4x4 fingerprint + survivor collapse"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Multimodal
+    val media = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => Multimodal.MediaRecord(id, Multimodal.ppmFixturePayload(t)) }
+    val w = Window.partitionBy(col("phash"))
+    Multimodal.imagePhashes(media).toDF()
+      .select(col("doc_id"), col("phash"),
+        min(col("doc_id")).over(w).as("survivor"),
+        count(lit(1)).over(w).as("n_same"))
+  }
+
+  val oracle = Some(
+    """WITH b AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS len,
+      |         list_transform(range(1, length(text) + 1),
+      |                        i -> CAST(ord(substr(text, i, 1)) AS BIGINT)) AS bytes
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, len, bytes, 8 AS w, 1 + (len // 24) AS h
+      |  FROM b WHERE len > 0),
+      |px AS (
+      |  SELECT doc_id, w, h, w * h AS n,
+      |         list_transform(range(0, w * h * 3),
+      |                        p -> bytes[CAST(p % len AS INT) + 1]) AS data
+      |  FROM d),
+      |g AS (
+      |  SELECT doc_id, w, h, n,
+      |         list_transform(range(0, n),
+      |                        i -> (data[CAST(3 * i AS INT) + 1]
+      |                            + data[CAST(3 * i + 1 AS INT) + 1]
+      |                            + data[CAST(3 * i + 2 AS INT) + 1]) // 3) AS gray
+      |  FROM px),
+      |pix AS (SELECT doc_id, w, h, n, gray, unnest(range(0, n)) AS i FROM g),
+      |pc AS (
+      |  SELECT doc_id, n, gray[CAST(i AS INT) + 1] AS gv,
+      |         CAST(((i // w) * 4) // h * 4 + ((i % w) * 4) // w AS INT) AS c
+      |  FROM pix),
+      |cs AS (
+      |  SELECT doc_id, c, CAST(sum(gv) AS BIGINT) AS csum, count(*) AS ccnt
+      |  FROM pc GROUP BY doc_id, c),
+      |tot AS (
+      |  SELECT doc_id, n, CAST(sum(gv) AS BIGINT) AS tsum
+      |  FROM pc GROUP BY doc_id, n),
+      |ph AS (
+      |  SELECT s.doc_id,
+      |         CAST(sum(CASE WHEN s.csum * t.n > t.tsum * s.ccnt
+      |                       THEN CAST(1 AS BIGINT) << s.c ELSE 0 END) AS BIGINT) AS phash
+      |  FROM cs s JOIN tot t USING (doc_id)
+      |  GROUP BY s.doc_id)
+      |SELECT doc_id, phash,
+      |       min(doc_id) OVER (PARTITION BY phash) AS survivor,
+      |       count(*) OVER (PARTITION BY phash) AS n_same
+      |FROM ph""".stripMargin)
+}
