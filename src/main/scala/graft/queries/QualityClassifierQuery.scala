@@ -278,3 +278,63 @@ object K5ClassifierEval extends GraftQuery {
          |FROM c""".stripMargin)
   }
 }
+
+/** k6: classifier CALIBRATION table — the reliability diagram next to k5's
+  * threshold sweep: scores binned into deciles, and per bin the observed
+  * positive rate against the mean predicted score. k5 answers "where do I
+  * cut?"; this answers "is the score a probability?" — which matters the
+  * moment the filter's score is used as a sampling PROPENSITY (quality-
+  * weighted mixture sampling à la CCNet) rather than a hard gate: an
+  * uncalibrated 0.8 that wins 40% of the time silently doubles that
+  * slice's weight. The per-bin `gap` (mean score − positive rate) is the
+  * additive piece of expected calibration error.
+  *
+  * Composition: the scored frame is k4's own `run` (one definition), and
+  * the oracle replays k4's full trained-and-scored chain via
+  * [[K4QualityClassifier.scoredCte]] — k5's discipline exactly.
+  *
+  * Engine-exactness: the bin is floor(score·10) on the ROUNDED score —
+  * identical doubles through one identical IEEE multiply on both engines
+  * (k5's comparison argument), capped at bin 9 so score = 1.0 has a home;
+  * mean score is the order-independent exactAvg; the positive rate and
+  * gap are one division / one subtraction of identical values, rounded.
+  *
+  * Scale: one projection + a ≤10-key aggregate with map-side partials —
+  * the shuffle is O(10 × partitions) regardless of corpus size.
+  */
+object K6Calibration extends GraftQuery {
+  val name = "k6_calibration"
+  val describe = "classifier reliability table: per-decile mean score vs observed positive rate + calibration gap"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = K4QualityClassifier.run(spark, sfDir)
+      .select(col("is_ref"), col("score"))
+    scored
+      .select(least(floor(col("score") * 10), lit(9)).cast("long").as("bin"),
+        col("is_ref"), col("score"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_pos"),
+        graft.functions.Rounding.exactAvg(col("score"), 6).as("mean_score"))
+      .select(col("bin"), col("n"), col("n_pos"), col("mean_score"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"),
+        round(col("mean_score") - round(col("n_pos").cast("double") / col("n"), 6), 6)
+          .as("gap"))
+  }
+
+  val oracle = Some(
+    s"""WITH ${K4QualityClassifier.scoredCte("sc")},
+       |b AS (
+       |  SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin, is_ref, score
+       |  FROM sc),
+       |a AS (
+       |  SELECT bin, count(*) AS n,
+       |         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |         ${graft.functions.Rounding.exactAvgSql("score", 6)} AS mean_score
+       |  FROM b GROUP BY bin)
+       |SELECT bin, n, n_pos, mean_score,
+       |       round(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate,
+       |       round(mean_score - round(CAST(n_pos AS DOUBLE) / n, 6), 6) AS gap
+       |FROM a""".stripMargin)
+}
