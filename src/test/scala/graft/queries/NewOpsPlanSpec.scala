@@ -183,6 +183,37 @@ class NewOpsPlanSpec extends AnyFunSuite {
       s"t24's comparator join must broadcast:\n$p")
   }
 
+  test("p13: the split manifest is one scan + one bounded keyed aggregate — no join at all") {
+    // The whole point of the hash-threshold design is that assignment needs
+    // no other row: the plan must be projection → partial/final aggregate,
+    // with no join of any kind and exactly one shuffle.
+    val p = plan(P13SplitManifest)
+    assert(!p.contains("Join"), s"p13 acquired a join:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"p13 should shuffle exactly once (the (split,source) aggregate), got $exchanges:\n$p")
+  }
+
+  test("m7: decode+hash stay in the scan; only the fingerprint window shuffles") {
+    // The payload must never cross an exchange — the mapPartitions decode
+    // emits (doc_id, phash) and the single shuffle is the phash-keyed
+    // survivor window. No join anywhere.
+    val p = plan(M7ImagePhash)
+    assert(!p.contains("Join"), s"m7 acquired a join:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"m7 should shuffle exactly once (the phash window), got $exchanges:\n$p")
+    assert(p.contains("Window"), s"m7 lost its survivor window:\n$p")
+  }
+
+  test("k6: calibration is k4's scan plus one bounded aggregate — no join beyond k4's own shape") {
+    // k4's scoring is scan-bound (no join, pinned above in its own test);
+    // k6 may add only the <=10-key decile aggregate on top.
+    val p = plan(K6Calibration)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"k6 degenerated to a non-keyed join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"k6 acquired a shuffled join:\n$p")
+  }
+
   test("p12: the funnel adds only keyed stage joins — p9's cartesian/nested-loop discipline") {
     // p12 composes p1 + d9 + p7-strip + p3 and then seven 1-row stage
     // aggregates; the only nested loops allowed are p3's bounded 1-row
