@@ -124,12 +124,18 @@ object Multimodal {
       true
     }
     if (!walk(12, payload.length)) return None
+    // Frame size in LONG arithmetic: width*height as Int wraps for hostile
+    // headers (65536×65536 → 0), which would let zero-length 00db chunks
+    // pass validation with absurd geometry. A real frame also can't exceed
+    // the container it arrived in.
+    val fsize = width.toLong * height.toLong
     val ok =
       width > 0 && height > 0 && totalFrames >= 0 &&
+        fsize > 0 && fsize <= payload.length &&
         vids && bitCount == 8 && compression == 0L &&
         bmpW == width && bmpH == height &&
         frameOffsets.length == totalFrames &&
-        frameSizes.forall(_ == width * height)
+        frameSizes.forall(_ == fsize)
     if (ok) Some(AviVideo(width, height, frameOffsets.toArray))
     else None
   }

@@ -32,12 +32,19 @@ object Rank {
     val cnts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = cnts.scanLeft((0, 0L)) { case ((_, acc), (pid, cnt)) => (pid, acc + cnt) }
-    val offExpr = cnts.map(_._1).zip(offsets.map(_._2)).foldLeft(lit(0L)) {
-      case (acc, (pid, off)) => when(col("__pid") === pid, off).otherwise(acc)
-    }
+    // O(P) offsets travel as a BROADCAST-JOINED frame, not a folded
+    // when(__pid===…) chain: the chain is an O(P)-deep expression tree that
+    // trips codegen's 64KB method limit (interpreted fallback) once parts
+    // reaches the thousands a 100-TB corpus needs. A broadcast hash join on
+    // the tiny (pid, offset) table is O(1) per row at any P and preserves
+    // the streamed side's partitioning.
+    val spark = df.sparkSession
+    val offDf = spark.createDataFrame(
+      cnts.map(_._1).zip(offsets.map(_._2)).toSeq).toDF("__pid", "__off")
     val inPart = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
     ranged
-      .withColumn("rk", offExpr + row_number().over(inPart))
-      .drop("__pid")
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn("rk", col("__off") + row_number().over(inPart))
+      .drop("__pid", "__off")
   }
 }

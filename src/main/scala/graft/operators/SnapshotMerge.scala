@@ -40,15 +40,45 @@ import org.apache.spark.sql.functions._
   * Nothing here is row-order- or partition-count-sensitive.
   */
 object SnapshotMerge {
+  /** Debug default for the unique-key guard: `-Dgraft.merge.checkUnique=true`
+    * turns it on process-wide (CI / staging), callers can force it per-merge.
+    */
+  private def debugChecks: Boolean =
+    java.lang.Boolean.getBoolean("graft.merge.checkUnique")
+
+  /** The unique-key precondition made loud: when enabled, each side streams
+    * through a per-key count window whose `assert_true` FAILS THE JOB on the
+    * first duplicated key instead of letting the full-outer join silently
+    * fan out. Distributed (no collect), and the window's hash partitioning
+    * on `key` is exactly what the merge join needs next, so the guard adds a
+    * sort within already-required partitions, not an extra shuffle — still,
+    * it is a debug/staging switch, not an always-on tax.
+    */
+  private def requireUniqueKeys(df: DataFrame, key: String, side: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+    df.withColumn("__kc", count(lit(1)).over(w))
+      .filter(assert_true(col("__kc") === 1,
+        concat(lit(s"SnapshotMerge: duplicate merge key '$key' in $side " +
+          s"(reduceDelta the batch first); offending key = "),
+          col(key).cast("string"))).isNull)
+      .drop("__kc")
+  }
+
   /** Merge `delta` into `base` on `key`. `payload` names the columns carried
     * through (present in both inputs); for each, the output holds
     * `coalesce(delta.c, base.c)` — delta wins where both exist. Adds
     * `disposition ∈ {inserted, carried, updated}`.
     *
     * Requires unique keys per side — see the object scaladoc; pre-reduce a
-    * raw CDC batch with [[reduceDelta]].
+    * raw CDC batch with [[reduceDelta]]. `checkUnique` (default: the
+    * `graft.merge.checkUnique` system property) verifies the precondition
+    * in-flight and fails loudly instead of fanning out.
     */
-  def merge(base: DataFrame, delta: DataFrame, key: String, payload: Seq[String]): DataFrame = {
+  def merge(base: DataFrame, delta: DataFrame, key: String, payload: Seq[String],
+      checkUnique: Boolean = debugChecks): DataFrame = {
+    if (checkUnique)
+      return merge(requireUniqueKeys(base, key, "base"),
+        requireUniqueKeys(delta, key, "delta"), key, payload, checkUnique = false)
     // Null-ness of a SIDE (not of a payload value) must drive the
     // disposition, so tag each side with a literal marker that survives the
     // outer join: a payload column could legitimately hold nulls.
@@ -97,14 +127,20 @@ object SnapshotMerge {
     *     [[merge]]'s delta-wins behavior, minus its inability to null.
     *
     * Same single full-outer keyed join as [[merge]]; same unique-key
-    * precondition ([[reduceDelta]] a raw batch first).
+    * precondition ([[reduceDelta]] a raw batch first), same `checkUnique`
+    * in-flight guard.
     */
   def mergeCdc(
       base: DataFrame,
       delta: DataFrame,
       key: String,
       payload: Seq[String],
-      tombstone: String = "deleted"): DataFrame = {
+      tombstone: String = "deleted",
+      checkUnique: Boolean = debugChecks): DataFrame = {
+    if (checkUnique)
+      return mergeCdc(requireUniqueKeys(base, key, "base"),
+        requireUniqueKeys(delta, key, "delta"), key, payload, tombstone,
+        checkUnique = false)
     val deltaCols = delta.columns.toSet
     val presence: Seq[Column] = payload.map { c =>
       (if (deltaCols(s"${c}_set")) col(s"${c}_set") else lit(true)).as(s"__set_$c")

@@ -174,9 +174,12 @@ object Q29CsvSink extends GraftQuery {
   val csvWriteOptions: Map[String, String] = Map(
     "header" -> "true",
     "quote" -> "\"",
-    "escape" -> "\"", // RFC 4180: quotes double inside quoted fields
-    "multiLine" -> "true")
-  val csvReadOptions: Map[String, String] = csvWriteOptions + ("nullValue" -> "\u0000")
+    "escape" -> "\"") // RFC 4180: quotes double inside quoted fields
+  // multiLine is a READ-only option (embedded newlines inside quoted
+  // fields); on write it is a silent no-op, so it belongs to the reader's
+  // option set, not the writer's guarantee set.
+  val csvReadOptions: Map[String, String] =
+    csvWriteOptions + ("multiLine" -> "true") + ("nullValue" -> "\u0000")
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     val out = SinkPaths.dir("q29_csv")

@@ -106,6 +106,46 @@ class PiiSpec extends AnyFunSuite {
     assert(t20.exists(_._2 > 0))
   }
 
+  test("the three pattern types' match spans are pairwise disjoint on the fixture") {
+    // pii_chars' sum-of-match-lengths semantics rests on the claim that the
+    // email/phone/IP patterns never overlap; an overlap would double-count
+    // extent IDENTICALLY on both engines, so the hash gate can't catch it —
+    // only this recomputation can. Spans are pinned over the real sf0.001
+    // fixture AND the hostile hand-built strings.
+    import PiiOps._
+    def spans(re: String, text: String): Seq[(Int, Int)] = {
+      val m = java.util.regex.Pattern.compile(re).matcher(text)
+      val out = Seq.newBuilder[(Int, Int)]
+      while (m.find()) out += ((m.start(), m.end()))
+      out.result()
+    }
+    def assertDisjoint(text: String): Unit = {
+      val byType = Seq("email" -> emailRe, "phone" -> phoneRe, "ip" -> ipRe)
+        .map { case (t, re) => t -> spans(re, text) }
+      for {
+        ((ta, sa), i) <- byType.zipWithIndex
+        (tb, sb) <- byType.drop(i + 1)
+        (a1, a2) <- sa
+        (b1, b2) <- sb
+      } assert(a2 <= b1 || b2 <= a1,
+        s"$ta span [$a1,$a2) overlaps $tb span [$b1,$b2) in: $text")
+    }
+    val d = graft.Tables.documents(spark, TestSpark.sf0001)
+    val piiTexts = d.select(
+      piiTextCol(col("doc_id"), col("text"), col("source")).as("pii_text"))
+      .collect().map(_.getString(0))
+    assert(piiTexts.nonEmpty)
+    piiTexts.foreach(assertDisjoint)
+    // hostile: entities butted against each other and digit runs that could
+    // seed a cross-type overlap if the \b anchors were wrong
+    Seq(
+      "user1@src0.net555-123-4567 10.0.0.1",
+      "a@b.co 1.2.3.4 555-111-2222 x@y.org",
+      "555-123-4567.1.2.3.4",
+      "ip10.0.0.1@host.net 999-999-9999"
+    ).foreach(assertDisjoint)
+  }
+
   test("every injection branch has mass at sf0.001 (0/1/2 emails, ±phone, ±ip)") {
     val t20 = T20PiiScan.run(spark, TestSpark.sf0001)
       .select("n_emails", "n_phones", "n_ips").collect()

@@ -186,6 +186,34 @@ class SnapshotMergeSpec extends AnyFunSuite {
       "re-applying the delta moved a value — mergeCdc is not idempotent on payloads")
   }
 
+  test("checkUnique guard: an unreduced (duplicate-key) batch fails loudly, not by fan-out") {
+    import spark.implicits._
+    val base = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    val dupDelta = Seq((2L, 21L), (2L, 22L), (3L, 30L)).toDF("k", "v")
+    // without the guard the full-outer join silently fans out — the failure
+    // mode the guard exists to catch
+    assert(SnapshotMerge.merge(base, dupDelta, "k", Seq("v")).count() == 4)
+    val ex = intercept[Exception] {
+      SnapshotMerge.merge(base, dupDelta, "k", Seq("v"), checkUnique = true).count()
+    }
+    def msg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+    assert(msg(ex).contains("duplicate merge key"), msg(ex))
+    // cdc form shares the guard
+    val dupCdc = Seq((2L, 21L, false), (2L, 22L, false)).toDF("k", "v", "deleted")
+    val ex2 = intercept[Exception] {
+      SnapshotMerge.mergeCdc(base, dupCdc, "k", Seq("v"), checkUnique = true).count()
+    }
+    assert(msg(ex2).contains("duplicate merge key"), msg(ex2))
+    // unique inputs pass the guard unchanged
+    val clean = SnapshotMerge.merge(
+      base, Seq((2L, 21L), (3L, 30L)).toDF("k", "v"), "k", Seq("v"),
+      checkUnique = true)
+    assert(clean.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq ==
+      Seq((1L, 10L, "carried"), (2L, 21L, "updated"), (3L, 30L, "inserted")))
+  }
+
   test("updated/inserted rows carry the exact +10% integer-cents price") {
     val rows = Q25SnapshotMerge.run(spark, TestSpark.sf0001).collect()
     val orig = graft.Tables.orders(spark, TestSpark.sf0001)

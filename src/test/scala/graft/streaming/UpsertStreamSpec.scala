@@ -68,19 +68,6 @@ class UpsertStreamSpec extends AnyFunSuite {
       Thread.sleep(50)
     }
   }
-  private def settle(table: String): Int = {
-    // wait until the row count is stable across a full second — "no more
-    // output is coming" for a self-triggering stream
-    var n = spark.table(table).count().toInt
-    var stable = 0
-    while (stable < 10) {
-      Thread.sleep(100)
-      val m = spark.table(table).count().toInt
-      if (m == n) stable += 1 else { n = m; stable = 0 }
-    }
-    n
-  }
-
   test("q27 batch parity: a CDC stream with tombstones converges to mergeCdc's state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -136,14 +123,25 @@ class UpsertStreamSpec extends AnyFunSuite {
     try {
       stream.addData(UpsertStream.CdcEvent(7L, 5L, 1.0, deleted = true))
       awaitCount("cdc_tomb", 1)
-      // stale seq-3 update: loses to the seq-5 tombstone, emits NOTHING
+      // stale seq-3 update: loses to the seq-5 tombstone, emits NOTHING.
+      // A wall-clock "row count stable for 1s" check can pass vacuously on
+      // a loaded machine (the stale event's micro-batch may simply not have
+      // run inside the window), so a SENTINEL key follows it: once the
+      // sentinel's insert is visible the stale event has been processed —
+      // whether in the same micro-batch or an earlier one.
       stream.addData(UpsertStream.CdcEvent(7L, 3L, 30.0, deleted = false))
-      val afterStale = settle("cdc_tomb")
-      assert(afterStale == 1, s"stale update after delete emitted ($afterStale rows)")
+      stream.addData(UpsertStream.CdcEvent(999L, 1L, 9.0, deleted = false))
+      awaitCount("cdc_tomb", 2)
+      val afterStale = spark.table("cdc_tomb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+      assert(afterStale ==
+        Set((7L, 5L, 1.0, "deleted"), (999L, 1L, 9.0, "inserted")),
+        s"stale update after delete emitted: $afterStale")
       // seq-8 re-appearance: a fresh insert (the base identity died)
       stream.addData(UpsertStream.CdcEvent(7L, 8L, 80.0, deleted = false))
-      awaitCount("cdc_tomb", 2)
+      awaitCount("cdc_tomb", 3)
       val rows = spark.table("cdc_tomb").collect()
+        .filter(_.getLong(0) == 7L)
         .map(r => (r.getLong(1), r.getDouble(2), r.getString(3))).toSeq.sortBy(_._1)
       assert(rows == Seq((5L, 1.0, "deleted"), (8L, 80.0, "inserted")), rows.toString)
     } finally q.stop()
