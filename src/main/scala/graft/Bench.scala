@@ -95,6 +95,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Shared-stage materialization (graft.Materialize): on by default, so
+    // the bench measures the PIPELINE execution model — each expensive
+    // upstream chain (p1 dispositions, d16 pairs, d9 verdicts, the kept
+    // strip) built once per run, consumers reading the stage output. The
+    // one-time build costs are prebuilt untimed, reported in the "shared"
+    // block, and folded into the headline total — real work never
+    // vanishes from the line. SPARK_GRAFT_SHARED=none restores per-query
+    // isolation (every consumer re-runs its whole chain).
+    val shared = sys.env.getOrElse("SPARK_GRAFT_SHARED", "on") != "none"
+    if (shared) Materialize.enable()
 
     // The TIMED work: plan + execute through the noop sink. The cache sweep
     // is deliberately OUTSIDE this function — eviction is harness
@@ -195,6 +205,17 @@ object Bench {
     // Shuffling gives each query `reps` unrelated predecessors; the min
     // keeps the cleanest slot, which is the per-query steady state a
     // cluster deployment would see.
+    // Untimed shared-stage prebuild for the measured dir (see the shared
+    // flag above): the builds run here so pass-1 of whichever consumer
+    // lands first doesn't absorb them; their cost is recorded by
+    // Materialize and published below.
+    if (shared) {
+      System.err.println(s"[bench] prebuilding shared stages for $sfDir")
+      try Registry.prebuildShared(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] shared prebuild failed: ${e.getMessage}")
+      } finally sweep()
+    }
     val timesByQuery = scala.collection.mutable.Map.empty[String, List[Double]]
     val failedSet = scala.collection.mutable.Set.empty[String]
     for (pass <- 1 to reps) {
@@ -248,6 +269,13 @@ object Bench {
     } yield {
       val dataRatio = rBig / rSmall
       val threshold = 1.5 * dataRatio
+      if (shared) {
+        System.err.println(s"[bench] prebuilding shared stages for $small")
+        try Registry.prebuildShared(spark, small)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] shared prebuild failed: ${e.getMessage}")
+        } finally sweep()
+      }
       val smallTimes = scala.collection.mutable.Map.empty[String, List[Double]]
       val measurable = selected.filter(q => !failedSet(q.name))
       for (pass <- 1 to math.min(2, reps)) {
@@ -284,7 +312,23 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v.map(_.toString).getOrElse("null") }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }.mkString("[", ",", "]")
-    val total = results.flatMap(_._2).sum
+    // Shared-stage build costs for the MEASURED dir (builds for the warmup
+    // and slope dirs are untimed harness work, like their query execs).
+    // The headline total includes them: under sharing the per-query minima
+    // measure consumer cost given materialized stages, and the one-time
+    // builds are the rest of the pipeline's real work.
+    val sharedBuilds: Map[String, Double] = Materialize.buildCosts.collect {
+      case (k, v) if k.endsWith("@" + sfDir) => k.takeWhile(_ != '@') -> v
+    }
+    val sharedTotal = sharedBuilds.values.sum
+    val sharedJson =
+      if (!shared) """{"enabled":false}"""
+      else {
+        val b = sharedBuilds.toSeq.sortBy(_._1)
+          .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+        f"""{"enabled":true,"builds":$b,"build_total":$sharedTotal%.3f}"""
+      }
+    val total = results.flatMap(_._2).sum + sharedTotal
     // Sentinel drift block (see scaladoc). Missing BASELINE.md rows degrade
     // to an empty block, never an abort.
     val sentinelNames = Seq("t5_string_funcs", "q12_intersect", "q17_quality_checks")
@@ -312,7 +356,7 @@ object Bench {
       } yield f""""$n":{"sec":$m,"baseline":$b,"ratio":${m / b}%.3f}"""
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sentinels":$sentinels,"slope":$slopeJson,"slope_red":$slopeRedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"shared":$sharedJson,"sentinels":$sentinels,"slope":$slopeJson,"slope_red":$slopeRedJson,"sf":"$sfDir"}"""
     println(line)
     val outDir = sys.env.get("SPARK_GRAFT_OUT").filter(_.nonEmpty)
     val outPath = Paths.get(outDir.getOrElse("."), "bench.json")

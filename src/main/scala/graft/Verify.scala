@@ -17,6 +17,12 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Shared-stage materialization (graft.Materialize): the run-scoped
+    // write-once parquet layer between composed pipeline stages. Verify
+    // runs WITH it on by default — so the oracle gate certifies the shared
+    // mode, not just per-query isolation. SPARK_GRAFT_SHARED=none restores
+    // fully isolated per-query execution.
+    if (sys.env.getOrElse("SPARK_GRAFT_SHARED", "on") != "none") Materialize.enable()
     new java.io.File(outDir).mkdirs()
     // Per-query watchdog: a single hung query must not stall the whole
     // round. The job group lets the watchdog cancel the stuck Spark jobs so

@@ -68,7 +68,8 @@ object P12AttritionFunnel extends GraftQuery {
 
   def run(spark: SparkSession, sfDir: String): DataFrame =
     funnelOn(spark, Tables.documents(spark, sfDir),
-      D9Contamination.run(spark, sfDir).select(col("doc_id"), col("contaminated")))
+      D9Contamination.run(spark, sfDir).select(col("doc_id"), col("contaminated")),
+      P1CleanCorpus.dispositions(spark, sfDir).select(col("doc_id"), col("status")))
 
   /** The funnel over an arbitrary (doc_id, source, text) frame with an
     * explicit (doc_id, contaminated) verdict frame — the seam
@@ -80,11 +81,20 @@ object P12AttritionFunnel extends GraftQuery {
     * injection discipline).
     */
   private[queries] def funnelOn(
-      spark: SparkSession, docs: DataFrame, cont: DataFrame): DataFrame = {
+      spark: SparkSession, docs: DataFrame, cont: DataFrame): DataFrame =
+    funnelOn(spark, docs, cont,
+      P1CleanCorpus.runOn(spark, docs).select(col("doc_id"), col("status")))
+
+  /** Disposition-injected form: the declared run feeds the SHARED p1
+    * dispositions ([[P1CleanCorpus.dispositions]]); the 3-arg seam above
+    * (specs, arbitrary fixtures) recomputes them inline over `docs`.
+    */
+  private[queries] def funnelOn(
+      spark: SparkSession, docs: DataFrame, cont: DataFrame,
+      disp: DataFrame): DataFrame = {
     val toks = graft.CacheScope.persisted(
       docs.select(col("doc_id"), col("source"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tok")))
-    val disp = P1CleanCorpus.runOn(spark, docs).select(col("doc_id"), col("status"))
     val st = graft.CacheScope.persisted(
       toks.join(disp, "doc_id")
         .join(cont, Seq("doc_id"), "left")

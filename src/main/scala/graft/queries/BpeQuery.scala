@@ -69,6 +69,14 @@ object T12BpeMerges extends GraftQuery {
   def runOn(spark: SparkSession, documents: DataFrame): DataFrame =
     train(spark, documents)._1
 
+  /** The trained-and-rewritten corpus (doc_id, s) over the sfDir documents
+    * as a SHARED STAGE OUTPUT: t13 and p14 both consume it, so an enabled
+    * [[graft.Materialize]] run executes the 6-round training loop once.
+    */
+  private[queries] def encodedCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Materialize.table(spark, "t12_encoded", sfDir)(
+      train(spark, Tables.documents(spark, sfDir))._2)
+
   /** The full training loop. Returns the merge table frame AND the final
     * rewritten corpus (doc_id, s — symbol strings after all merges, still
     * persisted; t13 consumes it to report post-encode lengths, and owns the
@@ -214,7 +222,7 @@ object T13BpeEncode extends GraftQuery {
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val (_, encoded) = T12BpeMerges.train(spark, docs)
+    val encoded = T12BpeMerges.encodedCorpus(spark, sfDir)
     val pre = docs.select(col("doc_id"),
       size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
     encoded.select(col("doc_id"), length(col("s")).cast("long").as("n_symbols"))

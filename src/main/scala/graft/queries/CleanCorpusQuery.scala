@@ -59,7 +59,16 @@ object P1CleanCorpus extends GraftQuery {
   private val maxRounds = 50
 
   def run(spark: SparkSession, sfDir: String): DataFrame =
-    runOn(spark, Tables.documents(spark, sfDir))
+    dispositions(spark, sfDir)
+
+  /** The full-corpus disposition table as a SHARED STAGE OUTPUT: built once
+    * per [[graft.Materialize]]-enabled run and read by every downstream
+    * consumer (p4/p5/p9/p10/p12 all start from these dispositions); the
+    * plain inline chain when sharing is off.
+    */
+  private[queries] def dispositions(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Materialize.table(spark, "p1_dispositions", sfDir)(
+      runOn(spark, Tables.documents(spark, sfDir)))
 
   /** The pipeline over an arbitrary (doc_id, text, ...) frame — the seam
     * PipelineSpec uses to drive synthetic fixtures through every status

@@ -38,7 +38,10 @@ object D9Contamination extends GraftQuery {
   private[queries] val threshold = 0.5
 
   def run(spark: SparkSession, sfDir: String): DataFrame =
-    run(spark, sfDir, joinSalts = 1)
+    // Shared stage output: d9's verdicts gate both p5 and p12, so an
+    // enabled Materialize run scans the reference shingles once.
+    graft.Materialize.table(spark, "d9_contamination", sfDir)(
+      run(spark, sfDir, joinSalts = 1))
 
   /** `joinSalts > 1` routes the probe→reference shingle join through
     * [[graft.operators.Skew.saltedJoin]] — the mitigation for a hot shingle

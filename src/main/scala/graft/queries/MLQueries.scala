@@ -191,13 +191,16 @@ object Q6KMeansSeed extends GraftQuery {
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val nc = cnts.map(_._2).sum
     val offsets = cnts.scanLeft((0, 0L)) { case ((_, acc), (pid, cnt)) => (pid, acc + cnt) }
-    val offExpr = cnts.map(_._1).zip(offsets.map(_._2)).foldLeft(lit(0L)) {
-      case (acc, (pid, off)) => when(col("pid") === pid, off).otherwise(acc)
-    }
+    // Broadcast-joined offsets, not a folded when(pid===…) chain — the
+    // Rank.globalRowNumber fix (an O(P)-deep expression tree trips codegen's
+    // 64KB method limit once P reaches cluster-scale partition counts).
+    val offDf = spark.createDataFrame(
+      cnts.map(_._1).zip(offsets.map(_._2)).toSeq).toDF("pid", "__off")
     val byNormInPart = Window.partitionBy(col("pid")).orderBy(sortKey: _*)
     val step = math.max(nc / k, 1L)
     ranged
-      .withColumn("rk", offExpr + row_number().over(byNormInPart))
+      .join(broadcast(offDf), Seq("pid"))
+      .withColumn("rk", col("__off") + row_number().over(byNormInPart))
       .withColumn("cluster_id", floor((col("rk") - 1) / step).cast("int"))
       .filter(col("cluster_id") < k)
       .filter((col("rk") - 1) % step === 0)

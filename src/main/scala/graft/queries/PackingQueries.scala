@@ -70,13 +70,18 @@ object P2SequencePack extends GraftQuery {
     val totals = ranged.groupBy(col("pid")).agg(sum(col("n_tokens")).as("t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
-    val offExpr = totals.map(_._1).zip(offsets.map(_._2)).foldLeft(lit(0L)) {
-      case (acc, (pid, off)) => when(col("pid") === pid, off).otherwise(acc)
-    }
+    // O(P) offsets travel as a broadcast-joined frame, not a folded
+    // when(pid===…) chain — the Rank.globalRowNumber fix applied to the
+    // prefix sum: the chain is an O(P)-deep expression tree that trips
+    // codegen's 64KB method limit at the thousands of range partitions a
+    // 100-TB packing run needs.
+    val offDf = spark.createDataFrame(
+      totals.map(_._1).zip(offsets.map(_._2)).toSeq).toDF("pid", "__off")
     val inPart = Window.partitionBy(col("pid")).orderBy(col("h").asc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged
-      .withColumn("cum_end", offExpr + sum(col("n_tokens")).over(inPart))
+      .join(broadcast(offDf), Seq("pid"))
+      .withColumn("cum_end", col("__off") + sum(col("n_tokens")).over(inPart))
       .select(col("doc_id"), col("n_tokens"),
         expr(s"(cum_end - n_tokens) div $seqLen").as("start_chunk"),
         expr(s"(cum_end - 1) div $seqLen").as("end_chunk"),
@@ -242,4 +247,52 @@ object P6TemperatureMix extends GraftQuery {
        |       r.rk, r.doc_id
        |FROM ranked r JOIN w USING (source) CROSS JOIN n CROSS JOIN tw
        |WHERE r.rk <= (n.n // $budgetDiv) * w.w // tw.tw""".stripMargin)
+}
+
+/** p14: sequence packing on TOKENIZER-TRUE lengths — p2's prefix-sum
+  * chunking driven by t13's BPE-encoded symbol counts instead of whitespace
+  * token counts. Real training assembly packs on what the tokenizer will
+  * actually emit: whitespace counts over-budget documents whose learned
+  * merges compress well (t13 measures exactly that compression), so chunk
+  * boundaries drawn from them misplace every subsequent document in the
+  * stream. The composition is one argument swap: the SAME pack machinery
+  * (deterministic hash order, range-partitioned cumsum, driver-folded O(P)
+  * offsets) over the t12-trained corpus' post-merge lengths — packing
+  * policy and length definition stay orthogonal, which is the point of
+  * p2's (doc_id, n_tokens) seam.
+  *
+  * Under a [[graft.Materialize]]-enabled run the encoded corpus is the
+  * shared t12 stage output, so t13 and p14 together run the training loop
+  * once. Oracle: t12's unrolled training CTEs feeding p2's cumsum chain —
+  * each stage's own oracle SQL, composed.
+  */
+object P14BpePack extends GraftQuery {
+  val name = "p14_bpe_pack"
+  val describe = "sequence packing on BPE-encoded lengths: t13's post-merge symbol counts through p2's chunking"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val enc = T12BpeMerges.encodedCorpus(spark, sfDir)
+      .select(col("doc_id"), length(col("s")).cast("long").as("n_tokens"))
+    P2SequencePack.pack(spark, enc, spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("n_tokens").as("n_symbols"),
+        col("start_chunk"), col("end_chunk"), col("start_offset"))
+  }
+
+  val oracle = Some(
+    s"""WITH ${T12BpeMerges.trainedCorpusCtesSql},
+       |enc AS (
+       |  SELECT doc_id, CAST(length(s) AS BIGINT) AS n_symbols,
+       |         ${P2SequencePack.orderHashSql} AS h
+       |  FROM d${T12BpeMerges.rounds}),
+       |c AS (
+       |  SELECT doc_id, n_symbols,
+       |         CAST(sum(n_symbols) OVER (
+       |           ORDER BY h ASC, doc_id ASC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_end
+       |  FROM enc WHERE n_symbols > 0)
+       |SELECT doc_id, n_symbols,
+       |       (cum_end - n_symbols) // ${P2SequencePack.seqLen} AS start_chunk,
+       |       (cum_end - 1) // ${P2SequencePack.seqLen} AS end_chunk,
+       |       (cum_end - n_symbols) % ${P2SequencePack.seqLen} AS start_offset
+       |FROM c""".stripMargin)
 }

@@ -136,6 +136,7 @@ object Registry {
     P11IncrementalCorpus,
     P12AttritionFunnel,
     P13SplitManifest,
+    P14BpePack,
     G1PageRank,
     G2Triangles,
     G3PageRankLsh,
@@ -152,4 +153,20 @@ object Registry {
   def byName(name: String): GraftQuery =
     all.find(_.name == name).getOrElse(
       throw new NoSuchElementException(s"unknown query: $name"))
+
+  /** Force-build every [[graft.Materialize]] shared stage for `sfDir`
+    * (no-op when sharing is disabled). Bench calls this UNTIMED before each
+    * measured pass set so the one-time stage builds land in the reported
+    * "shared" block instead of poisoning whichever consumer runs first;
+    * build cost is still real work and Bench folds it into the headline
+    * total. Each accessor materializes eagerly on its build path.
+    */
+  def prebuildShared(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
+    if (graft.Materialize.enabled) {
+      P1CleanCorpus.dispositions(spark, sfDir)
+      D9Contamination.run(spark, sfDir)
+      D16SemanticLshClusters.verifiedPairs(spark, sfDir)
+      P9ReleaseManifest.keptClean(spark, sfDir)
+      ()
+    }
 }

@@ -39,14 +39,25 @@ object P9ReleaseManifest extends GraftQuery {
   val name = "p9_release_manifest"
   val describe = "full release: p1 clean -> p7 strip -> p8 redact -> p3 mixture -> p2 packing, md5-pinned bytes"
 
-  def run(spark: SparkSession, sfDir: String): DataFrame = {
+  /** p9/p10's shared upstream: the kept source (a cheap doc_id join over
+    * the shared p1 dispositions) and the post-strip clean frame — the
+    * expensive d18 gram chain over the kept corpus — the latter a
+    * [[graft.Materialize]] stage output so the two releases strip once.
+    */
+  private[queries] def keptSrc(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val kept = P1CleanCorpus.runOn(spark, docs)
+    val kept = P1CleanCorpus.dispositions(spark, sfDir)
       .filter(col("status") === "kept").select(col("doc_id"))
-    val ksrc = graft.CacheScope.persisted(
-      docs.join(kept, "doc_id").select(col("doc_id"), col("source"), col("text")))
-    val clean = graft.CacheScope.persisted(
-      P7SpanStrip.stripOn(ksrc.select(col("doc_id"), col("text"))))
+    docs.join(kept, "doc_id").select(col("doc_id"), col("source"), col("text"))
+  }
+
+  private[queries] def keptClean(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Materialize.table(spark, "p9_kept_clean", sfDir)(
+      P7SpanStrip.stripOn(keptSrc(spark, sfDir).select(col("doc_id"), col("text"))))
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val ksrc = graft.CacheScope.persisted(keptSrc(spark, sfDir))
+    val clean = graft.CacheScope.persisted(keptClean(spark, sfDir))
     val samp = P3MixtureSample.sample(ksrc.select(col("doc_id"), col("source")))
       .select(col("doc_id"), col("source"))
     val packed = P2SequencePack.pack(spark,
@@ -139,13 +150,8 @@ object P10ReleasePii extends GraftQuery {
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     import PiiOps._
-    val docs = Tables.documents(spark, sfDir)
-    val kept = P1CleanCorpus.runOn(spark, docs)
-      .filter(col("status") === "kept").select(col("doc_id"))
-    val ksrc = graft.CacheScope.persisted(
-      docs.join(kept, "doc_id").select(col("doc_id"), col("source"), col("text")))
-    val clean = graft.CacheScope.persisted(
-      P7SpanStrip.stripOn(ksrc.select(col("doc_id"), col("text"))))
+    val ksrc = graft.CacheScope.persisted(P9ReleaseManifest.keptSrc(spark, sfDir))
+    val clean = graft.CacheScope.persisted(P9ReleaseManifest.keptClean(spark, sfDir))
     val samp = P3MixtureSample.sample(ksrc.select(col("doc_id"), col("source")))
       .select(col("doc_id"), col("source"))
     val packed = P2SequencePack.pack(spark,

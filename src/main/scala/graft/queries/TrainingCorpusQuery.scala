@@ -39,7 +39,7 @@ object P4TrainingCorpus extends GraftQuery {
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val kept = P1CleanCorpus.runOn(spark, docs)
+    val kept = P1CleanCorpus.dispositions(spark, sfDir)
       .filter(col("status") === "kept").select(col("doc_id"))
     val ksrc = graft.CacheScope.persisted(
       docs.join(kept, "doc_id").select(col("doc_id"), col("source"), col("text")))

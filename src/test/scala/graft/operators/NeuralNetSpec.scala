@@ -80,6 +80,51 @@ class NeuralNetSpec extends AnyFunSuite {
       s"quickprop trainError ${rQp.master.trainError}")
   }
 
+  test("cross-check vs MLlib MultilayerPerceptronClassifier on a fixed-seed fixture") {
+    // The external-reference validation (SURVEY §7.2 item 6): same noisy-XOR
+    // fixture, same topology width, two independent trainers — ours (batch
+    // GD through the iterate kernel, sigmoid + squared error) and MLlib's
+    // MLPC (LBFGS, softmax + cross-entropy). The optimizers and losses
+    // differ by design, so the executable claim is ACCURACY equivalence on
+    // the same points, not loss-curve identity: both must classify the
+    // noisy XOR clusters, and ours must land within 5 points of MLPC.
+    val rnd = new Random(11)
+    val pts = (0 until 400).map { i =>
+      val cx = if ((i & 1) == 0) 0.0 else 1.0
+      val cy = if ((i & 2) == 0) 0.0 else 1.0
+      val x = Array(cx + rnd.nextGaussian() * 0.15, cy + rnd.nextGaussian() * 0.15)
+      (x, if (cx != cy) 1.0 else 0.0)
+    }
+    val samples = pts.zipWithIndex.map { case ((x, y), i) =>
+      var k = i.toLong
+      while (!isTrain(k)) k += 400 // all points train; eval is on the points themselves
+      Sample(x, y, k)
+    }
+    val ds = spark.createDataset(samples).repartition(4)
+    val layers = Layers(Seq(2, 8, 1))
+    val r = NeuralNet.train(ds, layers, iterations = 400, learnRate = 0.05, seed = 7L)
+    val w = r.master.weights
+    val oursAcc = pts.count { case (x, y) =>
+      (forward(layers, w, x).last.head >= 0.5) == (y >= 0.5)
+    }.toDouble / pts.size
+
+    import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
+    import org.apache.spark.ml.linalg.Vectors
+    val df = spark.createDataFrame(pts.map { case (x, y) => (Vectors.dense(x), y) })
+      .toDF("features", "label")
+    val mlpc = new MultilayerPerceptronClassifier()
+      .setLayers(Array(2, 8, 2)).setSeed(7L).setMaxIter(200)
+      .fit(df)
+    val pred = mlpc.transform(df).select("label", "prediction").collect()
+    val mlpcAcc = pred.count(r => r.getDouble(0) == r.getDouble(1)).toDouble / pred.length
+
+    info(f"accuracy: graft NN $oursAcc%.3f vs MLlib MLPC $mlpcAcc%.3f")
+    assert(mlpcAcc >= 0.9, f"MLPC failed the fixture itself ($mlpcAcc%.3f) — fixture broken")
+    assert(oursAcc >= 0.9, f"graft NN accuracy $oursAcc%.3f below 0.9 on noisy XOR")
+    assert(oursAcc >= mlpcAcc - 0.05,
+      f"graft NN ($oursAcc%.3f) more than 5 points behind MLPC ($mlpcAcc%.3f)")
+  }
+
   test("deterministic split sends ~half of keys to train, stable across calls") {
     val keys = (0L until 10000L)
     val trainCount = keys.count(isTrain)

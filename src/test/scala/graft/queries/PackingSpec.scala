@@ -66,6 +66,34 @@ class PackingSpec extends AnyFunSuite {
     assert(rows.map(_._3).max == (total - 1) / L)
   }
 
+  test("p14: mass conservation over ENCODED lengths — packed symbols equal t13's, stream gapless") {
+    val L = P2SequencePack.seqLen
+    // t13 is the length authority: every doc it reports with n_symbols > 0
+    // must appear in p14 with exactly that length, and the packed stream
+    // must account for every symbol (no gap, no double-count).
+    val enc = T13BpeEncode.run(spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rows = P14BpePack.run(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSet == enc.filter(_._2 > 0).keySet,
+      "p14 packs a different doc set than t13 reports")
+    rows.foreach { case (id, n, _, _, _) =>
+      assert(n == enc(id), s"doc $id: packed $n symbols, t13 encoded ${enc(id)}")
+    }
+    val total = rows.map(_._2).sum
+    assert(total == enc.values.sum, "packed symbol mass != encoded symbol mass")
+    // span consistency + gaplessness (p2's invariants on the encoded stream)
+    assert(rows.forall { case (_, n, s, e, o) => o >= 0 && o < L && e - s == (o + n - 1) / L })
+    assert(rows.map(_._4).max == (total - 1) / L)
+    // and the composition changes the layout vs whitespace packing: the
+    // encoded stream is strictly shorter (merges compress), so the packed
+    // chunk count drops — the reason p14 exists.
+    val wsTotal = P2SequencePack.run(spark, TestSpark.sf0001).collect()
+      .map(_.getLong(1)).sum
+    assert(total < wsTotal, s"encoded stream ($total) not shorter than whitespace ($wsTotal)")
+  }
+
   test("p3: quotas are filled exactly, ranks dense, budget respected") {
     val rows = P3MixtureSample.run(spark, TestSpark.sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
