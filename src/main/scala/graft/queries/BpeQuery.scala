@@ -61,7 +61,14 @@ object T12BpeMerges extends GraftQuery {
   private def mergeChar(r: Int): String = r.toChar.toString
 
   def run(spark: SparkSession, sfDir: String): DataFrame =
-    runOn(spark, Tables.documents(spark, sfDir))
+    // Shared stage output, twinned with [[encodedCorpus]]: one training run
+    // writes BOTH tables (the nested table() call persists the sibling),
+    // so t12/t13/p14 together train once per enabled run.
+    graft.Materialize.table(spark, "t12_merges", sfDir) {
+      val (m, e) = train(spark, Tables.documents(spark, sfDir))
+      graft.Materialize.table(spark, "t12_encoded", sfDir)(e)
+      m
+    }
 
   /** [[run]] over an explicit documents frame (doc_id, text) — fixture entry
     * point for BpeSpec's reimplementation pin.
@@ -74,8 +81,11 @@ object T12BpeMerges extends GraftQuery {
     * [[graft.Materialize]] run executes the 6-round training loop once.
     */
   private[queries] def encodedCorpus(spark: SparkSession, sfDir: String): DataFrame =
-    graft.Materialize.table(spark, "t12_encoded", sfDir)(
-      train(spark, Tables.documents(spark, sfDir))._2)
+    graft.Materialize.table(spark, "t12_encoded", sfDir) {
+      val (m, e) = train(spark, Tables.documents(spark, sfDir))
+      graft.Materialize.table(spark, "t12_merges", sfDir)(m)
+      e
+    }
 
   /** The full training loop. Returns the merge table frame AND the final
     * rewritten corpus (doc_id, s — symbol strings after all merges, still

@@ -124,7 +124,11 @@ object D3SimHash extends GraftQuery {
 
   private val bits = 32
 
-  def run(spark: SparkSession, sfDir: String): DataFrame = {
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    // Shared stage output: d6's banding reads these signatures too.
+    graft.Materialize.table(spark, "d3_signatures", sfDir)(build(spark, sfDir))
+
+  private def build(spark: SparkSession, sfDir: String): DataFrame = {
     // Same measured tradeoff as d2 (see MinhashLsh.candidatePairs): the
     // tokenize+md5 chain inlined into the explode+partial-agg stage costs
     // ~2x its materialized form, so the hashed-shingle frame goes through
@@ -172,6 +176,11 @@ object D4NgramJaccard extends GraftQuery {
   private val threshold = 0.3
 
   def run(spark: SparkSession, sfDir: String): DataFrame =
+    // Shared stage output: d7's components and the recorder's chain
+    // consumers read the verified pair list, not the LSH chain.
+    graft.Materialize.table(spark, "d4_pairs", sfDir)(build(spark, sfDir))
+
+  private def build(spark: SparkSession, sfDir: String): DataFrame =
     // One persisted hashed-shingle frame feeds BOTH the LSH candidate stage
     // and the exact verify stage — the tokenize+md5 pass runs once, not
     // twice (the round-1 shape re-tokenized the corpus for `sets`).
@@ -272,7 +281,10 @@ object D7DupClusters extends GraftQuery {
     math.max(1, math.ceil(2.0 * pairs * bytesPerEdge / partitionBudget).toInt)
 
   def run(spark: SparkSession, sfDir: String): DataFrame =
-    run(spark, sfDir, defaultEdgePartitions)
+    // Shared stage output: d13's size census and d15's survivor selection
+    // read the component map without re-propagating it.
+    graft.Materialize.table(spark, "d7_components", sfDir)(
+      run(spark, sfDir, defaultEdgePartitions))
 
   def run(spark: SparkSession, sfDir: String, edgePartitions: Int): DataFrame =
     // The propagation engine lives in operators.ConnectedComponents (shared

@@ -52,6 +52,10 @@ private[queries] object ExactSubstr {
     * it means re-tokenizing the corpus.
     */
   def hits(spark: SparkSession, sfDir: String): DataFrame =
+    // Deliberately NOT a Materialize stage: measured at sf0.1, writing the
+    // hit-position frame costs more than the one consumer it would save
+    // (p7's cost is its strip join, not hit generation — the round-11
+    // recording showed build 5.1s vs 2.4s of avoided recompute).
     hitsOn(Tables.documents(spark, sfDir))
 
   /** [[hits]] over an arbitrary (doc_id, text) frame — the form a composed

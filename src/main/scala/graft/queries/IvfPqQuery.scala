@@ -61,7 +61,7 @@ object S11AnnIvfPq extends GraftQuery {
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     val e = S6AnnIvfTrained.embDoubles(spark, sfDir)
-    val cents = S6AnnIvfTrained.trainedCentroids(spark, e)
+    val cents = S6AnnIvfTrained.trainedCentroidsFor(spark, sfDir)
     val scored = S6AnnIvfTrained.scoredAgainst(spark, e, cents)
     val assigned = S6AnnIvfTrained.assign(spark, e, cents)
       .select(col("vec_id"), col("list_id"))

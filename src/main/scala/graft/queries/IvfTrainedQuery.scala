@@ -126,9 +126,20 @@ object S6AnnIvfTrained extends GraftQuery {
     cents
   }
 
+  /** [[trainedCentroids]] over the sfDir embeddings, the centroid table
+    * (O(k·d) driver metadata) carried as a SHARED STAGE OUTPUT: s6, s8,
+    * s11 and v2c all search through the same trained index, so an enabled
+    * [[graft.Materialize]] run executes the Lloyd rounds once.
+    */
+  private[queries] def trainedCentroidsFor(
+      spark: SparkSession, sfDir: String): Seq[(Int, Seq[Double])] =
+    graft.Materialize.table(spark, "s6_centroids", sfDir)(
+      centsDf(spark, trainedCentroids(spark, embDoubles(spark, sfDir))))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embDoubles(spark, sfDir)
-    assign(spark, e, trainedCentroids(spark, e))
+    assign(spark, e, trainedCentroidsFor(spark, sfDir))
       .groupBy(col("list_id"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("cos")), 6).as("cos_mass"))
   }
@@ -209,7 +220,7 @@ object S8AnnIvfSearch extends GraftQuery {
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     val e = S6AnnIvfTrained.embDoubles(spark, sfDir)
-    val cents = S6AnnIvfTrained.trainedCentroids(spark, e)
+    val cents = S6AnnIvfTrained.trainedCentroidsFor(spark, sfDir)
     val scored = S6AnnIvfTrained.scoredAgainst(spark, e, cents)
     val assigned = S6AnnIvfTrained.assign(spark, e, cents)
     val wProbe = Window.partitionBy(col("vec_id"))

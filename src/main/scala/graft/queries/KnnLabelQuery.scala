@@ -170,8 +170,7 @@ object V2cKnnLabelIvf extends GraftQuery {
       col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("emb"),
       col("label"))
-    val cents = S6AnnIvfTrained.trainedCentroids(
-      spark, eL.select(col("vec_id"), col("emb")))
+    val cents = S6AnnIvfTrained.trainedCentroidsFor(spark, sfDir)
     val centCos = org.apache.spark.sql.graft.CosineSimilarity.cosineSimilarity(
       col("emb"), col("cemb"))
     // s6's scoring shape with the label carried through (scoredAgainst drops

@@ -151,7 +151,12 @@ object K4QualityClassifier extends GraftQuery {
     w
   }
 
-  def run(spark: SparkSession, sfDir: String): DataFrame = {
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    // Shared stage output: k5's threshold sweep and k6's calibration table
+    // regroup k4's own scored run.
+    graft.Materialize.table(spark, "k4_scored", sfDir)(build(spark, sfDir))
+
+  private def build(spark: SparkSession, sfDir: String): DataFrame = {
     val f = graft.CacheScope.persisted(features(spark, sfDir))
     val w = trainedWeights(f)
     val score = round(lit(1.0) / (lit(1.0) + exp(-zExpr(w))), 6)

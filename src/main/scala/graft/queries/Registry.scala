@@ -163,6 +163,14 @@ object Registry {
     */
   def prebuildShared(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
     if (graft.Materialize.enabled) {
+      // Dependency order: later builds read earlier stages (d7's components
+      // propagate over d4's pairs; p9's kept strip reads p1's dispositions).
+      D3SimHash.run(spark, sfDir)
+      D4NgramJaccard.run(spark, sfDir)
+      D7DupClusters.run(spark, sfDir)
+      D5EmbedDedup.run(spark, sfDir)
+      K4QualityClassifier.run(spark, sfDir)
+      T12BpeMerges.encodedCorpus(spark, sfDir)
       P1CleanCorpus.dispositions(spark, sfDir)
       D9Contamination.run(spark, sfDir)
       D16SemanticLshClusters.verifiedPairs(spark, sfDir)

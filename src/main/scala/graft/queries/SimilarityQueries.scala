@@ -60,7 +60,10 @@ object D5EmbedDedup extends GraftQuery {
     math.max(1, math.ceil(2.0 * corpusVectors * bytesPerVector / tileMemoryBudget).toInt)
 
   def run(spark: SparkSession, sfDir: String): DataFrame =
-    run(spark, sfDir, defaultBlocks)
+    // Shared stage output: d10/g1/g2 all consume the exact pair list as
+    // their edge source (the oracleOnly recall-oracle family).
+    graft.Materialize.table(spark, "d5_pairs", sfDir)(
+      run(spark, sfDir, defaultBlocks))
 
   def run(spark: SparkSession, sfDir: String, blocks: Int): DataFrame = {
     import spark.implicits._

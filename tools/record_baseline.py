@@ -52,10 +52,24 @@ BASELINE = os.path.join(REPO, "BASELINE.md")
 MARKER = "### Recorded"
 
 # (superset, subset): superset's steady-state time must be >= subset's.
-PLAUSIBILITY = [
-    ("d6_simhash_pairs", "d3_simhash"),
+# SHARED-MODE REDERIVATION: when bench.json's "shared" block is enabled, a
+# rule only remains valid if the superset still does strictly more work ON
+# TOP OF the same shared reads. Two round-10 rules fail that test once
+# their frames are stage outputs: d4 >= d2 (d4 becomes a pure stage read
+# while d2 still runs its LSH chain) and d7 >= d4 (both become pure stage
+# reads of comparable size — the comparison is noise, not structure).
+# They are checked only in unshared runs; d13 >= d7 is valid ONLY under
+# sharing (unshared, d13 re-runs d7's chain + an aggregate — also a strict
+# superset, so it is safe to check in both modes and lives in the main
+# list). Every other rule's superset reads the same shared stage as its
+# subset plus does more, so the rule survives both modes.
+PLAUSIBILITY_UNSHARED_ONLY = [
     ("d4_ngram_jaccard", "d2_minhash_lsh"),
     ("d7_dup_clusters", "d4_ngram_jaccard"),
+]
+PLAUSIBILITY = [
+    ("d6_simhash_pairs", "d3_simhash"),
+    ("d13_cluster_sizes", "d7_dup_clusters"),
     ("d10_semantic_clusters", "d5_embed_dup"),
     ("g1_pagerank", "d5_embed_dup"),  # g1 runs D5EmbedDedup.run as stage 1
     ("p4_training_corpus", "p1_clean_corpus"),  # p4 runs p1's chain as stage 1
@@ -113,8 +127,10 @@ def check(data):
     if data.get("failed"):
         sys.exit(f"[record] REJECT: failed queries {data['failed']}")
     q = data["queries"]
+    shared = bool((data.get("shared") or {}).get("enabled"))
+    rules = PLAUSIBILITY + ([] if shared else PLAUSIBILITY_UNSHARED_ONLY)
     bad = []
-    for sup, sub in PLAUSIBILITY:
+    for sup, sub in rules:
         if q[sup] < NOISE * q[sub]:
             bad.append(f"{sup}={q[sup]:.2f}s < {NOISE} * {sub}={q[sub]:.2f}s")
     if bad:
@@ -123,8 +139,8 @@ def check(data):
         for b in bad:
             print(f"  {b}")
         sys.exit(2)
-    print("[record] plausibility asserts passed "
-          f"({', '.join(f'{a}>={b}' for a, b in PLAUSIBILITY)})")
+    print(f"[record] plausibility asserts passed (shared={shared}: "
+          f"{', '.join(f'{a}>={b}' for a, b in rules)})")
 
 
 def splice(data):
@@ -157,11 +173,12 @@ Why re-recorded: {note}
 
 Acceptance gate applied at recording time (violation = the run is rejected
 and repeated, never hand-edited): a query executing a strict superset of
-another's work must not measure cheaper — d6 >= d3, d4 >= d2, d7 >= d4,
-d10 >= d5, g1 >= d5, g2 >= d5, p4 >= p1, p5 >= p1, d15 >= d7, v2c >= s6 —
-with a 0.75 noise band separating per-slot scheduling luck (~0.8x worst
-observed under fixed-order passes) from impossible readings (the round-4
-cache-leak row sat at 0.41x).
+another's work must not measure cheaper — the rule list lives in
+record_baseline.py, with two rules (d4 >= d2, d7 >= d4) checked only in
+UNSHARED runs because under shared-stage materialization their supersets
+become pure stage reads — with a 0.75 noise band separating per-slot
+scheduling luck (~0.8x worst observed under fixed-order passes) from
+impossible readings (the round-4 cache-leak row sat at 0.41x).
 
 Total wall-clock for the {len(q)}-query timed pass (sum of per-query
 minima{' + one-time shared-stage builds' if builds else ''}): {total:.1f} s.
