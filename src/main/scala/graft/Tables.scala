@@ -16,8 +16,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-directory source-format overrides (the `-inputformat` analogue,
+    * see [[graft.sources.SourceFormat]]). Keyed by the data dir — a format
+    * describes how THAT directory is encoded, so registration never leaks
+    * into unrelated directories (or concurrently-running suites).
+    */
+  private val formats =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.sources.SourceFormat]()
+  private val parquetFormat = new graft.sources.ParquetFormat
+
+  def registerFormat(sfDir: String, format: graft.sources.SourceFormat): Unit =
+    formats.put(sfDir, format)
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    formats.getOrDefault(sfDir, parquetFormat).load(spark, sfDir, name)
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")

@@ -53,6 +53,29 @@ object Sources {
       .sequenceFile(path, classOf[LongWritable], classOf[BytesWritable])
       .map { case (_, v) => java.util.Arrays.copyOf(v.getBytes, v.getLength) }
 
+  /** B2: SequenceFile with the caller's OWN Writable key/value classes —
+    * the reference's raw flavor, where the record reader hands the Writable
+    * pair straight to the computable
+    * (GuaguaSequenceRecordReader.java:52-76). `extract` runs inside the
+    * scan and MUST materialize what it keeps into plain values: Hadoop
+    * record readers reuse ONE Writable instance per split, so a closure
+    * that stores the object itself would see every kept record mutate into
+    * the split's last record. Forcing extraction into the signature makes
+    * that materialization point exist — this one function is the "adapter
+    * line" a custom-Writable user writes.
+    */
+  def sequenceWritable[
+      K <: org.apache.hadoop.io.Writable,
+      V <: org.apache.hadoop.io.Writable,
+      T: scala.reflect.ClassTag](
+      spark: SparkSession,
+      path: String,
+      keyClass: Class[K],
+      valueClass: Class[V])(extract: (K, V) => T): RDD[T] =
+    spark.sparkContext
+      .sequenceFile(path, keyClass, valueClass)
+      .map { case (k, v) => extract(k, v) }
+
   /** The engine's native columnar source. */
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

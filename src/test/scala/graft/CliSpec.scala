@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Loaded by name in the reflection test below — a directory whose tables
+  * are parquet files under a non-default suffix (`<table>.pq`), standing in
+  * for any custom on-disk layout a user's SourceFormat would decode.
+  */
+class PqSuffixFormat extends graft.sources.SourceFormat {
+  override def load(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      table: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(s"$dir/$table.pq")
+}
+
+class CliSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("-list prints every registered query and runs nothing") {
+    val buf = new java.io.ByteArrayOutputStream()
+    val res = Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Cli.runWith(spark, Array("-list"))
+    }
+    assert(res.isEmpty)
+    val names = buf.toString("UTF-8").split("\\R").filter(_.nonEmpty).toSet
+    assert(names == SparkEntry.queries.keySet)
+  }
+
+  test("runs a declared query end-to-end and writes <out>/<query>.parquet") {
+    val out = Files.createTempDirectory("graft-cli-out").toString
+    val res = Cli.runWith(spark,
+      Array("-i", sf, "-q", "q1_agg", "-o", out, "-n", "cli-spec-job"))
+    assert(res.isDefined)
+    val written = spark.read.parquet(s"$out/q1_agg.parquet").collect()
+    val direct = SparkEntry.queries("q1_agg")(spark, sf).collect()
+    assert(written.toSeq == direct.toSeq)
+  }
+
+  test("-inputformat reflects a SourceFormat and routes the input dir's tables through it") {
+    // A directory the default ParquetFormat CANNOT read (tables under .pq),
+    // decodable only by the reflected class — proving the reflected format
+    // is actually on the read path, not just instantiated.
+    val dir = Files.createTempDirectory("graft-cli-fmt")
+    Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.pq"))
+    val viaCli = Cli.runWith(spark, Array(
+      "-i", dir.toString, "-q", "d1_exact_dedup",
+      "-inputformat", "graft.PqSuffixFormat")).get
+    val direct = SparkEntry.queries("d1_exact_dedup")(spark, sf)
+    assert(viaCli.orderBy("h").collect().toSeq ==
+      direct.orderBy("h").collect().toSeq)
+  }
+
+  test("-inputformat with an unresolvable class fails with the reference's error contract") {
+    val e = intercept[IllegalArgumentException] {
+      Cli.resolveFormat("graft.NoSuchFormatZzz")
+    }
+    assert(e.getMessage.contains("can not be found in class path"))
+    assert(e.getCause.isInstanceOf[ClassNotFoundException])
+  }
+
+  test("-inputformat with a non-SourceFormat class fails before any job starts") {
+    val e = intercept[IllegalArgumentException] {
+      Cli.resolveFormat("java.lang.String")
+    }
+    assert(e.getMessage.contains("should extend graft.sources.SourceFormat"))
+  }
+
+  test("unknown query name and malformed options fail loudly") {
+    val unknown = intercept[IllegalArgumentException] {
+      Cli.runWith(spark, Array("-i", sf, "-q", "no_such_query"))
+    }
+    assert(unknown.getMessage.contains("no_such_query"))
+    assert(intercept[IllegalArgumentException] {
+      Cli.runWith(spark, Array("-q", "q1_agg"))
+    }.getMessage.contains("-i"))
+    assert(intercept[IllegalArgumentException] {
+      Cli.runWith(spark, Array("-i", sf, "-q"))
+    }.getMessage.contains("requires a value"))
+    assert(intercept[IllegalArgumentException] {
+      Cli.runWith(spark, Array("-frobnicate"))
+    }.getMessage.contains("Unknown option"))
+  }
+}

@@ -96,4 +96,44 @@ class SourcesSpec extends AnyFunSuite {
       "quarantined payload should carry the raw line for inspection")
     assert(good.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("B2: SequenceFile with a user-defined Writable (the reference's raw flavor)") {
+    // The reference hands raw Writables to the computable
+    // (GuaguaSequenceRecordReader.java:52-76); the adapter's extract runs
+    // inside the scan and materializes into plain values — several records
+    // per split, so Hadoop's Writable-instance reuse would corrupt any
+    // extract that kept the object instead of its fields.
+    val dir = Files.createTempDirectory("graft-seqw")
+    val file = new org.apache.hadoop.fs.Path(dir.resolve("part-0").toString)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val w = org.apache.hadoop.io.SequenceFile.createWriter(
+      conf,
+      org.apache.hadoop.io.SequenceFile.Writer.file(file),
+      org.apache.hadoop.io.SequenceFile.Writer.keyClass(classOf[org.apache.hadoop.io.IntWritable]),
+      org.apache.hadoop.io.SequenceFile.Writer.valueClass(classOf[PointWritable]))
+    try (1 to 5).foreach { i =>
+      w.append(new org.apache.hadoop.io.IntWritable(i), new PointWritable(i, i * i))
+    } finally w.close()
+    val got = Sources.sequenceWritable(
+      spark, dir.toString,
+      classOf[org.apache.hadoop.io.IntWritable],
+      classOf[PointWritable]) { (k, v) => (k.get, v.x, v.y) }
+      .collect().toSet
+    assert(got == (1 to 5).map(i => (i, i, i * i)).toSet)
+  }
+}
+
+/** Custom Writable for the raw-flavor test: instantiated by Hadoop's
+  * ReflectionUtils inside the record reader, so it needs the public no-arg
+  * constructor the Writable contract requires.
+  */
+class PointWritable(var x: Int, var y: Int)
+    extends org.apache.hadoop.io.Writable {
+  def this() = this(0, 0)
+  override def write(out: java.io.DataOutput): Unit = {
+    out.writeInt(x); out.writeInt(y)
+  }
+  override def readFields(in: java.io.DataInput): Unit = {
+    x = in.readInt(); y = in.readInt()
+  }
 }
