@@ -588,6 +588,54 @@ object Multimodal {
     }
   }
 
+  final case class AudioEnvelope(doc_id: Long, env_hash: Long)
+
+  /** Partition-batched perceptual audio fingerprint — the audio member of
+    * the m-family's dedup trio (m4 video signatures, m7 image aHash): each
+    * decoded PCM stream is summarized by its AMPLITUDE ENVELOPE — mean
+    * |sample| over `windows` equal time slices, each quantized to 2 bits
+    * (mean div 64, clamped to 3) and packed into one long. Envelope
+    * fingerprints are the classic cheap audio-dup key: robust to
+    * sample-level noise (a ±small perturbation moves a window mean by
+    * ~1/windowLen), discriminating between different loudness shapes.
+    * Exact integer arithmetic end to end (abs-sum, integer divisions) so
+    * the fingerprint can sit under a replay oracle.
+    *
+    * Window boundaries are `(w·n) div windows` — the same index-scaling
+    * lattice [[imagePhashes]] uses for cells — and clips shorter than
+    * `windows` samples are dropped (no meaningful envelope). Payload bytes
+    * never leave the scan partition; only (doc_id, 2·windows bits)
+    * continue.
+    */
+  def audioEnvelopes(
+      media: Dataset[MediaRecord], windows: Int = 8): Dataset[AudioEnvelope] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeWav(r.payload).filter(_.nSamples >= windows).map { a =>
+          val n = a.nSamples
+          var fp = 0L
+          var w = 0
+          while (w < windows) {
+            val start = (w.toLong * n / windows).toInt
+            val end = ((w + 1).toLong * n / windows).toInt
+            var sum = 0L
+            var i = start
+            while (i < end) {
+              val p = a.dataOffset + 2 * i
+              val v = ((r.payload(p) & 0xff) | (r.payload(p + 1) << 8)).toShort.toInt
+              sum += math.abs(v)
+              i += 1
+            }
+            fp = fp * 4 + math.min(3L, (sum / (end - start)) / 64)
+            w += 1
+          }
+          AudioEnvelope(r.doc_id, fp)
+        }
+      }
+    }
+  }
+
   /** Deterministic WAV fixture payload: a REAL, spec-valid RIFF/WAVE PCM
     * file — fmt chunk, a junk `LIST` chunk the chunk-walker must skip, and
     * a data chunk whose int16 samples are the document's byte values — so

@@ -407,3 +407,64 @@ object M7ImagePhash extends GraftQuery {
       |       count(*) OVER (PARTITION BY phash) AS n_same
       |FROM ph""".stripMargin)
 }
+
+/** m8: perceptual audio dedup over GENUINELY DECODED PCM — the audio leg
+  * of the m-family dedup trio (m4 groups videos by frame-score signature,
+  * m7 images by aHash): each spec-valid WAV fixture payload is parsed by
+  * the real container walker ([[graft.operators.Multimodal.decodeWav]]),
+  * its amplitude envelope quantized into a 16-bit fingerprint
+  * ([[graft.operators.Multimodal.audioEnvelopes]] — 8 windows × 2 bits,
+  * exact integer arithmetic), and clips collapse on identical envelopes
+  * via the m7 survivor window.
+  *
+  * The oracle replays the whole construction from the text alone (the
+  * m5/m6 discipline: fixture samples are the document's byte values):
+  * window boundaries by the same `(w·n) div 8` lattice, abs-sum, the two
+  * integer divisions, the base-4 packing fold, then the fingerprint-keyed
+  * survivor window. A mis-parsed chunk boundary, a sample-stride slip, or
+  * a rounding division anywhere flips the gate.
+  *
+  * Scale: decode + envelope inside the scan partition (payloads never
+  * shuffle; 16 bits per clip continue), one window aggregate on the
+  * fingerprint — identical shape and cost model to m7.
+  */
+object M8AudioEnvelope extends GraftQuery {
+  val name = "m8_audio_envelope"
+  val describe = "perceptual audio dedup: quantized amplitude-envelope fingerprint over decoded PCM + survivor collapse"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Multimodal
+    val media = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => Multimodal.MediaRecord(id, Multimodal.wavFixturePayload(t)) }
+    val w = Window.partitionBy(col("env_hash"))
+    Multimodal.audioEnvelopes(media).toDF()
+      .select(col("doc_id"), col("env_hash"),
+        min(col("doc_id")).over(w).as("survivor"),
+        count(lit(1)).over(w).as("n_same"))
+  }
+
+  val oracle = Some(
+    """WITH b AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n,
+      |         list_transform(range(1, length(text) + 1),
+      |                        i -> CAST(ord(substr(text, i, 1)) AS BIGINT)) AS bytes
+      |  FROM documents WHERE octet_length(encode(text)) >= 8),
+      |wq AS (SELECT doc_id, n, bytes, unnest(range(0, 8)) AS w FROM b),
+      |qs AS (
+      |  SELECT doc_id, w,
+      |         least(3, (CAST(list_reduce(
+      |             bytes[CAST((w * n) // 8 AS INT) + 1 : CAST(((w + 1) * n) // 8 AS INT)],
+      |             (a, x) -> a + x) AS BIGINT)
+      |           // (((w + 1) * n) // 8 - (w * n) // 8)) // 64) AS q
+      |  FROM wq),
+      |fp AS (
+      |  SELECT doc_id, list_reduce(list(q ORDER BY w), (a, x) -> a * 4 + x) AS env_hash
+      |  FROM qs GROUP BY doc_id)
+      |SELECT doc_id, env_hash,
+      |       min(doc_id) OVER (PARTITION BY env_hash) AS survivor,
+      |       count(*) OVER (PARTITION BY env_hash) AS n_same
+      |FROM fp""".stripMargin)
+}

@@ -296,3 +296,72 @@ object P14BpePack extends GraftQuery {
        |       (cum_end - n_symbols) % ${P2SequencePack.seqLen} AS start_offset
        |FROM c""".stripMargin)
 }
+
+/** p15: length-bucketed batch assembly — the padding-efficiency step
+  * between tokenization and the data loader: group sequences of similar
+  * encoded length (bucket = len div 16 symbols) and batch WITHIN a bucket
+  * (8 per batch, longest-first), so each batch pads to its own max length
+  * instead of the corpus max. The published per-batch `pad_waste`
+  * (max_len·n − Σlen) is the exact overhead a fixed-shape training step
+  * would burn — the number a curriculum/loader team actually tunes against.
+  *
+  * Lengths are t13's BPE-encoded symbol counts (the p14 principle:
+  * batching on whitespace counts mis-buckets exactly the documents whose
+  * merges compress well); under an enabled [[graft.Materialize]] run the
+  * encoded corpus is t12's shared stage output.
+  *
+  * Scale: the within-bucket rank is a window over (bucket, shard) where
+  * shard is a hash of the doc_id — buckets are length-classes and can be
+  * arbitrarily popular (most of a real corpus sits in a few length bands),
+  * so the shard key bounds every window partition BY CONSTRUCTION at
+  * 1/shards of a bucket, the same salting answer d9's join uses. A batch
+  * never spans shards, so the pad-waste bound per batch is unaffected —
+  * sharding a bucket only splits which batches exist, not how tight they
+  * pad. All integers; one window + one aggregate over its own partitioning.
+  */
+object P15LengthBatches extends GraftQuery {
+  val name = "p15_length_batches"
+  val describe = "length-bucketed batch assembly on BPE-encoded lengths: per-batch exact pad-waste accounting"
+
+  private val bucketWidth = 16L
+  private val batchSize = 8L
+  private val shards = 4L
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val enc = T12BpeMerges.encodedCorpus(spark, sfDir)
+      .select(col("doc_id"), length(col("s")).cast("long").as("len"))
+    val keyed = enc
+      .withColumn("bucket", expr(s"len div $bucketWidth"))
+      .withColumn("shard",
+        Portable.hash60(concat(lit("lb:"), col("doc_id").cast("string"))) % lit(shards))
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("len").desc, col("doc_id").asc)
+    keyed
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("batch", expr(s"(rn - 1) div $batchSize"))
+      .groupBy(col("bucket"), col("shard"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("len")).as("max_len"),
+        sum(col("len")).as("sum_len"))
+      .withColumn("pad_waste", col("max_len") * col("n_docs") - col("sum_len"))
+  }
+
+  val oracle = Some(
+    s"""WITH ${T12BpeMerges.trainedCorpusCtesSql},
+       |lenc AS (
+       |  SELECT doc_id, CAST(length(s) AS BIGINT) AS len
+       |  FROM d${T12BpeMerges.rounds}),
+       |a AS (
+       |  SELECT doc_id, len, len // $bucketWidth AS bucket,
+       |         ${Portable.hash60Sql("'lb:' || CAST(doc_id AS VARCHAR)")} % $shards AS shard
+       |  FROM lenc),
+       |r AS (
+       |  SELECT bucket, shard, len,
+       |         (row_number() OVER (PARTITION BY bucket, shard
+       |                             ORDER BY len DESC, doc_id ASC) - 1) // $batchSize AS batch
+       |  FROM a)
+       |SELECT bucket, shard, batch, count(*) AS n_docs,
+       |       max(len) AS max_len, CAST(sum(len) AS BIGINT) AS sum_len,
+       |       max(len) * count(*) - CAST(sum(len) AS BIGINT) AS pad_waste
+       |FROM r GROUP BY 1, 2, 3""".stripMargin)
+}

@@ -111,6 +111,7 @@ object Registry {
     T5StringFuncs,
     T6Vocab,
     S3StratifiedSample,
+    S12PropensitySample,
     V1LabelCentroids,
     V2KnnLabel,
     V2cKnnLabelIvf,
@@ -123,6 +124,7 @@ object Registry {
     M5ImageDecode,
     M6AudioDecode,
     M7ImagePhash,
+    M8AudioEnvelope,
     P1CleanCorpus,
     P2SequencePack,
     P3MixtureSample,
@@ -137,6 +139,7 @@ object Registry {
     P12AttritionFunnel,
     P13SplitManifest,
     P14BpePack,
+    P15LengthBatches,
     G1PageRank,
     G2Triangles,
     G3PageRankLsh,

@@ -316,3 +316,70 @@ object V4LabelSilhouette extends GraftQuery {
          |FROM own o JOIN oth t ON o.label = t.label AND t.rk = 1""".stripMargin)
   }
 }
+
+/** s12: quality-propensity sampling — weighted sampling WITHOUT replacement
+  * with k4's classifier score as the weight, the CCNet-style step between a
+  * hard quality gate (k5's threshold) and uniform sampling (s3): every
+  * document can be kept, but better-scored documents are proportionally
+  * likelier to be, so the sample tilts toward quality without the cliff a
+  * threshold cuts. Mechanism is Efraimidis–Spirakis A-ES: each doc gets
+  * key u^(1/w) for a uniform u, and the global top-n by key IS a weighted
+  * sample without replacement — rank by -ln(u)/w ascending, which is the
+  * same order in exact arithmetic.
+  *
+  * Engine-exactness: u is a rational from the portable hash
+  * ((h mod 2^20)+1)/2^20 — identical integers on both engines; the ONE
+  * libm call (ln) is snapped to the 1e6 grid as a LONG before the division
+  * by the weight (the t23/t24 ln discipline, a decade coarser because a
+  * sampling key needs no nanoscale resolution — the coarser grid makes a
+  * cross-engine last-ulp flip astronomically unlikely instead of merely
+  * rare); the division's inputs are then identical (LONG, 6-decimal
+  * score), so its correctly-rounded result is identical. Scores of 0.0
+  * clamp to 1e-6 so zero-weight docs rank last instead of dividing by
+  * zero. Ties (coarse grid) are totally ordered by doc_id.
+  *
+  * Scale: reads k4's scored frame (the shared stage under an enabled
+  * [[graft.Materialize]] run), one projection, TakeOrderedAndProject
+  * top-n — no global sort, no extra shuffle beyond k4's own.
+  */
+object S12PropensitySample extends GraftQuery {
+  val name = "s12_propensity_sample"
+  val describe = "quality-propensity sample: Efraimidis-Spirakis weighted top-n on k4's classifier scores"
+
+  private val n = 200
+  private val uGrid = 1048576L // 2^20: u = ((h mod uGrid)+1)/uGrid in (0, 1]
+
+  /** The A-ES selection over an arbitrary (doc_id, score) frame — the seam
+    * PropensitySampleSpec's synthetic-tilt pin uses (the driver corpus'
+    * scores span only 0.281–0.304, far too flat to exhibit the bias the
+    * operator exists for).
+    */
+  private[queries] def sampleOn(scored: DataFrame, n: Int): DataFrame = {
+    val hmod = Portable.hash60(concat(lit("es:"), col("doc_id").cast("string"))) % lit(uGrid)
+    val negLnU = round(-log((hmod + 1).cast("double") / lit(uGrid.toDouble)) * 1e6).cast("long")
+    scored
+      .withColumn("neg_ln_u_e6", negLnU)
+      .withColumn("key_e6",
+        round(col("neg_ln_u_e6").cast("double") / greatest(col("score"), lit(1e-6)))
+          .cast("long"))
+      .select(col("doc_id"), col("score"), col("key_e6"))
+      .orderBy(col("key_e6").asc, col("doc_id").asc)
+      .limit(n)
+  }
+
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    sampleOn(
+      K4QualityClassifier.run(spark, sfDir).select(col("doc_id"), col("score")), n)
+
+  val oracle = Some(
+    s"""WITH ${K4QualityClassifier.scoredCte("sc")},
+       |es AS (
+       |  SELECT doc_id, score,
+       |         CAST(round(-ln((${Portable.hash60Sql("'es:' || CAST(doc_id AS VARCHAR)")} % $uGrid + 1) / ${uGrid.toDouble}) * 1e6) AS BIGINT) AS neg_ln_u_e6
+       |  FROM sc)
+       |SELECT doc_id, score,
+       |       CAST(round(CAST(neg_ln_u_e6 AS DOUBLE) / greatest(score, 1e-6)) AS BIGINT) AS key_e6
+       |FROM es
+       |ORDER BY key_e6 ASC, doc_id ASC
+       |LIMIT $n""".stripMargin)
+}

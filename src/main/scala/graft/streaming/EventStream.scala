@@ -265,6 +265,23 @@ object EventStream {
   def hllRegisters(docs: DataFrame): DataFrame =
     graft.queries.T24HllCardinality.registers(docs)
 
+  /** Streaming histogram bins — t25's bin stage over a live price stream,
+    * completing the sketch trilogy's streaming story (t15 count-min cells,
+    * t24 HLL registers, t25 histogram bins): the histogram's merge is
+    * element-wise ADDITION, which is exactly what stateful grouped
+    * counting does, so arbitrary micro-batch splits land on the same
+    * (group, bin, c) table a batch pass computes. State is O(bins) per
+    * group — bounded by the VALUE RANGE (~820 bins over lineitem's price
+    * domain), not by row count. The quantile read-out stays OUT of the
+    * stream (the hllRegisters discipline): a monitoring job runs
+    * [[graft.queries.T25HistogramQuantiles.quantiles]] over the
+    * complete-mode snapshot on its alert cadence, and because the bins are
+    * exact integers the streamed quantiles are bit-equal to batch t25's,
+    * not approximately so. HistogramStreamSpec pins both.
+    */
+  def histogramBins(rows: DataFrame): DataFrame =
+    graft.queries.T25HistogramQuantiles.histogram(rows)
+
   /** Markup-extraction gate — t21's strip chain applied at ingestion: the
     * HTML-boilerplate removal that runs ahead of even langid in a
     * web-corpus pipeline, as the stateless streaming stage it is in

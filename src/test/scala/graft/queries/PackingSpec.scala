@@ -140,4 +140,63 @@ class PackingSpec extends AnyFunSuite {
     val pairCount = D5EmbedDedup.run(spark, TestSpark.sf0001).count()
     assert(rows.map(_._2).sum == 2L * pairCount, "degree sum != 2 × pair count")
   }
+
+  /** p15's serial reimplementation over the encoded corpus: bucket by
+    * len div 16, shard by hash, longest-first batches of 8 — independent
+    * of the query's window machinery.
+    */
+  private def batchesSerial(sf: String): Map[(Long, Long, Long), (Long, Long, Long, Long)] = {
+    val enc = T12BpeMerges.encodedCorpus(spark, sf)
+      .selectExpr("doc_id", "CAST(length(s) AS LONG) AS len").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    enc.groupBy { case (id, len) =>
+      (len / 16L, IndependentHash.md5hash60(s"lb:$id") % 4L)
+    }.flatMap { case ((bucket, shard), docs) =>
+      docs.sortBy { case (id, len) => (-len, id) }
+        .grouped(8).zipWithIndex.map { case (batch, bi) =>
+          val lens = batch.map(_._2)
+          (bucket, shard, bi.toLong) ->
+            (batch.size.toLong, lens.max, lens.sum, lens.max * batch.size - lens.sum)
+        }
+    }
+  }
+
+  test("p15: batch table == serial length-bucketed reimplementation (sf0.001)") {
+    val got = P15LengthBatches.run(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got == batchesSerial(TestSpark.sf0001))
+  }
+
+  test("p15 invariants: partition of the corpus, size bound, longest-first monotone (sf0.01)") {
+    val rows = P15LengthBatches.run(spark, TestSpark.sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nEncoded = T12BpeMerges.encodedCorpus(spark, TestSpark.sf001).count()
+    assert(rows.map(_._3).sum == nEncoded, "batches must partition the encoded corpus")
+    assert(rows.forall(_._3 <= 8L), "batch size bound")
+    rows.groupBy(_._1).foreach { case (key, bs) =>
+      val byBatch = bs.sortBy(_._2)
+      // every batch but the LAST is full: the grouped(8) assembly contract
+      assert(byBatch.init.forall(_._3 == 8L), s"non-final partial batch in $key")
+      // longest-first fill: max_len never increases across consecutive batches
+      assert(byBatch.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4
+        case _ => true
+      }, s"max_len not monotone in $key")
+    }
+  }
+
+  test("p15 earns its keep: bucketed pad waste < naive doc_id-order batching (sf0.01)") {
+    val enc = T12BpeMerges.encodedCorpus(spark, TestSpark.sf001)
+      .selectExpr("doc_id", "CAST(length(s) AS LONG) AS len").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val naive = enc.sortBy(_._1).grouped(8).map { b =>
+      val lens = b.map(_._2); lens.max * b.size - lens.sum
+    }.sum
+    val bucketed = P15LengthBatches.run(spark, TestSpark.sf001)
+      .selectExpr("CAST(sum(pad_waste) AS LONG)").collect().head.getLong(0)
+    info(s"pad waste: bucketed $bucketed vs naive doc_id-order $naive")
+    assert(bucketed < naive,
+      s"length bucketing should beat naive batching: $bucketed >= $naive")
+  }
 }

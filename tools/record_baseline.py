@@ -85,6 +85,7 @@ PLAUSIBILITY = [
     ("p10_release_pii", "p9_release_manifest"),  # p10 = p9's chain + injection + redact counts
     ("p12_attrition_funnel", "p5_decontaminated"),  # p12 runs p1+d9 (= p5's chain) then strips and mixes
     ("k6_calibration", "k4_quality_classifier"),  # k6 bins k4's own scored run
+    ("s12_propensity_sample", "k4_quality_classifier"),  # s12 ranks k4's own scored run
 ]
 
 REPS = "3"
