@@ -365,3 +365,74 @@ object P15LengthBatches extends GraftQuery {
        |       max(len) * count(*) - CAST(sum(len) AS BIGINT) AS pad_waste
        |FROM r GROUP BY 1, 2, 3""".stripMargin)
 }
+
+/** p16: deterministic epoch shuffle — the reproducible global permutation a
+  * training loader consumes: for each declared epoch, every packed sequence
+  * (p14's chunks) gets an exact 1-based position in a hash-seeded order.
+  * Reproducibility is the whole point (resume a crashed epoch at position
+  * k, re-run a training job bit-identically, audit which sequences a
+  * checkpoint saw): `ORDER BY rand()` gives none of it, and a driver-side
+  * shuffle of a 100-TB corpus' chunk list doesn't exist. The epoch seed is
+  * in the hash input, so epochs decorrelate without any carried state.
+  *
+  * The chunk universe is 0..max(end_chunk) from p14's pack table — gapless
+  * by the prefix-sum construction (pinned in PackingSpec), so the range IS
+  * the sequence inventory without a distinct-scan.
+  *
+  * Scale: the permutation itself is big data (tokens/512 rows — billions at
+  * 100 TB), so position assignment is [[graft.operators.Rank.globalRowNumber]]
+  * — range-partition on the hash key, rank within partitions, broadcast-join
+  * the O(P) driver-folded offsets — never a single-partition window sort.
+  * Per epoch that is one range exchange of an (epoch, chunk, hash) triple;
+  * the declared query materializes 2 epochs as the manifest sample.
+  */
+object P16EpochShuffle extends GraftQuery {
+  val name = "p16_epoch_shuffle"
+  val describe = "reproducible training-epoch shuffle: hash-seeded exact global positions for p14's packed sequences"
+
+  private[queries] val epochs = 2
+
+  /** One epoch's permutation over a (chunk) frame — the seam
+    * EpochShuffleSpec's bijection/decorrelation pins use.
+    */
+  private[queries] def shuffleEpoch(chunks: DataFrame, epoch: Int): DataFrame = {
+    val h = Portable.hash60(
+      concat(lit(s"ep:$epoch:"), col("chunk").cast("string")))
+    graft.operators.Rank.globalRowNumber(
+        chunks.withColumn("h", h),
+        Seq(col("h"), col("chunk")),
+        chunks.sparkSession.sparkContext.defaultParallelism)
+      .select(lit(epoch.toLong).as("epoch"), col("chunk"),
+        col("rk").as("position"))
+  }
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    // 1-row aggregate: the chunk-count scalar, not data, crosses the driver.
+    val maxChunk = P14BpePack.run(spark, sfDir)
+      .agg(max(col("end_chunk"))).collect()(0).getLong(0)
+    val chunks = spark.range(0, maxChunk + 1).toDF("chunk")
+    (0 until epochs).map(shuffleEpoch(chunks, _)).reduce(_.union(_))
+  }
+
+  val oracle = Some(
+    s"""WITH ${T12BpeMerges.trainedCorpusCtesSql},
+       |enc AS (
+       |  SELECT doc_id, CAST(length(s) AS BIGINT) AS n_symbols,
+       |         ${P2SequencePack.orderHashSql} AS h
+       |  FROM d${T12BpeMerges.rounds}),
+       |c AS (
+       |  SELECT CAST(sum(n_symbols) OVER (
+       |           ORDER BY h ASC, doc_id ASC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_end
+       |  FROM enc WHERE n_symbols > 0),
+       |mx AS (SELECT max((cum_end - 1) // ${P2SequencePack.seqLen}) AS m FROM c),
+       |ch AS (SELECT unnest(range(0, (SELECT m + 1 FROM mx))) AS chunk),
+       |ep AS (SELECT CAST(unnest([0, 1]) AS BIGINT) AS epoch),
+       |k AS (
+       |  SELECT ep.epoch, ch.chunk,
+       |         ${Portable.hash60Sql("'ep:' || CAST(epoch AS VARCHAR) || ':' || CAST(chunk AS VARCHAR)")} AS h
+       |  FROM ch CROSS JOIN ep)
+       |SELECT epoch, chunk,
+       |       CAST(row_number() OVER (PARTITION BY epoch ORDER BY h ASC, chunk ASC) AS BIGINT) AS position
+       |FROM k""".stripMargin)
+}

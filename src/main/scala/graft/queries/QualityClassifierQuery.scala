@@ -261,27 +261,37 @@ object K5ClassifierEval extends GraftQuery {
           .as("f1"))
   }
 
-  val oracle = {
+  /** The sweep CTEs (`th` thresholds, `c` confusion counts, `ev` the full
+    * evaluation table with ratios) over a scored CTE named `sc` — k5's own
+    * oracle publishes `ev`; k7 composes it further to extract the
+    * argmax-F1 operating threshold. One definition, two consumers — the
+    * scoredCte discipline applied one stage later.
+    */
+  private[queries] def evalCtesSql: String = {
     val values = thresholds.map(t => s"($t)").mkString(", ")
-    Some(
-      s"""WITH ${K4QualityClassifier.scoredCte("sc")},
-         |th AS (SELECT CAST(x AS DOUBLE) AS threshold FROM (VALUES $values) t(x)),
-         |c AS (
-         |  SELECT th.threshold,
-         |         CAST(sum(CASE WHEN sc.score >= th.threshold AND sc.is_ref THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-         |         CAST(sum(CASE WHEN sc.score >= th.threshold AND NOT sc.is_ref THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-         |         CAST(sum(CASE WHEN sc.score < th.threshold AND sc.is_ref THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-         |         CAST(sum(CASE WHEN sc.score < th.threshold AND NOT sc.is_ref THEN 1 ELSE 0 END) AS BIGINT) AS tn
-         |  FROM sc CROSS JOIN th GROUP BY th.threshold)
-         |SELECT threshold, tp, fp, fn, tn,
-         |       CASE WHEN tp + fp = 0 THEN -1.0
-         |            ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS prec,
-         |       CASE WHEN tp + fn = 0 THEN -1.0
-         |            ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
-         |       CASE WHEN 2 * tp + fp + fn = 0 THEN -1.0
-         |            ELSE round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
-         |FROM c""".stripMargin)
+    s"""th AS (SELECT CAST(x AS DOUBLE) AS threshold FROM (VALUES $values) t(x)),
+       |c AS (
+       |  SELECT th.threshold,
+       |         CAST(sum(CASE WHEN sc.score >= th.threshold AND sc.is_ref THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |         CAST(sum(CASE WHEN sc.score >= th.threshold AND NOT sc.is_ref THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |         CAST(sum(CASE WHEN sc.score < th.threshold AND sc.is_ref THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |         CAST(sum(CASE WHEN sc.score < th.threshold AND NOT sc.is_ref THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM sc CROSS JOIN th GROUP BY th.threshold),
+       |ev AS (
+       |  SELECT threshold, tp, fp, fn, tn,
+       |         CASE WHEN tp + fp = 0 THEN -1.0
+       |              ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS prec,
+       |         CASE WHEN tp + fn = 0 THEN -1.0
+       |              ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+       |         CASE WHEN 2 * tp + fp + fn = 0 THEN -1.0
+       |              ELSE round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
+       |  FROM c)""".stripMargin
   }
+
+  val oracle = Some(
+    s"""WITH ${K4QualityClassifier.scoredCte("sc")},
+       |$evalCtesSql
+       |SELECT threshold, tp, fp, fn, tn, prec, recall, f1 FROM ev""".stripMargin)
 }
 
 /** k6: classifier CALIBRATION table — the reliability diagram next to k5's
@@ -342,4 +352,69 @@ object K6Calibration extends GraftQuery {
        |       round(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate,
        |       round(mean_score - round(CAST(n_pos AS DOUBLE) / n, 6), 6) AS gap
        |FROM a""".stripMargin)
+}
+
+/** k7: uncertainty sampling — the active-learning step that closes the
+  * classifier family's loop: k4 trains and scores, k5 picks the operating
+  * threshold, k6 checks calibration, and k7 answers "which documents should
+  * a human label NEXT to improve the filter?" — the n docs whose scores sit
+  * closest to the operating point, where the model is least certain and a
+  * label is worth the most (Lewis & Gale 1994's uncertainty sampling; every
+  * production quality filter's annotation queue is built this way).
+  *
+  * Composition: the scored frame is k4's own `run` (the shared stage under
+  * an enabled [[graft.Materialize]] run), and the operating threshold is
+  * the argmax-F1 row of k5's OWN published sweep (tie → smaller threshold)
+  * — not a fixed constant, so the labeling queue moves when the sweep does.
+  * The oracle composes the same two stages from their factored CTEs
+  * ([[K4QualityClassifier.scoredCte]], [[K5ClassifierEval.evalCtesSql]]).
+  *
+  * Engine-exactness: both engines hold identical rounded-6 scores and the
+  * identical sweep table, so the argmax row is the same literal double; the
+  * uncertainty key is CAST(round(|score − thr| · 1e6) AS BIGINT) — one
+  * subtraction and multiply of identical doubles, then an integer — and
+  * ties are total-ordered by doc_id.
+  *
+  * Scale: k5's sweep is a ≤9-row frame, the argmax a 1-row TakeOrdered;
+  * the 1-row threshold frame broadcasts into the scored scan (the bounded
+  * crossJoin pattern every quota query uses) and the selection is
+  * TakeOrderedAndProject top-n — no global sort, no shuffle beyond k4's
+  * own.
+  */
+object K7UncertaintySample extends GraftQuery {
+  val name = "k7_uncertainty_sample"
+  val describe = "active-learning labeling queue: top-n docs nearest k5's argmax-F1 operating threshold"
+
+  private[queries] val n = 100
+
+  /** The selection over arbitrary (doc_id, score) × 1-row (thr) frames —
+    * the seam UncertaintySampleSpec's synthetic boundary pin uses.
+    */
+  private[queries] def selectOn(scored: DataFrame, best: DataFrame, n: Int): DataFrame =
+    scored.crossJoin(broadcast(best))
+      .withColumn("uncert_e6",
+        round(abs(col("score") - col("thr")) * lit(1e6)).cast("long"))
+      .select(col("doc_id"), col("score"), col("thr"), col("uncert_e6"))
+      .orderBy(col("uncert_e6").asc, col("doc_id").asc)
+      .limit(n)
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = K4QualityClassifier.run(spark, sfDir)
+      .select(col("doc_id"), col("score"))
+    val best = K5ClassifierEval.run(spark, sfDir)
+      .orderBy(col("f1").desc, col("threshold").asc)
+      .limit(1)
+      .select(col("threshold").as("thr"))
+    selectOn(scored, best, n)
+  }
+
+  val oracle = Some(
+    s"""WITH ${K4QualityClassifier.scoredCte("sc")},
+       |${K5ClassifierEval.evalCtesSql},
+       |best AS (SELECT threshold AS thr FROM ev ORDER BY f1 DESC, threshold ASC LIMIT 1)
+       |SELECT sc.doc_id, sc.score, b.thr,
+       |       CAST(round(abs(sc.score - b.thr) * 1e6) AS BIGINT) AS uncert_e6
+       |FROM sc CROSS JOIN best b
+       |ORDER BY uncert_e6 ASC, doc_id ASC
+       |LIMIT $n""".stripMargin)
 }

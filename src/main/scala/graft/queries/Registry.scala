@@ -41,6 +41,7 @@ object Registry {
     K4QualityClassifier,
     K5ClassifierEval,
     K6Calibration,
+    K7UncertaintySample,
     J4RangeJoin,
     J1JoinRevenue,
     J2TopK,
@@ -140,6 +141,7 @@ object Registry {
     P13SplitManifest,
     P14BpePack,
     P15LengthBatches,
+    P16EpochShuffle,
     G1PageRank,
     G2Triangles,
     G3PageRankLsh,

@@ -224,4 +224,65 @@ class NewOpsPlanSpec extends AnyFunSuite {
     val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
     assert(bnlj <= 4, s"p12 grew unbounded nested-loop joins ($bnlj):\n$p")
   }
+
+  test("m8: decode+envelope stay in the scan; only the fingerprint window shuffles") {
+    // m7's pin applied to the audio leg: payloads never cross an exchange —
+    // the mapPartitions decode emits (doc_id, 16-bit envelope) and the
+    // single shuffle is the env_hash-keyed survivor window. No join.
+    val p = plan(M8AudioEnvelope)
+    assert(!p.contains("Join"), s"m8 acquired a join:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"m8 should shuffle exactly once (the envelope window), got $exchanges:\n$p")
+    assert(p.contains("Window"), s"m8 lost its survivor window:\n$p")
+  }
+
+  test("s12: the weighted sample is TakeOrdered over k4's scan — no global sort, no join") {
+    // k4's scoring is scan-bound (pinned above); the A-ES selection may add
+    // only a projection and a top-n. A Sort node or any join means the
+    // sample stopped being O(n) + O(n log k).
+    val p = plan(S12PropensitySample)
+    assert(p.contains("TakeOrderedAndProject"), s"s12 lost its top-n:\n$p")
+    assert(!p.contains("Join"), s"s12 acquired a join:\n$p")
+  }
+
+  test("k7: 1-row threshold broadcast + TakeOrdered — the labeling queue adds no data-sized work") {
+    // The sweep argmax is a 1-row frame crossed in via broadcast (the
+    // bounded-cross pattern); the selection is TakeOrdered. Any cartesian
+    // or a second nested loop means the composition leaked a data-sized
+    // join.
+    val p = plan(K7UncertaintySample)
+    assert(p.contains("TakeOrderedAndProject"), s"k7 lost its top-n:\n$p")
+    assert(!p.contains("CartesianProduct"), s"k7 has a cartesian:\n$p")
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj == 1, s"k7 should have exactly the 1-row threshold cross, got $bnlj:\n$p")
+  }
+
+  test("p15: the batch window is sharded — no unpartitioned window anywhere in the chain") {
+    // The length-bucket window must be keyed on (bucket, shard): a bucket
+    // is a length-class and can hold most of a corpus, so an unsharded
+    // window key is the single-task funnel at scale.
+    val p = plan(P15LengthBatches)
+    assert(!p.contains("CartesianProduct"), s"p15 has a cartesian:\n$p")
+    val windowLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.exists(l => l.contains("bucket") && l.contains("shard")),
+      s"batch window not keyed on (bucket, shard):\n$p")
+    assert(windowLines.forall(l =>
+      l.contains("shard") || l.contains("__pid") || l.contains("doc_id")),
+      s"unpartitioned window in the p15 chain:\n${windowLines.mkString("\n")}")
+  }
+
+  test("p16: positions come from the distributed Rank — __pid windows + broadcast offsets") {
+    // Every window must be partition-local (t19's pin) and the O(P) offset
+    // table must enter via a broadcast hash join, never a when-chain or a
+    // shuffled join — the two properties that let the permutation scale to
+    // billions of chunks.
+    val p = plan(P16EpochShuffle)
+    val windowLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty, s"expected the rank windows in:\n$p")
+    windowLines.foreach { l =>
+      assert(l.contains("__pid"), s"unpartitioned window (global sort at scale): $l")
+    }
+    assert(p.contains("BroadcastHashJoin"), s"offsets not broadcast-joined:\n$p")
+    assert(!p.contains("CartesianProduct"), s"p16 has a cartesian:\n$p")
+  }
 }

@@ -60,4 +60,25 @@ class PropensitySampleSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(sel.map(_.getLong(0)).toSet != uniform)
   }
+
+  test("s12 zero-weight clamp: score 0.0 never divides by zero and ranks last") {
+    import spark.implicits._
+    // 10 zero-weight docs against 10 weight-1.0 docs: the 1e-6 clamp must
+    // (a) produce finite keys — an unclamped 0 divisor would throw or yield
+    // a NULL/Infinity row the hash gate can't see consistently — and
+    // (b) push every zero-weight doc behind every weighted doc (keys ~1e6×
+    // larger), so a zero-scored doc is selected only when the budget
+    // exceeds the weighted population.
+    val scored = (0L until 20L)
+      .map(id => (id, if (id < 10L) 0.0 else 1.0)).toDF("doc_id", "score")
+    val all = S12PropensitySample.sampleOn(scored, 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(all.length == 20 && all.forall(_._3 >= 0L), "non-finite or missing keys")
+    val (zeros, ones) = all.partition(_._2 == 0.0)
+    assert(zeros.map(_._3).min > ones.map(_._3).max,
+      "a zero-weight doc outranked a weighted doc")
+    val first10 = S12PropensitySample.sampleOn(scored, 10).collect().map(_.getLong(0)).toSet
+    assert(first10 == (10L until 20L).toSet,
+      "budget <= weighted population must select no zero-weight doc")
+  }
 }

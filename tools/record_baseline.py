@@ -86,6 +86,8 @@ PLAUSIBILITY = [
     ("p12_attrition_funnel", "p5_decontaminated"),  # p12 runs p1+d9 (= p5's chain) then strips and mixes
     ("k6_calibration", "k4_quality_classifier"),  # k6 bins k4's own scored run
     ("s12_propensity_sample", "k4_quality_classifier"),  # s12 ranks k4's own scored run
+    ("k7_uncertainty_sample", "k4_quality_classifier"),  # k7 queues k4's own scored run
+    ("p16_epoch_shuffle", "p14_bpe_pack"),  # p16 invokes p14's run for the chunk universe
 ]
 
 REPS = "3"
