@@ -262,3 +262,128 @@ object S8AnnIvfSearch extends GraftQuery {
          |FROM ranked WHERE rank <= $k""".stripMargin)
   }
 }
+
+/** s13: the IVF OPERATING CURVE — recall@10 against the true top-10, per
+  * nprobe, through the s6-trained index: what k5 is to k4's threshold, this
+  * is to the ANN family's probe budget. FAISS deployments choose nprobe off
+  * exactly this table (recall vs work, per query); s8 runs the index at one
+  * pinned operating point, s13 publishes the curve that justifies it — and
+  * unlike the AnnRecallSpec demonstrations, the whole curve sits under the
+  * DuckDB hash gate.
+  *
+  * Ground truth is the EXACT top-10 — and it is linear, not quadratic: the
+  * 5 declared query vectors broadcast against the corpus (the v2/s1
+  * bounded-probe-side pattern), 5n cosines. The IVF side scores each
+  * (query, candidate) pair ONCE, carrying the candidate list's probe rank
+  * `pr`; membership in the nprobe-p search is just `pr <= p`, so the five
+  * curve points share one candidate frame and one window pass instead of
+  * five searches (the nprobe dimension is a broadcast 5-row join — the
+  * bounded-cross pattern).
+  *
+  * recall@10 is monotone in nprobe BY THEOREM, not luck: a true-top-10
+  * member inside any candidate set is automatically inside that set's
+  * top-10 (at most 9 vectors beat it anywhere), so hits = |true10 ∩ C_p|
+  * and C_p grows with p — RecallCurveSpec pins this and the nprobe=nlist
+  * endpoint (probing every list IS the exhaustive search, recall 1.0).
+  *
+  * Engine-exactness: both rankings order on the fused-vs-unrolled identical
+  * cosine with id tie-breaks (s8's argument); hits are integer counts and
+  * recall is one division of identical integers, rounded.
+  *
+  * Scale: everything is linear in the corpus and constant in the curve —
+  * one broadcast exact pass, one list-keyed candidate equi-join (fan-in
+  * n/nlist per probed list), one (nprobe, qid)-keyed window, a 25-row
+  * lattice for zero-hit totality.
+  */
+object S13AnnRecallCurve extends GraftQuery {
+  val name = "s13_ann_recall_curve"
+  val describe = "IVF operating curve: recall@10 vs exact top-10 per nprobe through the s6-trained index"
+
+  private val k = 10
+  private val nQueries = 5
+  private[queries] val nProbes = Seq(1L, 2L, 4L, 8L, 16L)
+  private val d = Embeddings.dims
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = S6AnnIvfTrained.embDoubles(spark, sfDir)
+    val cents = S6AnnIvfTrained.trainedCentroidsFor(spark, sfDir)
+    val scored = S6AnnIvfTrained.scoredAgainst(spark, e, cents)
+    val assigned = S6AnnIvfTrained.assign(spark, e, cents)
+    val pairCos = org.apache.spark.sql.graft.CosineSimilarity.cosineSimilarity(
+      col("qemb"), col("emb"))
+
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    val exact = broadcast(q).join(e, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), pairCos.as("cos"))
+      .withColumn("rk", row_number().over(wExact)).filter(col("rk") <= k)
+      .select(col("qid"), col("nid"))
+
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("list_id").asc)
+    val probes = scored.filter(col("vec_id") < nQueries)
+      .withColumn("pr", row_number().over(wProbe))
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("list_id").as("probe_list"), col("pr"))
+    val cand = probes
+      .join(assigned.select(col("vec_id").as("nid"), col("emb"), col("list_id")),
+        col("probe_list") === col("list_id") && col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("pr"), pairCos.as("cos"))
+
+    val prDf = nProbes.toDF("nprobe")
+    val wRank = Window.partitionBy(col("nprobe"), col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    val hits = cand.join(broadcast(prDf), col("pr") <= col("nprobe"))
+      .withColumn("rk", row_number().over(wRank)).filter(col("rk") <= k)
+      .join(exact, Seq("qid", "nid"), "left_semi")
+      .groupBy(col("nprobe"), col("qid")).agg(count(lit(1)).as("hits"))
+
+    val lattice = nProbes
+      .flatMap(p => (0L until nQueries.toLong).map(qi => (p, qi)))
+      .toDF("nprobe", "qid")
+    lattice.join(hits, Seq("nprobe", "qid"), "left")
+      .select(col("nprobe"), col("qid"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_at_10",
+        round(col("hits").cast("double") / lit(k.toDouble), 6))
+  }
+
+  val oracle = {
+    val cosE = s"(${VectorOps.dotSql("q.qemb", "n.emb", d)}) / " +
+      s"((${VectorOps.normSql("q.qemb", d)}) * (${VectorOps.normSql("n.emb", d)}))"
+    val probeList = nProbes.mkString("[", ", ", "]")
+    Some(
+      s"""WITH ${S6AnnIvfTrained.trainedCtesSql}${S6AnnIvfTrained.scoreBlockSql("F", s"c${S6AnnIvfTrained.iterations}")},
+         |qe AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < $nQueries),
+         |ex AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT q.qid, n.vec_id AS nid,
+         |           row_number() OVER (PARTITION BY q.qid ORDER BY $cosE DESC, n.vec_id ASC) AS rk
+         |    FROM qe q CROSS JOIN e n WHERE q.qid <> n.vec_id)
+         |  WHERE rk <= $k),
+         |qp AS (
+         |  SELECT vec_id AS qid, emb AS qemb, list_id AS probe_list,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, list_id ASC) AS pr
+         |  FROM sF WHERE vec_id < $nQueries),
+         |cand AS (
+         |  SELECT q.qid, n.vec_id AS nid, q.pr, $cosE AS cos
+         |  FROM qp q JOIN aF n ON q.probe_list = n.list_id AND q.qid <> n.vec_id),
+         |pr AS (SELECT CAST(unnest($probeList) AS BIGINT) AS nprobe),
+         |topk AS (
+         |  SELECT nprobe, qid, nid FROM (
+         |    SELECT p.nprobe, c.qid, c.nid,
+         |           row_number() OVER (PARTITION BY p.nprobe, c.qid ORDER BY c.cos DESC, c.nid ASC) AS rk
+         |    FROM cand c JOIN pr p ON c.pr <= p.nprobe) WHERE rk <= $k),
+         |h AS (
+         |  SELECT t.nprobe, t.qid, CAST(count(*) AS BIGINT) AS hits
+         |  FROM topk t JOIN ex ON t.qid = ex.qid AND t.nid = ex.nid
+         |  GROUP BY 1, 2),
+         |lat AS (SELECT p.nprobe, q.qid FROM pr p CROSS JOIN (SELECT DISTINCT qid FROM qe) q)
+         |SELECT l.nprobe, l.qid, coalesce(h.hits, CAST(0 AS BIGINT)) AS hits,
+         |       round(coalesce(h.hits, 0) / ${k.toDouble}, 6) AS recall_at_10
+         |FROM lat l LEFT JOIN h ON l.nprobe = h.nprobe AND l.qid = h.qid""".stripMargin)
+  }
+}

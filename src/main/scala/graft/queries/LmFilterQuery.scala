@@ -41,7 +41,13 @@ object T19LmFilter extends GraftQuery {
   private[queries] val refSources = Seq("src0", "src1", "src2", "src3", "src4")
   private def refSqlList = refSources.map(s => s"'$s'").mkString(", ")
 
-  def run(spark: SparkSession, sfDir: String): DataFrame = {
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    // Shared stage output: t26's disagreement audit reads the same scored
+    // buckets this query publishes, so an enabled Materialize run trains
+    // and ranks once (k4's k4_scored treatment applied to the LM filter).
+    graft.Materialize.table(spark, "t19_buckets", sfDir)(build(spark, sfDir))
+
+  private def build(spark: SparkSession, sfDir: String): DataFrame = {
     val docToks = graft.CacheScope.persisted(Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("toks")))
     val m = size(col("toks")) - 1
@@ -82,36 +88,48 @@ object T19LmFilter extends GraftQuery {
           .otherwise("tail").as("bucket"))
   }
 
-  val oracle = Some(
-    s"""WITH th AS (SELECT doc_id, source, ${TextOps.tokensSql("text")} AS toks FROM documents),
-       |occ AS MATERIALIZED (
+  /** The full filter chain as CTEs ending in
+    * `<out>(doc_id, n_bigrams, oov_frac, avg_logp, bucket)` — t19's own
+    * oracle body with every CTE name carrying prefix `p`, so a composed
+    * consumer (t26's disagreement audit) can sit it beside k4/k5's chains
+    * without name collisions (k5's thresholds CTE is also `th` — exactly
+    * the memory'd CTE-collision hazard the prefix removes).
+    */
+  private[queries] def filterCtesSql(p: String, out: String): String =
+    s"""${p}th AS (SELECT doc_id, source, ${TextOps.tokensSql("text")} AS toks FROM documents),
+       |${p}occ AS MATERIALIZED (
        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
        |         unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
-       |  FROM th WHERE len(toks) >= 2),
-       |refdoc AS (SELECT doc_id FROM th WHERE source IN ($refSqlList)),
-       |bc AS (SELECT o.w1, o.w2, count(*) AS cb FROM occ o JOIN refdoc r ON o.doc_id = r.doc_id GROUP BY 1, 2),
-       |uc AS (
+       |  FROM ${p}th WHERE len(toks) >= 2),
+       |${p}refdoc AS (SELECT doc_id FROM ${p}th WHERE source IN ($refSqlList)),
+       |${p}bc AS (SELECT o.w1, o.w2, count(*) AS cb FROM ${p}occ o JOIN ${p}refdoc r ON o.doc_id = r.doc_id GROUP BY 1, 2),
+       |${p}uc AS (
        |  SELECT w, count(*) AS cw
-       |  FROM (SELECT unnest(t.toks) AS w FROM th t JOIN refdoc r ON t.doc_id = r.doc_id)
+       |  FROM (SELECT unnest(t.toks) AS w FROM ${p}th t JOIN ${p}refdoc r ON t.doc_id = r.doc_id)
        |  GROUP BY 1),
-       |v AS (SELECT count(*) AS v FROM uc),
-       |scored AS (
+       |${p}v AS (SELECT count(*) AS v FROM ${p}uc),
+       |${p}scored AS (
        |  SELECT o.doc_id, count(*) AS n_bigrams,
        |         round(CAST(sum(CASE WHEN c.cb IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS oov_frac,
        |         ${graft.functions.Rounding.exactAvgSql(
-            "ln((COALESCE(c.cb, 0) + 1.0) / (COALESCE(u.cw, 0) + v.v))", 12, 4)} AS avg_logp
-       |  FROM occ o
-       |  LEFT JOIN bc c ON o.w1 = c.w1 AND o.w2 = c.w2
-       |  LEFT JOIN uc u ON o.w1 = u.w
-       |  CROSS JOIN v
+            s"ln((COALESCE(c.cb, 0) + 1.0) / (COALESCE(u.cw, 0) + v.v))", 12, 4)} AS avg_logp
+       |  FROM ${p}occ o
+       |  LEFT JOIN ${p}bc c ON o.w1 = c.w1 AND o.w2 = c.w2
+       |  LEFT JOIN ${p}uc u ON o.w1 = u.w
+       |  CROSS JOIN ${p}v v
        |  GROUP BY o.doc_id),
-       |n AS (SELECT count(*) AS n FROM scored),
-       |ranked AS (
+       |${p}n AS (SELECT count(*) AS n FROM ${p}scored),
+       |${p}ranked AS (
        |  SELECT s.*, CAST(row_number() OVER (ORDER BY s.avg_logp DESC, s.doc_id ASC) AS BIGINT) AS rk
-       |  FROM scored s)
-       |SELECT r.doc_id, r.n_bigrams, r.oov_frac, r.avg_logp,
-       |       CASE WHEN r.rk * 3 <= n.n THEN 'head'
-       |            WHEN r.rk * 3 <= n.n * 2 THEN 'middle'
-       |            ELSE 'tail' END AS bucket
-       |FROM ranked r CROSS JOIN n""".stripMargin)
+       |  FROM ${p}scored s),
+       |$out AS (
+       |  SELECT r.doc_id, r.n_bigrams, r.oov_frac, r.avg_logp,
+       |         CASE WHEN r.rk * 3 <= n.n THEN 'head'
+       |              WHEN r.rk * 3 <= n.n * 2 THEN 'middle'
+       |              ELSE 'tail' END AS bucket
+       |  FROM ${p}ranked r CROSS JOIN ${p}n n)""".stripMargin
+
+  val oracle = Some(
+    s"""WITH ${filterCtesSql("", "fb")}
+       |SELECT doc_id, n_bigrams, oov_frac, avg_logp, bucket FROM fb""".stripMargin)
 }

@@ -87,6 +87,7 @@ object Registry {
     S9AnnFiltered,
     S10MmrSelect,
     S11AnnIvfPq,
+    S13AnnRecallCurve,
     T1LangId,
     T2Quality,
     T3TokenCount,
@@ -104,6 +105,7 @@ object Registry {
     T17CorpusCard,
     T18SourceOverlap,
     T19LmFilter,
+    T26FilterAgreement,
     T20PiiScan,
     T21MarkupStrip,
     T22GopherRules,
@@ -175,6 +177,7 @@ object Registry {
       D7DupClusters.run(spark, sfDir)
       D5EmbedDedup.run(spark, sfDir)
       K4QualityClassifier.run(spark, sfDir)
+      T19LmFilter.run(spark, sfDir)
       T12BpeMerges.encodedCorpus(spark, sfDir)
       P1CleanCorpus.dispositions(spark, sfDir)
       D9Contamination.run(spark, sfDir)

@@ -88,6 +88,8 @@ PLAUSIBILITY = [
     ("s12_propensity_sample", "k4_quality_classifier"),  # s12 ranks k4's own scored run
     ("k7_uncertainty_sample", "k4_quality_classifier"),  # k7 queues k4's own scored run
     ("p16_epoch_shuffle", "p14_bpe_pack"),  # p16 invokes p14's run for the chunk universe
+    ("s13_ann_recall_curve", "s8_ann_ivf_search"),  # s13 = s8's search shape x 5 curve points + the exact pass, same trained index
+    ("t26_filter_agreement", "k4_quality_classifier"),  # t26 joins k4's own scored run (t19 side has its own stage)
 ]
 
 REPS = "3"
