@@ -317,9 +317,19 @@ object Bench {
     // The headline total includes them: under sharing the per-query minima
     // measure consumer cost given materialized stages, and the one-time
     // builds are the rest of the pipeline's real work.
-    val sharedBuilds: Map[String, Double] = Materialize.buildCosts.collect {
-      case (k, v) if k.endsWith("@" + sfDir) => k.takeWhile(_ != '@') -> v
-    }
+    // Attribution splits each key on its LAST '@' and compares the srcDir
+    // component by canonical path — a suffix-matching endsWith would misfold
+    // a warmup/slope dir whose path string happens to suffix the measured
+    // dir, or miss relative-vs-absolute spellings of the same dir.
+    val sfCanon = new java.io.File(sfDir).getCanonicalPath
+    val sharedBuilds: Map[String, Double] = Materialize.buildCosts.toSeq.flatMap {
+      case (k, v) =>
+        val i = k.lastIndexOf('@')
+        if (i < 0) None
+        else if (new java.io.File(k.substring(i + 1)).getCanonicalPath == sfCanon)
+          Some(k.substring(0, i) -> v)
+        else None
+    }.toMap
     val sharedTotal = sharedBuilds.values.sum
     val sharedJson =
       if (!shared) """{"enabled":false}"""

@@ -24,12 +24,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     callers): [[table]] is the identity — the builder composes lazily
   *     into the caller's plan exactly as before. Zero behavior change.
   *   - ENABLED ([[enable]]; Verify/Bench turn it on for their own run): the
-  *     first request for a stage builds it ONCE and writes parquet under a
-  *     fresh per-process temp root; every later request — from any query in
-  *     the run — reads the parquet. Keys include the source dir, so
-  *     sf0.001/0.01/0.1 never cross-contaminate, and the root is created
-  *     per JVM, so a stale artifact from an older code version can never
-  *     satisfy a read.
+  *     first request for a stage builds it ONCE and writes parquet under the
+  *     run root; every later request — from any query in the run — reads
+  *     the parquet. Keys include the source dir, so sf0.001/0.01/0.1 never
+  *     cross-contaminate.
+  *
+  * Two root modes:
+  *   - [[enable]] (no args): a fresh temp dir per JVM — run-scoped by
+  *     construction, so a stale artifact from an older code version can
+  *     never satisfy a read. What Verify/Bench use.
+  *   - [[enableAt]](root, token): an explicit root (the object-store mount
+  *     in production) guarded by a token file. The token is the caller's
+  *     code/release fingerprint: a root stamped with a DIFFERENT token is
+  *     REJECTED with an error rather than silently served — stale stage
+  *     parquet from an older pipeline release never reaches a reader. Same
+  *     token → warm-cache reuse across processes, which is the point of an
+  *     explicit root.
+  *
+  * Builds are locked PER STAGE KEY, not globally: two threads (or two
+  * queries in a parallel driver) building DISTINCT stages proceed
+  * concurrently; two requests for the SAME stage serialize and the loser
+  * reads the winner's parquet.
   *
   * Correctness is unchanged by construction: the builder is the exact frame
   * the query would have computed, parquet round-trips every type the stages
@@ -44,6 +59,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Materialize {
   @volatile private var root: Option[java.io.File] = None
   private val builds = scala.collection.concurrent.TrieMap.empty[String, Double]
+  private val keyLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
+  private val TokenFile = "_GRAFT_TOKEN"
 
   /** Turn sharing on for this JVM (idempotent). The root is a fresh temp
     * dir per process — run-scoped by construction.
@@ -51,6 +68,28 @@ object Materialize {
   def enable(): Unit = synchronized {
     if (root.isEmpty)
       root = Some(Files.createTempDirectory("graft_stage_").toFile)
+  }
+
+  /** Turn sharing on over an EXPLICIT root (production: the object-store
+    * mount). `token` identifies the code/release that owns the artifacts;
+    * a root already stamped with a different token is rejected — reusing
+    * stage parquet across releases is exactly the staleness the temp-dir
+    * mode rules out by construction, so the explicit mode must rule it out
+    * by check.
+    */
+  def enableAt(rootDir: java.io.File, token: String): Unit = synchronized {
+    require(token.nonEmpty, "Materialize.enableAt: token must be non-empty")
+    rootDir.mkdirs()
+    val tf = new java.io.File(rootDir, TokenFile)
+    if (tf.exists()) {
+      val existing = new String(Files.readAllBytes(tf.toPath), "UTF-8")
+      if (existing != token)
+        throw new IllegalStateException(
+          s"Materialize root ${rootDir.getAbsolutePath} is stamped with token " +
+            s"'$existing' but this run is '$token' — stale stage artifacts from " +
+            "another release; point at a fresh root or clear this one.")
+    } else Files.write(tf.toPath, token.getBytes("UTF-8"))
+    root = Some(rootDir)
   }
 
   /** Turn sharing off (tests that pin UNSHARED plan shapes rely on the
@@ -65,18 +104,33 @@ object Materialize {
 
   private def slug(s: String) = s.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** Directory name for a stage: readable slugs PLUS a hash of the raw
+    * (name, srcDir) pair. slug() is lossy ('/' and '_' both slug to '_',
+    * and the '__' separator is itself producible), so the hash — computed
+    * on a length-prefixed encoding, injective by construction since the
+    * prefix delimits `name` exactly — is what makes the mapping collision
+    * free; the slugs are only for humans reading the root.
+    */
+  private def stageDirName(name: String, srcDir: String): String = {
+    val h = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"${name.length}:$name$srcDir"))
+    s"${slug(name)}__${slug(srcDir)}__$h"
+  }
+
   /** The stage named `name` over inputs from `srcDir`: built (and written)
     * exactly once per enabled run, read thereafter; just `build` when
     * sharing is off. The builder executes EAGERLY on the build path (the
     * parquet write runs inside this call), so a caller can force
-    * materialization by calling and discarding.
+    * materialization by calling and discarding. Distinct stage keys build
+    * concurrently; same-key requests serialize on a per-key lock.
     */
   def table(spark: SparkSession, name: String, srcDir: String)(build: => DataFrame): DataFrame =
     root match {
       case None => build
       case Some(r) =>
-        val dir = new java.io.File(r, s"${slug(name)}__${slug(srcDir)}")
-        synchronized {
+        val dirName = stageDirName(name, srcDir)
+        val dir = new java.io.File(r, dirName)
+        keyLocks.getOrElseUpdate(dirName, new Object).synchronized {
           if (!new java.io.File(dir, "_SUCCESS").exists()) {
             val t0 = System.nanoTime()
             build.write.mode("overwrite").parquet(dir.getAbsolutePath)

@@ -55,9 +55,12 @@ object SnapshotMerge {
     * it is a debug/staging switch, not an always-on tax.
     */
   private def requireUniqueKeys(df: DataFrame, key: String, side: String): DataFrame = {
+    // NULL keys never match in the equi-join and cannot fan out, so they are
+    // exempt: the count window would otherwise pool every NULL-keyed row into
+    // one partition and reject inputs the merge itself handles fine.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
     df.withColumn("__kc", count(lit(1)).over(w))
-      .filter(assert_true(col("__kc") === 1,
+      .filter(assert_true(col(key).isNull || col("__kc") === 1,
         concat(lit(s"SnapshotMerge: duplicate merge key '$key' in $side " +
           s"(reduceDelta the batch first); offending key = "),
           col(key).cast("string"))).isNull)

@@ -406,13 +406,22 @@ object P16EpochShuffle extends GraftQuery {
         col("rk").as("position"))
   }
 
-  def run(spark: SparkSession, sfDir: String): DataFrame = {
-    // 1-row aggregate: the chunk-count scalar, not data, crosses the driver.
-    val maxChunk = P14BpePack.run(spark, sfDir)
-      .agg(max(col("end_chunk"))).collect()(0).getLong(0)
-    val chunks = spark.range(0, maxChunk + 1).toDF("chunk")
+  /** Schedule over an explicit pack table — the seam the empty-corpus pin
+    * uses. 1-row aggregate: the chunk-count scalar, not data, crosses the
+    * driver. max() is NULL on an empty pack table (empty/degenerate corpus)
+    * — that is an empty schedule, not an NPE.
+    */
+  private[queries] def schedule(spark: SparkSession, packed: DataFrame): DataFrame = {
+    val maxRow = packed.agg(max(col("end_chunk"))).collect()(0)
+    if (maxRow.isNullAt(0))
+      return spark.range(0)
+        .select(col("id").as("epoch"), col("id").as("chunk"), col("id").as("position"))
+    val chunks = spark.range(0, maxRow.getLong(0) + 1).toDF("chunk")
     (0 until epochs).map(shuffleEpoch(chunks, _)).reduce(_.union(_))
   }
+
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    schedule(spark, P14BpePack.run(spark, sfDir))
 
   val oracle = Some(
     s"""WITH ${T12BpeMerges.trainedCorpusCtesSql},

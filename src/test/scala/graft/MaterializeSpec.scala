@@ -51,4 +51,69 @@ class MaterializeSpec extends AnyFunSuite {
     assert(out eq df, "disabled table() must return the builder frame itself")
     assert(Materialize.buildCosts.keySet.forall(!_.startsWith("identity_probe")))
   }
+
+  test("per-key locking: distinct stages build concurrently, same stage builds once") {
+    import org.apache.spark.sql.functions._
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    assert(!Materialize.enabled)
+    Materialize.enable()
+    try {
+      // Two DISTINCT stages whose builders block until BOTH are in flight:
+      // under the old global lock the second builder can never start while
+      // the first is inside table(), so the latch would time out.
+      val bothStarted = new CountDownLatch(2)
+      def blockingBuild(n: Int) = {
+        bothStarted.countDown()
+        assert(bothStarted.await(30, TimeUnit.SECONDS),
+          "second distinct-stage build never started — builds are serialized globally")
+        spark.range(n).toDF("id")
+      }
+      val t1 = new Thread(() =>
+        Materialize.table(spark, "conc_a", "dirA")(blockingBuild(3)).count())
+      val t2 = new Thread(() =>
+        Materialize.table(spark, "conc_b", "dirB")(blockingBuild(4)).count())
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      Seq(t1, t2).foreach(_.setUncaughtExceptionHandler((_, e) => errs.add(e)))
+      t1.start(); t2.start(); t1.join(60000); t2.join(60000)
+      assert(errs.isEmpty, s"concurrent builds failed: ${errs.toArray.mkString(";")}")
+      // Same stage requested again: served from parquet, builder NOT re-run.
+      var reran = false
+      val again = Materialize.table(spark, "conc_a", "dirA") {
+        reran = true; spark.range(99).toDF("id")
+      }
+      assert(!reran && again.count() == 3)
+    } finally { Materialize.disable() }
+  }
+
+  test("stage dir key is injective: slug-colliding (name, srcDir) pairs get distinct dirs") {
+    // Both pairs slug to identical readable parts ('/' and '_' both -> '_');
+    // only the raw-key hash separates them. Serving one for the other would
+    // silently hand a consumer the wrong stage's parquet.
+    Materialize.enable()
+    try {
+      val a = Materialize.table(spark, "st_x", "dir/a")(spark.range(2).toDF("id"))
+      val b = Materialize.table(spark, "st_x", "dir_a")(spark.range(7).toDF("id"))
+      assert(a.count() == 2 && b.count() == 7, "slug collision served the wrong stage")
+    } finally { Materialize.disable() }
+  }
+
+  test("enableAt: explicit root reuses same-token artifacts, REJECTS a stale root") {
+    val root = java.nio.file.Files.createTempDirectory("graft_root_").toFile
+    Materialize.enableAt(root, "release-1")
+    try {
+      assert(Materialize.table(spark, "warm", "d")(spark.range(5).toDF("id")).count() == 5)
+    } finally { Materialize.disable() }
+    // Same token, new process-equivalent enable: warm artifact served, no rebuild.
+    Materialize.enableAt(root, "release-1")
+    try {
+      var reran = false
+      val warm = Materialize.table(spark, "warm", "d") {
+        reran = true; spark.range(9).toDF("id")
+      }
+      assert(!reran && warm.count() == 5, "same-token root must serve the warm artifact")
+    } finally { Materialize.disable() }
+    // Different token: the root is stale for this run — hard rejection.
+    val ex = intercept[IllegalStateException](Materialize.enableAt(root, "release-2"))
+    assert(ex.getMessage.contains("release-1") && !Materialize.enabled)
+  }
 }

@@ -51,4 +51,12 @@ class EpochShuffleSpec extends AnyFunSuite {
     assert(fixed < n / 4,
       s"epoch orders too correlated: $fixed of $n chunks kept their position")
   }
+
+  test("p16: an EMPTY pack table yields an empty schedule, not an NPE") {
+    import org.apache.spark.sql.functions._
+    val emptyPack = spark.range(0).select(col("id").as("end_chunk"))
+    val out = P16EpochShuffle.schedule(spark, emptyPack)
+    assert(out.columns.toSeq == Seq("epoch", "chunk", "position"))
+    assert(out.count() == 0)
+  }
 }

@@ -214,6 +214,19 @@ class SnapshotMergeSpec extends AnyFunSuite {
       Seq((1L, 10L, "carried"), (2L, 21L, "updated"), (3L, 30L, "inserted")))
   }
 
+  test("checkUnique guard: multiple NULL-keyed rows PASS — NULLs never match the equi-join") {
+    import spark.implicits._
+    // NULL keys can't fan out (the join never matches them), so the guard
+    // must not reject an input the merge itself handles.
+    val base = Seq((Some(1L), 10L), (None, 97L), (None, 98L)).toDF("k", "v")
+    val delta = Seq((Some(1L), 11L), (None, 99L)).toDF("k", "v")
+    val got = SnapshotMerge.merge(base, delta, "k", Seq("v"), checkUnique = true)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    // each NULL row survives independently: 2 carried from base, 1 inserted
+    assert(got == Seq((-1L, 97L), (-1L, 98L), (-1L, 99L), (1L, 11L)), got.toString)
+  }
+
   test("updated/inserted rows carry the exact +10% integer-cents price") {
     val rows = Q25SnapshotMerge.run(spark, TestSpark.sf0001).collect()
     val orig = graft.Tables.orders(spark, TestSpark.sf0001)
