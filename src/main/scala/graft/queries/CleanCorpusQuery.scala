@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -29,11 +28,13 @@ import graft.operators.TextOps
   *
   * Scale shape: each stage narrows the next stage's input — shingling and
   * LSH run on the post-filter survivor set only (on web corpora the quality
-  * gate alone drops 20-50%). Stage 1 is scan-bound; stage 2 is ONE window
-  * aggregate, hash-partitioned on the content hash (no survivor-map join,
-  * nothing broadcast — md5 groups are tiny, so the per-partition sort is
-  * noise); stage 3 inherits d2/d4/d7's banded-join + pair-list-propagation
-  * shapes. The disposition union is append-only column arithmetic.
+  * gate alone drops 20-50%). Stage 1 is scan-bound; stage 2 is a map-side-
+  * combinable groupBy on the content hash + a hash-keyed rejoin (bounded
+  * per-task state under any duplicate-family mass — web corpora have
+  * families with millions of copies, and a hash-partitioned window would
+  * put each family in one task); stage 3 inherits d2/d4/d7's banded-join +
+  * pair-list-propagation shapes. The disposition union is append-only
+  * column arithmetic.
   *
   * Threshold discipline: the quality gate compares the ROUNDED score
   * (round 6) on both engines — t2's hash match proves round-6 agreement,
@@ -83,11 +84,17 @@ object P1CleanCorpus extends GraftQuery {
     val lowq = scored.filter(col("quality") < qualityThreshold)
       .select(col("doc_id"), col("quality"),
         lit("low_quality").as("status"), lit(null).cast("long").as("survivor"))
-    // Stage 2: exact dedup among quality survivors — one window aggregate
-    // keyed on the content hash (single shuffle; no join back).
-    val ex = scored.filter(col("quality") >= qualityThreshold)
-      .withColumn("surv_id",
-        min(col("doc_id")).over(Window.partitionBy(Portable.md5Hex(col("text")))))
+    // Stage 2: exact dedup among quality survivors — map-side-combinable
+    // groupBy on the content hash + a hash-keyed rejoin. NOT a window: a
+    // window partitioned by the hash puts a whole duplicate family in one
+    // task, and web-scale corpora have families with millions of copies;
+    // the partial aggregate bounds per-task state under any family mass and
+    // the join streams the probe side (both reads of `qual` hit the
+    // persisted `scored` cache).
+    val qual = scored.filter(col("quality") >= qualityThreshold)
+      .withColumn("__h", Portable.md5Hex(col("text")))
+    val surv = qual.groupBy(col("__h")).agg(min(col("doc_id")).as("surv_id"))
+    val ex = qual.join(surv, "__h").drop("__h")
     val exdup = ex.filter(col("doc_id") =!= col("surv_id"))
       .select(col("doc_id"), col("quality"),
         lit("exact_dup").as("status"), col("surv_id").as("survivor"))

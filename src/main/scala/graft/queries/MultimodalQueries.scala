@@ -331,8 +331,8 @@ object M4VideoDedup extends GraftQuery {
   * is computed from the decoded pixels (grayscale → 4×4 cell lattice by
   * index scaling → one bit per cell, cell mean vs image mean compared
   * CROSS-MULTIPLIED so no division ever rounds — every bit exact integer
-  * arithmetic), and images collapse on identical fingerprints via one
-  * md5-window-style aggregate keyed on the 16-bit hash.
+  * arithmetic), and images collapse on identical fingerprints via a
+  * map-side-combinable groupBy + fingerprint-keyed rejoin (d1's shape).
   *
   * The oracle replays the whole construction from the text alone (the m5
   * discipline): raster bytes → grayscale → cell sums → cross-multiplied
@@ -340,9 +340,11 @@ object M4VideoDedup extends GraftQuery {
   * boundary, or a rounding division anywhere flips the gate.
   *
   * Scale: decode + hash run inside the scan partition (the payload never
-  * shuffles; only doc_id + 16 bits continue), then ONE window aggregate
-  * keyed on the fingerprint — the standard first stage of perceptual dedup
-  * at billions of images. Production widens to 8×8/64 bits and adds a
+  * shuffles; only doc_id + 16 bits continue), then a partial-aggregated
+  * groupBy + keyed rejoin — per-task state stays bounded under ANY
+  * fingerprint-bucket mass (a 16-bit key at billions of images means
+  * millions of rows per bucket; a bucket-partitioned window would put each
+  * bucket in one task), the standard first stage of perceptual dedup. Production widens to 8×8/64 bits and adds a
   * hamming-ball verify within buckets (d6's banding shape); the
   * fingerprint-and-group contract is identical.
   */
@@ -352,16 +354,22 @@ object M7ImagePhash extends GraftQuery {
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     import graft.operators.Multimodal
     val media = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) => Multimodal.MediaRecord(id, Multimodal.ppmFixturePayload(t)) }
-    val w = Window.partitionBy(col("phash"))
-    Multimodal.imagePhashes(media).toDF()
-      .select(col("doc_id"), col("phash"),
-        min(col("doc_id")).over(w).as("survivor"),
-        count(lit(1)).over(w).as("n_same"))
+    // Survivor collapse as map-side-combinable groupBy + fingerprint-keyed
+    // rejoin, NOT a full-partition window: a window keyed on the 16-bit
+    // fingerprint puts every row of a bucket in ONE task — ≥millions of rows
+    // per bucket at 100 TB — while partial aggregation bounds per-task state
+    // regardless of bucket mass and the join STREAMS the probe side. The
+    // fingerprint frame is persisted so the decode runs once, not once per
+    // join side.
+    val hashes = graft.CacheScope.persisted(Multimodal.imagePhashes(media).toDF())
+    val groups = hashes.groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("survivor"), count(lit(1)).as("n_same"))
+    hashes.join(groups, "phash")
+      .select(col("doc_id"), col("phash"), col("survivor"), col("n_same"))
   }
 
   val oracle = Some(
@@ -415,7 +423,7 @@ object M7ImagePhash extends GraftQuery {
   * its amplitude envelope quantized into a 16-bit fingerprint
   * ([[graft.operators.Multimodal.audioEnvelopes]] — 8 windows × 2 bits,
   * exact integer arithmetic), and clips collapse on identical envelopes
-  * via the m7 survivor window.
+  * via the m7 survivor collapse (groupBy + rejoin).
   *
   * The oracle replays the whole construction from the text alone (the
   * m5/m6 discipline: fixture samples are the document's byte values):
@@ -425,8 +433,8 @@ object M7ImagePhash extends GraftQuery {
   * a rounding division anywhere flips the gate.
   *
   * Scale: decode + envelope inside the scan partition (payloads never
-  * shuffle; 16 bits per clip continue), one window aggregate on the
-  * fingerprint — identical shape and cost model to m7.
+  * shuffle; 16 bits per clip continue), partial-aggregated groupBy +
+  * keyed rejoin — identical shape and cost model to m7.
   */
 object M8AudioEnvelope extends GraftQuery {
   val name = "m8_audio_envelope"
@@ -434,16 +442,18 @@ object M8AudioEnvelope extends GraftQuery {
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     import graft.operators.Multimodal
     val media = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) => Multimodal.MediaRecord(id, Multimodal.wavFixturePayload(t)) }
-    val w = Window.partitionBy(col("env_hash"))
-    Multimodal.audioEnvelopes(media).toDF()
-      .select(col("doc_id"), col("env_hash"),
-        min(col("doc_id")).over(w).as("survivor"),
-        count(lit(1)).over(w).as("n_same"))
+    // groupBy + rejoin, not a full-partition window — m7's scale argument
+    // (bounded per-task state under any fingerprint-bucket mass) applies
+    // verbatim to the 16-bit envelope hash.
+    val envs = graft.CacheScope.persisted(Multimodal.audioEnvelopes(media).toDF())
+    val groups = envs.groupBy(col("env_hash"))
+      .agg(min(col("doc_id")).as("survivor"), count(lit(1)).as("n_same"))
+    envs.join(groups, "env_hash")
+      .select(col("doc_id"), col("env_hash"), col("survivor"), col("n_same"))
   }
 
   val oracle = Some(

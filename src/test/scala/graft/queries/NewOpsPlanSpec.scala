@@ -193,15 +193,21 @@ class NewOpsPlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"p13 should shuffle exactly once (the (split,source) aggregate), got $exchanges:\n$p")
   }
 
-  test("m7: decode+hash stay in the scan; only the fingerprint window shuffles") {
+  test("m7: decode+hash stay in the scan; survivor collapse is groupBy + keyed rejoin, no window") {
     // The payload must never cross an exchange — the mapPartitions decode
-    // emits (doc_id, phash) and the single shuffle is the phash-keyed
-    // survivor window. No join anywhere.
+    // emits (doc_id, phash); the collapse is a map-side-combinable
+    // groupBy(phash) + a phash-keyed rejoin. NO full-partition window (a
+    // 16-bit-keyed window puts a whole bucket in one task at scale). The
+    // rejoin costs exactly one extra exchange on the same key — assert
+    // that's the ONLY one added (2 total), and the join is keyed.
     val p = plan(M7ImagePhash)
-    assert(!p.contains("Join"), s"m7 acquired a join:\n$p")
+    assert(!p.contains("Window"), s"m7 kept a full-partition survivor window:\n$p")
+    assert(p.contains("Join"), s"m7 lost its survivor rejoin:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"m7's rejoin degenerated to a non-keyed join:\n$p")
     val exchanges = p.linesIterator.count(_.contains("Exchange"))
-    assert(exchanges == 1, s"m7 should shuffle exactly once (the phash window), got $exchanges:\n$p")
-    assert(p.contains("Window"), s"m7 lost its survivor window:\n$p")
+    assert(exchanges == 2,
+      s"m7 should shuffle exactly twice (probe + partial-agg, both on phash), got $exchanges:\n$p")
   }
 
   test("k6: calibration is k4's scan plus one bounded aggregate — no join beyond k4's own shape") {
@@ -225,15 +231,18 @@ class NewOpsPlanSpec extends AnyFunSuite {
     assert(bnlj <= 4, s"p12 grew unbounded nested-loop joins ($bnlj):\n$p")
   }
 
-  test("m8: decode+envelope stay in the scan; only the fingerprint window shuffles") {
+  test("m8: decode+envelope stay in the scan; survivor collapse is groupBy + keyed rejoin, no window") {
     // m7's pin applied to the audio leg: payloads never cross an exchange —
-    // the mapPartitions decode emits (doc_id, 16-bit envelope) and the
-    // single shuffle is the env_hash-keyed survivor window. No join.
+    // the mapPartitions decode emits (doc_id, 16-bit envelope); collapse =
+    // groupBy(env_hash) + keyed rejoin, 2 exchanges total, no window.
     val p = plan(M8AudioEnvelope)
-    assert(!p.contains("Join"), s"m8 acquired a join:\n$p")
+    assert(!p.contains("Window"), s"m8 kept a full-partition survivor window:\n$p")
+    assert(p.contains("Join"), s"m8 lost its survivor rejoin:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"m8's rejoin degenerated to a non-keyed join:\n$p")
     val exchanges = p.linesIterator.count(_.contains("Exchange"))
-    assert(exchanges == 1, s"m8 should shuffle exactly once (the envelope window), got $exchanges:\n$p")
-    assert(p.contains("Window"), s"m8 lost its survivor window:\n$p")
+    assert(exchanges == 2,
+      s"m8 should shuffle exactly twice (probe + partial-agg, both on env_hash), got $exchanges:\n$p")
   }
 
   test("s12: the weighted sample is TakeOrdered over k4's scan — no global sort, no join") {
