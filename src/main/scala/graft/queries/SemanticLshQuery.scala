@@ -15,7 +15,7 @@ import graft.operators.VectorOps
   *   1. CANDIDATES: s2's sign-LSH construction — L independent tables of
   *      `nPlanes` seeded hyperplanes; each vector lands in one bucket per
   *      table, and the probe side additionally visits every bucket within
-  *      Hamming radius 2 (1- and 2-bit flips). A candidate pair is two vectors sharing
+  *      Hamming radius `probeRadius`. A candidate pair is two vectors sharing
   *      a probed bucket in ANY table (canonical a < b on the probe side, so
   *      each pair surfaces once per colliding table/probe before DISTINCT).
   *   2. VERIFY: exact cosine (the codegen'd CosineSimilarity expression,
@@ -32,23 +32,32 @@ import graft.operators.VectorOps
   * and the probe radius buy recall — every knob is a constant here and an
   * argument in a deployment. Verification touches candidates only, and the
   * propagation working set is the verified pair list. Nothing is O(n²).
-  * At TEST scale the win inverts, deliberately: 4 planes = 16 buckets, and
-  * radius-2 probes 11 of them per table, so the candidate set approaches
-  * all-pairs and d16 benches SLOWER than the exact d5 tiling — the
-  * crossover arrives with the plane count (e.g. 16 planes probe
-  * 137/65,536 ≈ 0.2% of buckets), which is a config change, not a code
-  * change. The structural guarantee the plan pin holds is what scales:
-  * candidates come from keyed equi-joins, never a quadratic operator.
+  *
+  * OPERATING POINT — 8 planes × 6 tables × radius 3 — is MEASURED, not
+  * argued: the round-11 sf1-equivalent probe (SCALE_SLOPE_r11.json; 20k
+  * vectors, 426k true pairs) ran this same chain at the old 4×3×r2 and at
+  * 8×6×r3, and the widened config delivered HIGHER recall (99.80% vs
+  * 99.64%) in 4.4× LESS wall. The mechanism: chance collisions fall
+  * exponentially with the plane count (2^planes buckets), while tables and
+  * probe radius buy recall back at linear cost — finer buckets + wider
+  * probing dominates coarse buckets wherever bucket occupancy matters.
+  * Sizing rule for other corpora: pick planes ≈ log2(n / target bucket
+  * occupancy) (keep expected occupancy in the hundreds), then raise
+  * tables/radius until the recall floor holds; all three are knobs of
+  * [[verifiedPairsWith]], and D16CrossoverSpec runs the sweep through the
+  * declared chain itself. The structural guarantee the plan pin holds is
+  * what scales: candidates come from keyed equi-joins, never a quadratic
+  * operator.
   *
   * Recall: sign-LSH at cosine 0.35 (≈ 70°) is a hard regime — per-plane
-  * agreement p ≈ 0.61, so one 4-plane table alone catches p⁴ ≈ 14% of true
-  * pairs, and radius-1 probing still misses ~6% (which COMPONENTS cannot
-  * tolerate: one missed bridge edge splits a cluster — measured
-  * co-membership recall 0.57 at radius 1). Three tables × radius-2
-  * multi-probe puts worst-case per-pair capture at 1−(1−0.85)³ ≈ 0.997;
-  * measured at sf0.01: 0.996 pair recall, 0.979 co-membership recall vs
-  * exact d10 (floors 0.90 pinned in SemanticLshRecallSpec, the
-  * AnnRecallSpec discipline).
+  * agreement p ≈ 0.61, so one 8-plane table alone catches only p⁸ ≈ 2% of
+  * true pairs; 6 tables × radius-3 multi-probe (93 of 256 buckets per
+  * table) is what drives per-pair capture toward 1. COMPONENTS are why the
+  * radius is generous: one missed bridge edge splits a cluster and erases
+  * thousands of co-memberships (measured co-membership recall 0.57 at
+  * radius 1 on 4-plane tables). Floors 0.90 for pair AND co-membership
+  * recall vs exact d5/d10 are pinned in SemanticLshRecallSpec (the
+  * AnnRecallSpec discipline), measured ≥0.99 at sf0.01 at this config.
   *
   * Determinism: bucket ids are integer sums of sign tests on inlined plane
   * constants (identical in both engines — s2's argument), the verify cosine
@@ -62,23 +71,26 @@ object D16SemanticLshClusters extends GraftQuery {
 
   private val d = Embeddings.dims
   private[queries] val threshold = D5EmbedDedup.threshold
-  private val nPlanes = 4
-  private val tableSeeds = Seq(42L, 1042L, 2042L)
-  private val tables = tableSeeds.map(s => VectorOps.hyperplanes(nPlanes, d, s))
 
-  /** Probe masks: the identity plus every 1-bit and 2-bit flip (radius-2
-    * multi-probe). Radius 2 is what the 0.35-cosine regime requires for the
-    * CLUSTER surface: a per-pair miss rate of ~6% (radius 1) is fine for
-    * top-k ANN but fatal for connected components, where one missed BRIDGE
-    * edge splits a big cluster and erases thousands of co-memberships
-    * (measured: radius-1 pair recall 0.93 → co-membership recall 0.57).
+  /** The declared operating config — promoted to the MEASURED sf1-probe
+    * optimum in round 12 (8×6×r3: 99.80% recall at 4.4× less wall than the
+    * previous 4×3×r2; SCALE_SLOPE_r11.json). See the object scaladoc for
+    * the sizing rule; [[verifiedPairsWith]] takes any (tables, masks).
     */
-  private val probeMasks: Seq[Long] = {
-    val singles = (0 until nPlanes).map(i => 1L << i)
-    val doubles = for { i <- 0 until nPlanes; j <- i + 1 until nPlanes }
-      yield (1L << i) | (1L << j)
-    0L +: (singles ++ doubles)
-  }
+  private[queries] val nPlanes = 8
+  private[queries] val nTables = 6
+  private[queries] val probeRadius = 3
+  private val tables = tablesFor(nPlanes, nTables)
+
+  /** Probe masks: every bucket XOR mask of popcount ≤ radius (the identity
+    * plus all 1-, 2-, 3-bit flips at radius 3 — 93 of an 8-plane table's
+    * 256 buckets). A generous radius is what the CLUSTER surface requires:
+    * a small per-pair miss rate is fine for top-k ANN but fatal for
+    * connected components, where one missed BRIDGE edge splits a big
+    * cluster and erases thousands of co-memberships (measured: radius-1
+    * co-membership recall 0.57 on 4-plane tables).
+    */
+  private val probeMasks: Seq[Long] = probeMasksFor(nPlanes, probeRadius)
 
   def run(spark: SparkSession, sfDir: String): DataFrame =
     run(spark, sfDir, D7DupClusters.defaultEdgePartitions)
@@ -120,9 +132,9 @@ object D16SemanticLshClusters extends GraftQuery {
     verifiedPairsWith(spark, sfDir, tables, probeMasks, bucketSalts)
 
   /** Probe masks for an arbitrary (nPlanes, radius): every bucket-id XOR
-    * mask of popcount ≤ radius — the generalization of [[probeMasks]]
-    * (which is exactly this at (4, 2)). The ScaleKnobSpec crossover test
-    * uses it to run the SAME chain at production plane counts.
+    * mask of popcount ≤ radius — [[probeMasks]] is exactly this at the
+    * declared (nPlanes, probeRadius). The D16CrossoverSpec sweep uses it
+    * to run the SAME chain at other plane counts.
     */
   private[queries] def probeMasksFor(nPlanes: Int, radius: Int): Seq[Long] =
     (0L until (1L << nPlanes)).filter(m => java.lang.Long.bitCount(m) <= radius)
@@ -134,9 +146,10 @@ object D16SemanticLshClusters extends GraftQuery {
     (0 until nTables).map(i => VectorOps.hyperplanes(nPlanes, d, 42L + 1000L * i))
 
   /** The full candidates→verify chain over EXPLICIT tables/probe masks —
-    * the declared query binds (4 planes × 3 tables × radius 2); the
-    * crossover spec binds production shapes. One implementation, so the
-    * knob experiment exercises the real operator, not a model of it.
+    * the declared query binds the measured (8 planes × 6 tables × radius
+    * 3) operating point; the crossover spec binds other shapes. One
+    * implementation, so the knob experiment exercises the real operator,
+    * not a model of it.
     */
   private[queries] def verifiedPairsWith(spark: SparkSession, sfDir: String,
       tables: Seq[Seq[Seq[Double]]], probeMasks: Seq[Long],
@@ -184,11 +197,12 @@ object D16SemanticLshClusters extends GraftQuery {
     val pLong = nLong
       .select(col("vec_id"), col("t"), probes.as("probe"))
     // DISTINCT before verify: a pair collides in up to |tables|×|probes|
-    // buckets, and the 4-plane tables are COARSE (16 buckets), so collision
-    // multiplicity is high; deduping 16-byte id pairs first means the
-    // 128-dim cosine runs once per candidate PAIR, not once per collision
-    // (measured 10.8 → ~4 s on d16 at sf0.1). The survivor set is
-    // identical either way — cosine is a pure pair function.
+    // buckets (558 at the declared 6×93), so collision multiplicity is
+    // high for genuinely similar vectors; deduping 16-byte id pairs first
+    // means the 128-dim cosine runs once per candidate PAIR, not once per
+    // collision (measured 10.8 → ~4 s on the old 4-plane config at sf0.1).
+    // The survivor set is identical either way — cosine is a pure pair
+    // function.
     // Disambiguated column names so the optional salted route can take a
     // plain Column condition (Skew.saltedJoinOn contract).
     val pR = pLong.select(col("vec_id").as("pid"), col("t").as("pt"), col("probe"))
@@ -222,19 +236,24 @@ object D16SemanticLshClusters extends GraftQuery {
       case 0L => "bucket"
       case m => s"xor(bucket, $m)"
     }.mkString(", ")
-    s"""e AS (
+    // MATERIALIZED (DuckDB-side only — no Spark ever parses this SQL):
+    // without it DuckDB INLINES each multiply-referenced CTE, duplicating
+    // the 6-table × 8-plane × 128-dim inlined-constant bucket expressions
+    // into every consumer branch and spending ~50 s PLANNING a query whose
+    // data is tiny (measured 48.2 s → 1.3 s at sf0.001, identical rows).
+    s"""e AS MATERIALIZED (
        |  SELECT vec_id, embedding, ${VectorOps.normSql("embedding", d)} AS nrm,
        |         $bucketCols
        |  FROM embeddings),
-       |nl AS (
+       |nl AS MATERIALIZED (
        |  $nl
        |),
-       |pl AS (SELECT vec_id, t, unnest([$probeList]) AS probe FROM nl),
-       |cand AS (
+       |pl AS MATERIALIZED (SELECT vec_id, t, unnest([$probeList]) AS probe FROM nl),
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT p.vec_id AS vec_a, n.vec_id AS vec_b
        |  FROM pl p JOIN nl n
        |    ON p.t = n.t AND p.probe = n.bucket AND p.vec_id < n.vec_id),
-       |ver AS (
+       |ver AS MATERIALIZED (
        |  SELECT c.vec_a, c.vec_b
        |  FROM cand c JOIN e a ON c.vec_a = a.vec_id JOIN e b ON c.vec_b = b.vec_id
        |  WHERE $vcos >= $threshold)""".stripMargin

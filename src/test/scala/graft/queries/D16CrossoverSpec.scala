@@ -14,9 +14,12 @@ import graft.TestSpark
   *       bucket population math: 2^planes buckets, radius-r probing visits
   *       a vanishing fraction of them), measured through the real
   *       candidate stage at 4 → 8 → 16 planes;
-  *   (b) the 0.90 recall floors still hold at the widened tables/radius
-  *       the scaladoc prescribes for higher plane counts (planes bound the
-  *       bucket population; tables and probe radius buy the recall back).
+  *   (b) the 0.90 recall floors hold at 8 planes x 6 tables x radius 3 —
+  *       since round 12 this IS the declared operating point (the measured
+  *       sf1-probe optimum), so (b) double-checks the promotion with
+  *       EXPLICIT knobs while SemanticLshRecallSpec checks the declared
+  *       defaults; planes bound the bucket population, tables and probe
+  *       radius buy the recall back.
   *
   * Both run the DECLARED chain with explicit knobs
   * ([[D16SemanticLshClusters.verifiedPairsWith]]) — the experiment

@@ -168,20 +168,21 @@ class PlanSpec extends AnyFunSuite {
       s"expected one user_id exchange feeding windows+agg, got $userExchanges:\n$p")
   }
 
-  test("p1: exact dedup is one window over the content-hash partitioning; no cartesian anywhere") {
+  test("p1: exact dedup is groupBy + content-hash-keyed rejoin — bounded tasks, no cartesian") {
     val p = plan(P1CleanCorpus)
-    // Stage 2 must NOT plan as groupBy + join-back: one md5-keyed exchange
-    // feeding a Window — the single-shuffle shape that holds at corpus
-    // scale (a survivor-map join would need a second full shuffle or an
-    // unbroadcastable build side).
-    // Catalyst projects md5(text) into an alias (_w0) before the exchange,
-    // so pin the pair: an md5 projection exists and a Window sits over a
-    // hash exchange (AQE leaves the alias name stable in the simple format).
+    // Stage 2 must NOT plan as a hash-partitioned Window: a window keyed
+    // on md5(text) puts each duplicate FAMILY in one task, and web corpora
+    // have families with millions of copies. The scale-safe shape is a
+    // map-side-combinable groupBy on the content hash + an md5-keyed
+    // rejoin (per-task state bounded under any family mass; the join
+    // streams the probe side).
     assert(p.contains("md5(cast(text"),
       s"exact-dedup stage no longer keys on the content hash:\n$p")
-    assert(p.linesIterator.exists(l => l.contains("Exchange hashpartitioning(_w0")),
+    assert(p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning(__h")),
       s"exact-dedup stage lost its content-hash partitioning:\n$p")
-    assert(p.contains("Window"), s"exact-dedup stage is not a window aggregate:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"exact-dedup stage lost its map-side-combinable aggregate:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pipeline degenerated to O(n^2) somewhere:\n$p")
   }
