@@ -45,6 +45,20 @@ import graft.operators.TextOps
   * boilerplate evidence). The mixture quota base is therefore the
   * stripped, decontaminated survivor set, recomputed here just as p3's
   * library form does over any frame.
+  *
+  * Slope (the round-11 "5.53× outlier" decomposed, round 12): p12's
+  * consumer time at the sf1-equivalent probe is ~17.7 s and p7 standalone
+  * is ~20.7 s on the same fixture — the funnel's cost IS its inline strip
+  * over the decontaminated set, which p12 cannot share with p9's
+  * `p9_kept_clean` stage because the input corpora differ (kept vs
+  * kept ∧ ¬contaminated, and span evidence is corpus-relative). StripProbe
+  * measured the strip chain stage by stage at 50k docs: tokenize 4.0 s →
+  * gram hashes 7.4 s → occurrence explode 13.9 s → dup count+join 17.9 s,
+  * all input-LINEAR stages (dup-hit mass grew only 1.7× on 10× data), so
+  * 5.53× wall on 10× data is SUBLINEAR — the p9/p10 "1.84×/1.88×" sibling
+  * ratios only look flatter because their strip cost sits in the shared
+  * build block, not their consumer row. Nothing here is output-quadratic
+  * or attention-worthy at 100 TB; the whole chain is scan-shaped.
   */
 object P12AttritionFunnel extends GraftQuery {
   val name = "p12_attrition_funnel"
