@@ -387,13 +387,21 @@ object K7UncertaintySample extends GraftQuery {
 
   private[queries] val n = 100
 
+  /** The uncertainty key over (score, threshold) columns — ONE definition,
+    * two surfaces: the batch selection below and the ingestion-time
+    * [[graft.streaming.EventStream.uncertaintyGate]], so the served key can
+    * never drift from the published queue's (the classifierGate no-skew
+    * discipline).
+    */
+  private[graft] def uncertCol(score: Column, thr: Column): Column =
+    round(abs(score - thr) * lit(1e6)).cast("long")
+
   /** The selection over arbitrary (doc_id, score) × 1-row (thr) frames —
     * the seam UncertaintySampleSpec's synthetic boundary pin uses.
     */
   private[queries] def selectOn(scored: DataFrame, best: DataFrame, n: Int): DataFrame =
     scored.crossJoin(broadcast(best))
-      .withColumn("uncert_e6",
-        round(abs(col("score") - col("thr")) * lit(1e6)).cast("long"))
+      .withColumn("uncert_e6", uncertCol(col("score"), col("thr")))
       .select(col("doc_id"), col("score"), col("thr"), col("uncert_e6"))
       .orderBy(col("uncert_e6").asc, col("doc_id").asc)
       .limit(n)

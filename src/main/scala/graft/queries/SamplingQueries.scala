@@ -349,23 +349,34 @@ object S12PropensitySample extends GraftQuery {
   private val n = 200
   private val uGrid = 1048576L // 2^20: u = ((h mod uGrid)+1)/uGrid in (0, 1]
 
+  /** The exact-rational −ln(u)·1e6 term per doc — ONE definition, two
+    * surfaces (the batch selection below and the ingestion-time
+    * [[graft.streaming.EventStream.propensityGate]]): u is the 2^-20 hash
+    * rational, the single ln snapped to the 1e6 grid BEFORE the weight
+    * division so the A-ES key is engine- and surface-identical.
+    */
+  private[graft] def negLnUE6(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val hmod = Portable.hash60(concat(lit("es:"), docId.cast("string"))) % lit(uGrid)
+    round(-log((hmod + 1).cast("double") / lit(uGrid.toDouble)) * 1e6).cast("long")
+  }
+
+  /** The A-ES selection key: snapped −ln(u) over the clamped weight. */
+  private[graft] def keyE6(negLnU: org.apache.spark.sql.Column,
+      score: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(negLnU.cast("double") / greatest(score, lit(1e-6))).cast("long")
+
   /** The A-ES selection over an arbitrary (doc_id, score) frame — the seam
     * PropensitySampleSpec's synthetic-tilt pin uses (the driver corpus'
     * scores span only 0.281–0.304, far too flat to exhibit the bias the
     * operator exists for).
     */
-  private[queries] def sampleOn(scored: DataFrame, n: Int): DataFrame = {
-    val hmod = Portable.hash60(concat(lit("es:"), col("doc_id").cast("string"))) % lit(uGrid)
-    val negLnU = round(-log((hmod + 1).cast("double") / lit(uGrid.toDouble)) * 1e6).cast("long")
+  private[graft] def sampleOn(scored: DataFrame, n: Int): DataFrame =
     scored
-      .withColumn("neg_ln_u_e6", negLnU)
-      .withColumn("key_e6",
-        round(col("neg_ln_u_e6").cast("double") / greatest(col("score"), lit(1e-6)))
-          .cast("long"))
+      .withColumn("neg_ln_u_e6", negLnUE6(col("doc_id")))
+      .withColumn("key_e6", keyE6(col("neg_ln_u_e6"), col("score")))
       .select(col("doc_id"), col("score"), col("key_e6"))
       .orderBy(col("key_e6").asc, col("doc_id").asc)
       .limit(n)
-  }
 
   def run(spark: SparkSession, sfDir: String): DataFrame =
     sampleOn(

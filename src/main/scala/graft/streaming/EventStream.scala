@@ -247,6 +247,58 @@ object EventStream {
     docs.withColumn("split",
       graft.queries.P13SplitManifest.splitCol(col(docIdCol)))
 
+  /** k7's serve-online half: stamp each arriving document with its k4
+    * classifier score (FIXED trained weights, [[classifierGate]]'s
+    * contract) and its uncertainty distance to the PUBLISHED operating
+    * threshold — the argmax-F1 row a batch k5 run produced, passed in the
+    * way trained weights are. The annotation-queue SELECTION (top-n
+    * nearest) is population-shaped and stays batch/monitor-side (a job
+    * reads the stamped sink and TakeOrdereds on `uncert_e6`); the gate's
+    * job is the per-row key, computed by k7's OWN expression
+    * ([[graft.queries.K7UncertaintySample.uncertCol]]) so the served key
+    * structurally cannot drift from the published queue's. Stateless: pure
+    * projection, no watermark, no state store, no shuffle;
+    * UncertaintyGateStreamSpec pins batch parity under shuffled arrival.
+    */
+  def uncertaintyGate(
+      docs: DataFrame,
+      weights: Seq[Double],
+      threshold: Double,
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("score",
+        graft.queries.K4QualityClassifier.scoreCol(weights, col(textCol)))
+      .withColumn("thr", lit(threshold))
+      .withColumn("uncert_e6",
+        graft.queries.K7UncertaintySample.uncertCol(col("score"), col("thr")))
+
+  /** s12's serve-online half: stamp each arriving document with its k4
+    * score and its Efraimidis-Spirakis sampling key — u the exact 2^-20
+    * hash rational of doc_id, −ln(u) snapped to the 1e6 grid BEFORE the
+    * weight division, both by s12's OWN expressions
+    * ([[graft.queries.S12PropensitySample.negLnUE6]]/keyE6), so the
+    * streamed key is bit-identical to the batch sample's. The top-n draw
+    * itself needs the population and stays batch/monitor-side; because the
+    * key is a pure per-doc function, a monitor selecting the n smallest
+    * keys over ANY prefix of the stream gets exactly the batch sample of
+    * that prefix — A-ES's reservoir property, which is why this gate
+    * composes with bounded-state reservoir selection at the edge.
+    * Stateless: pure projection, no watermark, no state store, no shuffle;
+    * PropensityGateStreamSpec pins batch parity under shuffled arrival.
+    */
+  def propensityGate(
+      docs: DataFrame,
+      weights: Seq[Double],
+      textCol: String = "text",
+      docIdCol: String = "doc_id"): DataFrame =
+    docs
+      .withColumn("score",
+        graft.queries.K4QualityClassifier.scoreCol(weights, col(textCol)))
+      .withColumn("neg_ln_u_e6",
+        graft.queries.S12PropensitySample.negLnUE6(col(docIdCol)))
+      .withColumn("key_e6",
+        graft.queries.S12PropensitySample.keyE6(col("neg_ln_u_e6"), col("score")))
+
   /** Streaming HyperLogLog registers — t24's register stage over a live
     * document stream, and the strongest form of the streamed-sketch
     * argument yet: where driftCounts' state is vocabulary-bounded and the
