@@ -23,6 +23,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                      job starts — GuaguaMapReduceClient.java:471-487)
   *   -n <job name>      Spark job description (reference `-n`)
   *   -list              print every registered query name and exit
+  *   -q a,b / -all      suite runs: several (or every) registered queries in
+  *                      one invocation, each result at `<out>/<name>.parquet`,
+  *                      one failure reported, not fatal (Verify's contract)
+  *   -shared            enable [[graft.Materialize]] for the invocation, so
+  *                      a suite run builds each common upstream stage ONCE —
+  *                      the Verify/Bench pipeline shape from the client
   *
   * `main` owns a session; [[runWith]] is the same logic over a caller's
   * session (the testable core, and the embedding API a driver program
@@ -34,7 +40,11 @@ object Cli {
     """usage: graft.Cli [options]
       |  -i <input dir>        specify input data directory.
       |  -o <output dir>       specify output directory (result written as <query>.parquet).
-      |  -q <query name>       specify declared query name (see -list).
+      |  -q <names>            declared query name, or a comma-list to run several (see -list).
+      |  -all                  run EVERY registered query (requires -o; implies a suite run).
+      |  -shared               enable shared-stage materialization (graft.Materialize) for
+      |                        this invocation — common upstream stages build once across
+      |                        the queries run, the Verify/Bench pipeline shape.
       |  -inputformat <class>  specify SourceFormat class name for the input directory.
       |  -n <job name>         specify job name.
       |  -list                 list registered query names.""".stripMargin
@@ -65,19 +75,47 @@ object Cli {
       return None
     }
     val input = required(opts, "i", "input directory")
-    val query = required(opts, "q", "query name")
+    val names: Seq[String] =
+      if (opts.contains("all")) SparkEntry.queries.keys.toSeq.sorted
+      else required(opts, "q", "query name").split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    if ((opts.contains("all") || names.size > 1) && !opts.contains("o"))
+      throw new IllegalArgumentException("A suite run (-all or a -q comma-list) requires -o.")
+    names.foreach { q =>
+      if (!SparkEntry.queries.contains(q))
+        throw new IllegalArgumentException(
+          s"Unknown query '$q' — run with -list for registered names.")
+    }
     opts.get("inputformat").foreach { cls =>
       Tables.registerFormat(input, resolveFormat(cls))
     }
     opts.get("n").foreach(spark.sparkContext.setJobDescription)
-    val fn = SparkEntry.queries.getOrElse(query,
-      throw new IllegalArgumentException(
-        s"Unknown query '$query' — run with -list for registered names."))
-    val df = fn(spark, input)
-    opts.get("o").foreach { out =>
-      df.write.mode("overwrite").parquet(s"$out/$query.parquet")
-    }
-    Some(df)
+    // -shared: turn the run-scoped stage layer on for THIS invocation only
+    // (and only if the caller hadn't already enabled it) — the pipeline
+    // shape Verify/Bench run, now reachable from the client surface.
+    val enabledHere = opts.contains("shared") && !Materialize.enabled
+    if (enabledHere) Materialize.enable()
+    try {
+      if (names.size == 1) {
+        val df = SparkEntry.queries(names.head)(spark, input)
+        opts.get("o").foreach { out =>
+          df.write.mode("overwrite").parquet(s"$out/${names.head}.parquet")
+        }
+        Some(df)
+      } else {
+        val out = opts("o")
+        names.foreach { q =>
+          // per-query isolation, Verify's contract: one failing query is
+          // reported, not allowed to zero the suite
+          try SparkEntry.queries(q)(spark, input)
+            .write.mode("overwrite").parquet(s"$out/$q.parquet")
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[cli] $q failed: ${e.getMessage}")
+          }
+        }
+        None
+      }
+    } finally if (enabledHere) Materialize.disable()
   }
 
   /** Reflect a [[graft.sources.SourceFormat]] by name, mirroring the
@@ -109,7 +147,7 @@ object Cli {
 
   private def parse(args: Array[String]): Map[String, String] = {
     val valued = Set("i", "o", "q", "inputformat", "n")
-    val flags = Set("list")
+    val flags = Set("list", "all", "shared")
     def loop(rest: List[String], acc: Map[String, String]): Map[String, String] =
       rest match {
         case Nil => acc

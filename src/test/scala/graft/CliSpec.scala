@@ -71,6 +71,37 @@ class CliSpec extends AnyFunSuite {
     assert(e.getMessage.contains("should extend graft.sources.SourceFormat"))
   }
 
+  test("-shared suite run: two queries in ONE invocation build their common stage once") {
+    assert(!Materialize.enabled, "suites must start with sharing off")
+    val out = java.nio.file.Files.createTempDirectory("cli_shared_").toString
+    val before = Materialize.buildCosts.keySet
+    // p5 and p12 both start from p1's dispositions and d9's verdicts —
+    // exactly the recompute -shared exists to collapse.
+    Cli.runWith(spark, Array(
+      "-i", sf, "-o", out, "-shared",
+      "-q", "p5_decontaminated,p12_attrition_funnel"))
+    assert(!Materialize.enabled, "-shared must be invocation-scoped (off afterwards)")
+    val built = (Materialize.buildCosts.keySet -- before).map(_.takeWhile(_ != '@'))
+    assert(built.contains("p1_dispositions") && built.contains("d9_contamination"),
+      s"common stages not built under -shared: $built")
+    assert((Materialize.buildCosts.keySet -- before).size == built.size,
+      "a stage built more than once in a single -shared invocation")
+    for (q <- Seq("p5_decontaminated", "p12_attrition_funnel")) {
+      val direct = SparkEntry.queries(q)(spark, sf)
+      val viaCli = spark.read.parquet(s"$out/$q.parquet")
+      assert(viaCli.count() == direct.count(), s"$q suite output drifted")
+    }
+  }
+
+  test("suite runs require -o; one failing query is reported, not fatal") {
+    assert(intercept[IllegalArgumentException] {
+      Cli.runWith(spark, Array("-i", sf, "-q", "q1_agg,q7_grouped_agg"))
+    }.getMessage.contains("requires -o"))
+    assert(intercept[IllegalArgumentException] {
+      Cli.runWith(spark, Array("-i", sf, "-all"))
+    }.getMessage.contains("requires -o"))
+  }
+
   test("unknown query name and malformed options fail loudly") {
     val unknown = intercept[IllegalArgumentException] {
       Cli.runWith(spark, Array("-i", sf, "-q", "no_such_query"))
