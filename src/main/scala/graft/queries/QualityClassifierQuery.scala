@@ -426,3 +426,101 @@ object K7UncertaintySample extends GraftQuery {
        |ORDER BY uncert_e6 ASC, doc_id ASC
        |LIMIT $n""".stripMargin)
 }
+
+/** k8: DSIR importance weights — Data Selection via Importance Resampling
+  * (Xie et al. 2023, arXiv:2302.03169): score every raw document by how
+  * much more likely its hashed-n-gram bag is under the TARGET distribution
+  * than under the raw one, the selection signal that picks "target-like"
+  * pretraining data without training a classifier (the generative
+  * counterpart to k4's discriminative filter; t19 is the LM third — the
+  * three standard quality-selection families, now all present).
+  *
+  * Model (the paper's): unigrams + bigrams hashed into B buckets; both
+  * distributions are add-1-smoothed bucket categoricals; a document's log
+  * importance weight is the sum over its gram OCCURRENCES of the bucket's
+  * log ratio
+  *
+  *   lr(b) = ln(ct(b)+1) − ln(Nt+B) − ln(cr(b)+1) + ln(Nr+B)
+  *
+  * with ct/cr the bucket's target/raw occurrence counts and Nt/Nr the
+  * total masses. Target here: the `lang = 'en'` stratum (the paper's
+  * target is "looks like Wikipedia/books"; the corpus' dominant stratum
+  * plays that role so the weights have real spread).
+  *
+  * Engine-exactness: each of the four ln terms is snapped to the 1e-9 grid
+  * as a LONG (t23's discipline — ln is the only non-exactly-rounded op in
+  * the chain), so lr_e9 is an exact integer, the per-doc sum is an exact
+  * integer sum of integers (order-free across partitions), and the gate
+  * compares bit-identical LONGs. Counts and totals are exact by
+  * construction.
+  *
+  * Scale: one gram-occurrence scan (IDs and 60-bit hashes only — the
+  * payload never shuffles); the model is a B-row (256) frame built by ONE
+  * map-side-combinable aggregate (bounded output regardless of corpus
+  * size) and BROADCAST into the scoring scan; the per-doc sum is one
+  * doc-keyed aggregate. Two shuffles total, both map-side combined; the
+  * "training" cost of DSIR is two passes at 100 TB, which is exactly why
+  * the paper's method is used at pretraining scale. The resample step is
+  * [[S12PropensitySample]]'s A-ES machinery over these weights.
+  */
+object K8DsirWeights extends GraftQuery {
+  val name = "k8_dsir_weights"
+  val describe = "DSIR importance weights: hashed unigram+bigram bucket log-ratios (target = en stratum), exact-integer e9 grid"
+
+  private[queries] val nBuckets = 256L
+  private val targetLang = "en"
+
+  /** ln(x)·1e9 snapped to a LONG — the single noise-bearing op, gridded. */
+  private def lnE9(x: Column): Column = round(log(x) * 1e9).cast("long")
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextOps
+    val docToks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+    // one row per gram OCCURRENCE (unigrams ++ bigrams), already hashed —
+    // only (doc_id, lang, bucket) ever shuffles
+    val occ = docToks
+      .select(col("doc_id"), col("lang"),
+        explode(concat(col("toks"), TextOps.shingles(col("toks"), 2))).as("g"))
+      .select(col("doc_id"), col("lang"),
+        (graft.functions.Portable.hash60(concat(lit("dsir:"), col("g"))) % lit(nBuckets)).as("b"))
+    val bc = occ.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ct"))
+    val tot = bc.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val lr = bc.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (lnE9(col("ct") + 1.0) - lnE9(col("nt") + nBuckets.toDouble)
+          - lnE9(col("cr") + 1.0) + lnE9(col("nr") + nBuckets.toDouble)).as("lr_e9"))
+    occ.join(broadcast(lr), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("lr_e9")).as("logw_e9"))
+  }
+
+  val oracle = {
+    import graft.operators.TextOps
+    def lnE9(x: String) = s"CAST(round(ln($x) * 1e9) AS BIGINT)"
+    Some(
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang, ${TextOps.tokensSql("text")} AS toks FROM documents),
+         |gr AS (
+         |  SELECT doc_id, lang,
+         |         unnest(toks || CASE WHEN len(toks) >= 2 THEN ${TextOps.shinglesSql("toks", 2)}
+         |                             ELSE [] END) AS g
+         |  FROM tk),
+         |occ AS MATERIALIZED (
+         |  SELECT doc_id, lang, ${graft.functions.Portable.hash60Sql("'dsir:' || g")} % $nBuckets AS b FROM gr),
+         |bc AS (
+         |  SELECT b, count(*) AS cr,
+         |         sum(CASE WHEN lang = '$targetLang' THEN 1 ELSE 0 END) AS ct
+         |  FROM occ GROUP BY b),
+         |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM bc),
+         |lr AS (
+         |  SELECT b, ${lnE9("ct + 1.0")} - ${lnE9(s"nt + $nBuckets.0")}
+         |            - ${lnE9("cr + 1.0")} + ${lnE9(s"nr + $nBuckets.0")} AS lr_e9
+         |  FROM bc CROSS JOIN tot)
+         |SELECT o.doc_id, count(*) AS n_grams, CAST(sum(l.lr_e9) AS BIGINT) AS logw_e9
+         |FROM occ o JOIN lr l USING (b)
+         |GROUP BY o.doc_id""".stripMargin)
+  }
+}

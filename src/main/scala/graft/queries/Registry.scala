@@ -42,6 +42,7 @@ object Registry {
     K5ClassifierEval,
     K6Calibration,
     K7UncertaintySample,
+    K8DsirWeights,
     J4RangeJoin,
     J1JoinRevenue,
     J2TopK,

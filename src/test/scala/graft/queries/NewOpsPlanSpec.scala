@@ -245,6 +245,18 @@ class NewOpsPlanSpec extends AnyFunSuite {
       s"m8 should shuffle exactly twice (probe + partial-agg, both on env_hash), got $exchanges:\n$p")
   }
 
+  test("k8: the DSIR model is BROADCAST into the scoring scan — no shuffled data-sized join") {
+    // The B-row (256) bucket-ratio frame must reach the gram scan as a
+    // broadcast; a shuffled join would re-exchange the whole gram
+    // occurrence frame against a 256-row model. The only shuffles allowed
+    // are the two map-side-combined aggregates (bucket counts, per-doc sum).
+    val p = plan(K8DsirWeights)
+    assert(p.contains("BroadcastHashJoin"), s"k8's model join is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"k8 acquired a shuffled join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"k8 has a cartesian:\n$p")
+  }
+
   test("s12: the weighted sample is TakeOrdered over k4's scan — no global sort, no join") {
     // k4's scoring is scan-bound (pinned above); the A-ES selection may add
     // only a projection and a top-n. A Sort node or any join means the
