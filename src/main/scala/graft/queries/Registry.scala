@@ -107,6 +107,7 @@ object Registry {
     T18SourceOverlap,
     T19LmFilter,
     T26FilterAgreement,
+    T27VocabCoverage,
     T20PiiScan,
     T21MarkupStrip,
     T22GopherRules,
