@@ -445,3 +445,97 @@ object P16EpochShuffle extends GraftQuery {
        |       CAST(row_number() OVER (PARTITION BY epoch ORDER BY h ASC, chunk ASC) AS BIGINT) AS position
        |FROM k""".stripMargin)
 }
+
+/** p17: output SHARD manifest — the physical file-layout plan a release
+  * writer executes (WebDataset/tar-shard style: documents laid out in the
+  * deterministic release order, a new shard opened every `shardBytes` of
+  * stream offset): each document is assigned to the shard its FIRST byte
+  * falls in, and the manifest publishes per shard the doc count, exact
+  * byte mass, the largest member, and an order-independent membership
+  * digest (p13's bit_xor discipline — any lost/duplicated/reassigned doc
+  * flips the shard's digest, which is what a release integrity check
+  * diffs). p9 publishes WHAT ships; p17 publishes WHERE each doc lands on
+  * disk — the missing physical half of the release-manifest pair.
+  *
+  * Scale shape: byte offsets come from the same distributed prefix sum as
+  * p2 (range-partition on the order key, within-partition cumsum, O(P)
+  * driver-folded offsets broadcast back — never a single-partition
+  * window); the manifest is one map-side-combinable aggregate keyed on the
+  * shard id. Shard count = corpus bytes / shardBytes, so the output is
+  * ~file-count-sized, not corpus-sized.
+  *
+  * Determinism: byte counts and prefix sums are exact integers; the order
+  * key is the portable hash; the digest is bit_xor of per-doc salted
+  * hashes — commutative/associative, so it merges map-side under any
+  * partitioning (the p13 argument).
+  */
+object P17ShardManifest extends GraftQuery {
+  val name = "p17_shard_manifest"
+  val describe = "release shard layout: byte prefix-sum shard assignment + per-shard counts, mass, xor membership digest"
+
+  /** Shard byte budget — small against the test corpus (~150 KB at
+    * sf0.001) so every SF exercises many shards; a deployment passes its
+    * real target (e.g. 1 GiB) through [[manifestOn]].
+    */
+  private[queries] val shardBytes = 16384L
+
+  private val orderHash = Portable.hash60(concat(lit("shard:"), col("doc_id").cast("string")))
+  private[queries] def orderHashSql = Portable.hash60Sql("'shard:' || CAST(doc_id AS VARCHAR)")
+
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    manifestOn(spark,
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          length(col("text").cast("binary")).cast("long").as("n_bytes")),
+      shardBytes, spark.sparkContext.defaultParallelism)
+
+  /** The layout over any (doc_id, n_bytes) frame — a release would pass its
+    * shipped set; the spec passes synthetic fixtures.
+    */
+  private[queries] def manifestOn(spark: SparkSession, docBytes: DataFrame,
+      budget: Long, partitions: Int): DataFrame = {
+    require(budget >= 1, s"shard budget must be >= 1, got $budget")
+    val sized = docBytes
+      .select(col("doc_id"), col("n_bytes"), orderHash.as("h"))
+      .filter(col("n_bytes") > 0)
+    val ranged = graft.CacheScope.persisted(
+      sized.repartitionByRange(partitions, col("h").asc, col("doc_id").asc)
+        .withColumn("pid", spark_partition_id()))
+    val totals = ranged.groupBy(col("pid")).agg(sum(col("n_bytes")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
+    val offDf = spark.createDataFrame(
+      totals.map(_._1).zip(offsets.map(_._2)).toSeq).toDF("pid", "__off")
+    val inPart = Window.partitionBy(col("pid")).orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .join(broadcast(offDf), Seq("pid"))
+      .withColumn("cum_end", col("__off") + sum(col("n_bytes")).over(inPart))
+      .withColumn("shard", expr(s"(cum_end - n_bytes) div $budget"))
+      .withColumn("mh",
+        Portable.hash60(concat(lit("sm:"), col("doc_id").cast("string"))))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("shard_bytes"),
+        max(col("n_bytes")).as("max_doc_bytes"),
+        expr("bit_xor(mh)").as("member_xor"))
+  }
+
+  val oracle = Some(
+    s"""WITH b AS (
+       |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |         $orderHashSql AS h
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_bytes,
+       |         CAST(sum(n_bytes) OVER (
+       |           ORDER BY h ASC, doc_id ASC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_end
+       |  FROM b WHERE n_bytes > 0)
+       |SELECT (cum_end - n_bytes) // $shardBytes AS shard,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+       |       max(n_bytes) AS max_doc_bytes,
+       |       bit_xor(${Portable.hash60Sql("'sm:' || CAST(doc_id AS VARCHAR)")}) AS member_xor
+       |FROM c GROUP BY 1""".stripMargin)
+}

@@ -146,6 +146,7 @@ object Registry {
     P14BpePack,
     P15LengthBatches,
     P16EpochShuffle,
+    P17ShardManifest,
     G1PageRank,
     G2Triangles,
     G3PageRankLsh,
