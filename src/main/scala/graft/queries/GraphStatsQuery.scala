@@ -154,7 +154,8 @@ object G2Triangles extends GraftQuery {
   * verify ((table, bucket) equi-joins end to end), so no stage is O(n²) and
   * the chain holds at the 100-TB scale the exact d5 tiling cannot. The
   * oracle is EXACT against the same bucketed source; closeness to g2 at
-  * test scale follows from d16's pinned 0.996 pair recall.
+  * test scale follows from d16's pinned recall floors (measured
+  * 1.000 at the promoted 8×6×r3 config).
   */
 object G4TrianglesLsh extends GraftQuery {
   val name = "g4_triangles_lsh"

@@ -122,6 +122,7 @@ object Registry {
     V2cKnnLabelIvf,
     V3CentroidOutliers,
     V4LabelSilhouette,
+    V5ClusterPurity,
     M1MultimodalMeta,
     M2FrameSample,
     M3KeyframePool,
@@ -150,7 +151,8 @@ object Registry {
     G1PageRank,
     G2Triangles,
     G3PageRankLsh,
-    G4TrianglesLsh)
+    G4TrianglesLsh,
+    G5DegreeCensus)
 
   /** The deliberately exact-but-unscalable recall oracles (all-pairs /
     * broadcast-probe shapes). Everything NOT in this list is the 100-TB-safe
