@@ -66,8 +66,10 @@ object Materialize {
     * dir per process — run-scoped by construction.
     */
   def enable(): Unit = synchronized {
-    if (root.isEmpty)
+    if (root.isEmpty) {
+      builds.clear() // costs are RUN-scoped, like the root they describe
       root = Some(Files.createTempDirectory("graft_stage_").toFile)
+    }
   }
 
   /** Turn sharing on over an EXPLICIT root (production: the object-store
@@ -89,6 +91,7 @@ object Materialize {
             s"'$existing' but this run is '$token' — stale stage artifacts from " +
             "another release; point at a fresh root or clear this one.")
     } else Files.write(tf.toPath, token.getBytes("UTF-8"))
+    builds.clear()
     root = Some(rootDir)
   }
 

@@ -524,3 +524,74 @@ object K8DsirWeights extends GraftQuery {
          |GROUP BY o.doc_id""".stripMargin)
   }
 }
+
+/** k9: classifier AUC — the threshold-free ranking quality of k4's scores,
+  * computed EXACTLY as the tie-aware Mann–Whitney statistic: over all
+  * (positive, negative) document pairs, the fraction where the positive
+  * outscores the negative (ties count half). k5 evaluates one operating
+  * point per row; k6 checks the score is a probability; k9 is the single
+  * number that says whether the RANKING is any good at all — the first
+  * metric a filter review reads, and the one that is invariant to every
+  * monotone recalibration of the score.
+  *
+  * Exactness: the pair count never materializes — group by DISTINCT score
+  * (a frame bounded by the 1e-6 score grid, ≤10⁶ rows at any corpus
+  * size), cumulative negatives below each score by one ordered window
+  * over that bounded frame, and
+  *
+  *   U2 = Σ_s  p_s · (2·neg_below(s) + n_s)
+  *
+  * an exact integer (= 2·U with ties counted half); AUC = U2 / (2·n_pos·
+  * n_neg), one exactly-rounded IEEE division published on the 1e-9 grid.
+  * Engine-identical by construction — both sides hold the same rounded-6
+  * scores and the same integers.
+  *
+  * Scale: one ≤grid-bounded groupBy on the score, one window over the
+  * GROUPED frame (score-distinct-bounded — the k5 "≤9-row sweep" argument
+  * at the grid bound, not a corpus-sized window), one 1-row fold.
+  */
+object K9ClassifierAuc extends GraftQuery {
+  val name = "k9_classifier_auc"
+  val describe = "exact tie-aware Mann-Whitney AUC of k4's classifier scores (threshold-free ranking quality)"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = K4QualityClassifier.run(spark, sfDir)
+      .select(col("is_ref"), col("score"))
+    val byScore = scored.groupBy(col("score")).agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("p"),
+      sum(when(col("is_ref"), 0L).otherwise(1L)).as("n"))
+    // cumulative negatives STRICTLY below each score: window over the
+    // score-distinct frame (bounded by the rounded-6 grid, never corpus-sized)
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byScore
+      .withColumn("neg_below", sum(col("n")).over(w) - col("n"))
+    cum.agg(
+        sum(col("p")).as("n_pos"),
+        sum(col("n")).as("n_neg"),
+        sum(col("p") * (lit(2L) * col("neg_below") + col("n"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        round(col("u2").cast("double")
+          / (lit(2.0) * col("n_pos") * col("n_neg")) * 1e9).cast("long").as("auc_e9"))
+  }
+
+  val oracle = Some(
+    s"""WITH ${K4QualityClassifier.scoredCte("sc")},
+       |g AS (
+       |  SELECT score,
+       |         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS p,
+       |         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n
+       |  FROM sc GROUP BY score),
+       |c AS (
+       |  SELECT p, n,
+       |         CAST(sum(n) OVER (ORDER BY score
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS neg_below
+       |  FROM g)
+       |SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+       |       CAST(sum(n) AS BIGINT) AS n_neg,
+       |       CAST(sum(p * (2 * neg_below + n)) AS BIGINT) AS u2,
+       |       CAST(round(CAST(sum(p * (2 * neg_below + n)) AS DOUBLE)
+       |                  / (2.0 * sum(p) * sum(n)) * 1e9) AS BIGINT) AS auc_e9
+       |FROM c""".stripMargin)
+}

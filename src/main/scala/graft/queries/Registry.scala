@@ -43,6 +43,7 @@ object Registry {
     K6Calibration,
     K7UncertaintySample,
     K8DsirWeights,
+    K9ClassifierAuc,
     J4RangeJoin,
     J1JoinRevenue,
     J2TopK,

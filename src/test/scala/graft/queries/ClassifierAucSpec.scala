@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins for k9 beyond the DuckDB gate: the statistic equals the O(n_p·n_n)
+  * pairwise definition replayed serially (every (pos, neg) pair compared,
+  * ties half), its bounds, and the rank-metric property that makes AUC the
+  * right headline — invariance under monotone recalibration of the score.
+  */
+class ClassifierAucSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def pairwise(rows: Seq[(Boolean, Double)]): (Long, Long, Long) = {
+    val pos = rows.filter(_._1).map(_._2)
+    val neg = rows.filterNot(_._1).map(_._2)
+    var u2 = 0L
+    for (p <- pos; n <- neg)
+      u2 += (if (p > n) 2L else if (p == n) 1L else 0L)
+    (pos.size.toLong, neg.size.toLong, u2)
+  }
+
+  test("k9 == the O(n_p*n_n) pairwise definition, ties counted half (sf0.001)") {
+    val scored = K4QualityClassifier.run(spark, TestSpark.sf0001)
+      .select("is_ref", "score").collect()
+      .map(r => (r.getBoolean(0), r.getDouble(1))).toSeq
+    val (np, nn, u2) = pairwise(scored)
+    val got = K9ClassifierAuc.run(spark, TestSpark.sf0001).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((np, nn, u2)))
+    assert(got.getLong(3) == math.round(u2.toDouble / (2.0 * np * nn) * 1e9))
+    // Bounds only — NOT a better-than-chance floor: on the synthetic corpus
+    // k4's features genuinely cannot separate the source-derived labels
+    // (measured auc_e9 ≈ 0.49e9/0.46e9/0.51e9 at the three SFs), and
+    // surfacing exactly that is k9's job — a filter review reading
+    // AUC ≈ 0.5 rejects the filter, which no threshold metric shows as
+    // starkly. A discriminable fixture is pinned below instead.
+    assert(got.getLong(3) >= 0L && got.getLong(3) <= 1000000000L)
+  }
+
+  test("a separable fixture scores high; a reversed one scores low (direction pin)") {
+    // AUC=1 when every positive outscores every negative; 0 when reversed;
+    // exactly 0.5 with one tied score — the three anchor points.
+    val sep = Seq((true, 0.9), (true, 0.8), (false, 0.2), (false, 0.1))
+    val rev = sep.map { case (y, s) => (y, 1.0 - s) }
+    val tie = Seq((true, 0.5), (false, 0.5))
+    def auc(rows: Seq[(Boolean, Double)]): Double = {
+      val (np, nn, u2) = pairwise(rows)
+      u2.toDouble / (2.0 * np * nn)
+    }
+    assert(auc(sep) == 1.0 && auc(rev) == 0.0 && auc(tie) == 0.5)
+  }
+
+  test("AUC is invariant under monotone recalibration of the scores") {
+    val scored = K4QualityClassifier.run(spark, TestSpark.sf0001)
+      .select("is_ref", "score").collect()
+      .map(r => (r.getBoolean(0), r.getDouble(1))).toSeq
+    val base = pairwise(scored)
+    // strictly monotone maps preserve every pairwise comparison, ties incl.
+    val recal = Seq[Double => Double](
+      s => s * s, // monotone on [0,1]
+      s => math.log(s + 1.0),
+      s => 3.0 * s - 7.0)
+    recal.foreach { f =>
+      assert(pairwise(scored.map { case (y, s) => (y, f(s)) }) == base,
+        "a monotone recalibration changed the statistic")
+    }
+  }
+}

@@ -90,6 +90,8 @@ PLAUSIBILITY = [
     ("p16_epoch_shuffle", "p14_bpe_pack"),  # p16 invokes p14's run for the chunk universe
     ("s13_ann_recall_curve", "s8_ann_ivf_search"),  # s13 = s8's search shape x 5 curve points + the exact pass, same trained index
     ("t26_filter_agreement", "k4_quality_classifier"),  # t26 joins k4's own scored run (t19 side has its own stage)
+    ("v5_cluster_purity", "d16_semantic_lsh"),  # v5 runs d16's full cluster chain + the purity join
+    ("k9_classifier_auc", "k4_quality_classifier"),  # k9 regroups k4's own scored run
 ]
 
 REPS = "3"
