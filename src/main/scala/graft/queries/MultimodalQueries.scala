@@ -299,29 +299,36 @@ object M4VideoDedup extends GraftQuery {
         col("match_count"), col("canonical_id"))
   }
 
+  /** CTE chain ending in `${p}sig(doc_id, sig)` — the signature replay,
+    * prefix-parameterized so m9's composite oracle composes it next to
+    * m8's envelope chain (the hitsSqlCtes discipline).
+    */
+  private[queries] def sigCtesSql(p: String): String =
+    s"""${p}b AS (
+       |  SELECT doc_id, octet_length(encode(text)) AS len,
+       |         list_transform(range(1, length(text) + 1),
+       |                        i -> CAST(ord(substr(text, i, 1)) AS BIGINT)) AS bytes
+       |  FROM documents WHERE octet_length(encode(text)) > 0),
+       |${p}f AS (
+       |  SELECT doc_id, len, bytes, least(16, 1 + len // 64) AS frames FROM ${p}b),
+       |${p}fr AS (
+       |  SELECT doc_id, len, bytes, unnest(range(0, frames, 2)) AS fi FROM ${p}f),
+       |${p}sc AS (
+       |  SELECT doc_id, fi,
+       |         CAST(list_reduce(list_transform(range(0, 8),
+       |              j -> bytes[CAST((fi * 32 + 4 * j) % len AS INT) + 1]),
+       |              (a, x) -> a + x) AS BIGINT) >> 7 AS q
+       |  FROM ${p}fr),
+       |${p}sig AS (SELECT doc_id, list(q ORDER BY fi) AS sig FROM ${p}sc GROUP BY doc_id)""".stripMargin
+
   val oracle = Some(
-    """WITH b AS (
-      |  SELECT doc_id, octet_length(encode(text)) AS len,
-      |         list_transform(range(1, length(text) + 1),
-      |                        i -> CAST(ord(substr(text, i, 1)) AS BIGINT)) AS bytes
-      |  FROM documents WHERE octet_length(encode(text)) > 0),
-      |f AS (
-      |  SELECT doc_id, len, bytes, least(16, 1 + len // 64) AS frames FROM b),
-      |fr AS (
-      |  SELECT doc_id, len, bytes, unnest(range(0, frames, 2)) AS fi FROM f),
-      |sc AS (
-      |  SELECT doc_id, fi,
-      |         CAST(list_reduce(list_transform(range(0, 8),
-      |              j -> bytes[CAST((fi * 32 + 4 * j) % len AS INT) + 1]),
-      |              (a, x) -> a + x) AS BIGINT) >> 7 AS q
-      |  FROM fr),
-      |sig AS (SELECT doc_id, list(q ORDER BY fi) AS sig FROM sc GROUP BY doc_id),
-      |grp AS (
-      |  SELECT sig, count(*) AS match_count, min(doc_id) AS canonical_id
-      |  FROM sig GROUP BY sig)
-      |SELECT s.doc_id, CAST(len(s.sig) AS INT) AS n_frames_scored,
-      |       g.match_count, g.canonical_id
-      |FROM sig s JOIN grp g ON s.sig = g.sig""".stripMargin)
+    s"""WITH ${sigCtesSql("")},
+       |grp AS (
+       |  SELECT sig, count(*) AS match_count, min(doc_id) AS canonical_id
+       |  FROM sig GROUP BY sig)
+       |SELECT s.doc_id, CAST(len(s.sig) AS INT) AS n_frames_scored,
+       |       g.match_count, g.canonical_id
+       |FROM sig s JOIN grp g ON s.sig = g.sig""".stripMargin)
 }
 
 /** m7: perceptual image dedup over GENUINELY DECODED rasters — d1's
@@ -456,25 +463,90 @@ object M8AudioEnvelope extends GraftQuery {
       .select(col("doc_id"), col("env_hash"), col("survivor"), col("n_same"))
   }
 
+  /** CTE chain ending in `${p}fp(doc_id, env_hash)` — the envelope replay,
+    * prefix-parameterized for m9's composite oracle (sigCtesSql's twin).
+    */
+  private[queries] def envCtesSql(p: String): String =
+    s"""${p}b AS (
+       |  SELECT doc_id, octet_length(encode(text)) AS n,
+       |         list_transform(range(1, length(text) + 1),
+       |                        i -> CAST(ord(substr(text, i, 1)) AS BIGINT)) AS bytes
+       |  FROM documents WHERE octet_length(encode(text)) >= 8),
+       |${p}wq AS (SELECT doc_id, n, bytes, unnest(range(0, 8)) AS w FROM ${p}b),
+       |${p}qs AS (
+       |  SELECT doc_id, w,
+       |         least(3, (CAST(list_reduce(
+       |             bytes[CAST((w * n) // 8 AS INT) + 1 : CAST(((w + 1) * n) // 8 AS INT)],
+       |             (a, x) -> a + x) AS BIGINT)
+       |           // (((w + 1) * n) // 8 - (w * n) // 8)) // 64) AS q
+       |  FROM ${p}wq),
+       |${p}fp AS (
+       |  SELECT doc_id, list_reduce(list(q ORDER BY w), (a, x) -> a * 4 + x) AS env_hash
+       |  FROM ${p}qs GROUP BY doc_id)""".stripMargin
+
   val oracle = Some(
-    """WITH b AS (
-      |  SELECT doc_id, octet_length(encode(text)) AS n,
-      |         list_transform(range(1, length(text) + 1),
-      |                        i -> CAST(ord(substr(text, i, 1)) AS BIGINT)) AS bytes
-      |  FROM documents WHERE octet_length(encode(text)) >= 8),
-      |wq AS (SELECT doc_id, n, bytes, unnest(range(0, 8)) AS w FROM b),
-      |qs AS (
-      |  SELECT doc_id, w,
-      |         least(3, (CAST(list_reduce(
-      |             bytes[CAST((w * n) // 8 AS INT) + 1 : CAST(((w + 1) * n) // 8 AS INT)],
-      |             (a, x) -> a + x) AS BIGINT)
-      |           // (((w + 1) * n) // 8 - (w * n) // 8)) // 64) AS q
-      |  FROM wq),
-      |fp AS (
-      |  SELECT doc_id, list_reduce(list(q ORDER BY w), (a, x) -> a * 4 + x) AS env_hash
-      |  FROM qs GROUP BY doc_id)
-      |SELECT doc_id, env_hash,
-      |       min(doc_id) OVER (PARTITION BY env_hash) AS survivor,
-      |       count(*) OVER (PARTITION BY env_hash) AS n_same
-      |FROM fp""".stripMargin)
+    s"""WITH ${envCtesSql("")}
+       |SELECT doc_id, env_hash,
+       |       min(doc_id) OVER (PARTITION BY env_hash) AS survivor,
+       |       count(*) OVER (PARTITION BY env_hash) AS n_same
+       |FROM fp""".stripMargin)
+}
+
+/** m9: composite AUDIO+VIDEO dedup — the modality-fusion form of the
+  * m-family's collapse: a clip pair is a duplicate only when BOTH its
+  * parsed-frame video signature (m4) AND its decoded-PCM amplitude
+  * envelope (m8) agree. Single-modality fingerprints collide by design
+  * (they are coarse quantizations); requiring the pair cuts the false-
+  * collapse rate multiplicatively — the standard trick for AV content
+  * (match video hash AND audio hash before collapsing a re-upload).
+  *
+  * Composition: the two fingerprint stages are m4's and m8's OWN
+  * operators over the same documents (one AVI decode pass, one WAV decode
+  * pass — payloads never shuffle, only doc_id + fingerprints continue),
+  * joined doc_id-keyed, then d1's groupBy + composite-keyed rejoin. The
+  * oracle composes the two factored replay chains (sigCtesSql /
+  * envCtesSql) with prefixes — a drift in EITHER modality's replay flips
+  * this gate too.
+  */
+object M9AvDedup extends GraftQuery {
+  val name = "m9_av_dedup"
+  val describe = "composite multimodal dedup: collapse only when video signature AND audio envelope both match"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, sfDir)
+    val sigs = Multimodal.videoSignatures(Multimodal.aviMedia(spark, docs))
+      .toDF("doc_id", "sig")
+    val wav = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => Multimodal.MediaRecord(id, Multimodal.wavFixturePayload(t)) }
+    val envs = Multimodal.audioEnvelopes(wav).toDF()
+    collapseOn(graft.CacheScope.persisted(sigs.join(envs, "doc_id")))
+  }
+
+  /** The composite collapse over any (doc_id, sig, env_hash) frame — the
+    * seam AvDedupSpec's synthetic discrimination pin uses (on the driver
+    * corpus both fingerprints derive from the same bytes, so the video
+    * signature refines the audio envelope EVERYWHERE and the composite
+    * equals the video collapse — honest, but it leaves the fusion's
+    * discriminating case unexercised without a crafted frame).
+    */
+  private[queries] def collapseOn(j: DataFrame): DataFrame = {
+    val groups = j.groupBy(col("sig"), col("env_hash"))
+      .agg(count(lit(1)).as("match_count"), min(col("doc_id")).as("canonical_id"))
+    j.join(groups, Seq("sig", "env_hash"))
+      .select(col("doc_id"), col("env_hash"), col("match_count"), col("canonical_id"))
+  }
+
+  val oracle = Some(
+    s"""WITH ${M4VideoDedup.sigCtesSql("v")},
+       |${M8AudioEnvelope.envCtesSql("a")},
+       |j AS (
+       |  SELECT s.doc_id, s.sig, f.env_hash
+       |  FROM vsig s JOIN afp f USING (doc_id)),
+       |grp AS (
+       |  SELECT sig, env_hash, count(*) AS match_count, min(doc_id) AS canonical_id
+       |  FROM j GROUP BY sig, env_hash)
+       |SELECT j.doc_id, j.env_hash, g.match_count, g.canonical_id
+       |FROM j JOIN grp g ON j.sig = g.sig AND j.env_hash = g.env_hash""".stripMargin)
 }

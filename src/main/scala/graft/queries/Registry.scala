@@ -132,6 +132,7 @@ object Registry {
     M6AudioDecode,
     M7ImagePhash,
     M8AudioEnvelope,
+    M9AvDedup,
     P1CleanCorpus,
     P2SequencePack,
     P3MixtureSample,
