@@ -61,6 +61,7 @@ object Registry {
     W8Transitions,
     W9InterArrival,
     W10DailyUniques,
+    W11VolumeAnomaly,
     D1ExactDedup,
     D2MinhashLsh,
     D3SimHash,

@@ -93,7 +93,13 @@ object D16SemanticLshClusters extends GraftQuery {
   private val probeMasks: Seq[Long] = probeMasksFor(nPlanes, probeRadius)
 
   def run(spark: SparkSession, sfDir: String): DataFrame =
-    run(spark, sfDir, D7DupClusters.defaultEdgePartitions)
+    // The DEFAULT-config cluster table is itself a shared stage output:
+    // d16 and v5 (cluster purity) both consume it, so an enabled run
+    // executes the min-label propagation once, not once per consumer.
+    // Non-default knobs (below) stay inline — experiment paths, not the
+    // declared surface.
+    graft.Materialize.table(spark, "d16_clusters", sfDir)(
+      run(spark, sfDir, D7DupClusters.defaultEdgePartitions))
 
   def run(spark: SparkSession, sfDir: String, edgePartitions: Int,
       bucketSalts: Int = 1): DataFrame =

@@ -315,3 +315,76 @@ object W10DailyUniques extends GraftQuery {
        |FROM events
        |GROUP BY 1, 2""".stripMargin)
 }
+
+/** w11: daily-volume ANOMALY monitor — per (event_type, day) the z-score of
+  * that day's event count against the type's own daily history, the table
+  * an ingestion monitor alerts on (a crawler source going dark or a bot
+  * flood both surface as |z| spikes long before any content-level check).
+  *
+  * Exactness: with n observed days, S = Σcnt and Sq = Σcnt², the z-score
+  * algebra collapses to z = (n·x − S) / sqrt(n·Sq − S²) — every inner term
+  * an exact integer, then exactly one IEEE sqrt and one division (both
+  * exactly-rounded), published on the 1e-6 grid. Degenerate histories
+  * (n = 1, or all days equal) have zero variance: z is defined as 0 — a
+  * constant signal is never anomalous against itself.
+  *
+  * Scale: one (type, day)-keyed count (map-side combined), one type-keyed
+  * aggregate over the per-day frame (bounded by types × days, not events),
+  * per-type stats broadcast back into the per-day frame. Day bucketing is
+  * w10's integer epoch arithmetic — timezone-free.
+  */
+object W11VolumeAnomaly extends GraftQuery {
+  val name = "w11_volume_anomaly"
+  val describe = "per-type daily volume z-scores (exact-integer core, e6 grid) + |z|>3 anomaly flags"
+
+  private val daySec = 86400L
+  private[queries] val zFlagE6 = 3000000L
+
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    zScores(Tables.events(spark, sfDir)
+      .withColumn("day", (floor(unix_timestamp(col("ts")) / daySec) * daySec).cast("long"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** The z-score table over any (event_type, day, cnt) frame — the seam
+    * VolumeAnomalySpec's spike fixture and zero-sum pin use.
+    */
+  private[queries] def zScores(daily: DataFrame): DataFrame = {
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("cnt")).as("s"),
+        sum(col("cnt") * col("cnt")).as("sq"))
+    val disc = stats("n_days") * stats("sq") - stats("s") * stats("s")
+    daily.join(broadcast(stats.withColumn("disc", disc)), "event_type")
+      .select(col("event_type"), col("day"), col("cnt"), col("n_days"),
+        when(col("disc") <= 0L, 0L).otherwise(
+          round((col("n_days") * col("cnt") - col("s")).cast("double")
+            / sqrt(col("disc").cast("double")) * 1e6).cast("long")).as("z_e6"))
+      .withColumn("anomalous", abs(col("z_e6")) > zFlagE6)
+  }
+
+  val oracle = Some(
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |         CAST(floor(epoch(ts) / $daySec) * $daySec AS BIGINT) AS day,
+       |         count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |st AS (
+       |  SELECT event_type, count(*) AS n_days,
+       |         CAST(sum(cnt) AS BIGINT) AS s,
+       |         CAST(sum(cnt * cnt) AS BIGINT) AS sq
+       |  FROM daily GROUP BY 1),
+       |j AS (
+       |  SELECT d.event_type, d.day, d.cnt, t.n_days,
+       |         t.n_days * t.sq - t.s * t.s AS disc,
+       |         t.n_days * d.cnt - t.s AS num
+       |  FROM daily d JOIN st t USING (event_type))
+       |SELECT event_type, day, cnt, n_days,
+       |       CASE WHEN disc <= 0 THEN 0
+       |            ELSE CAST(round(CAST(num AS DOUBLE) / sqrt(CAST(disc AS DOUBLE)) * 1e6) AS BIGINT)
+       |       END AS z_e6,
+       |       CASE WHEN disc <= 0 THEN FALSE
+       |            ELSE abs(CAST(round(CAST(num AS DOUBLE) / sqrt(CAST(disc AS DOUBLE)) * 1e6) AS BIGINT)) > $zFlagE6
+       |       END AS anomalous
+       |FROM j""".stripMargin)
+}
