@@ -338,3 +338,44 @@ object D13ClusterSizes extends GraftQuery {
        |sz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
        |SELECT cluster_size, count(*) AS n_clusters FROM sz GROUP BY cluster_size""".stripMargin)
 }
+
+/** d19: duplication PROVENANCE matrix — for each unordered source pair,
+  * how many verified near-duplicate pairs cross it (diagonal = within-
+  * source duplication). This is the table a release datasheet prints next
+  * to the dedup counts: it names WHICH feeds copy WHICH (a mirror pair
+  * lights one off-diagonal cell; template boilerplate lights a diagonal),
+  * and it is what decides source-level policy (drop the mirror, keep the
+  * original) where doc-level survivor selection can't.
+  *
+  * Composition: pairs are d4's OWN verified list (the shared `d4_pairs`
+  * stage), sources arrive by two doc_id-keyed equi-joins against a
+  * two-column projection of `documents`; the matrix key is the unordered
+  * (least, greatest) source pair, so each pair lands in exactly one cell.
+  * Output is |sources|²-bounded. All integers.
+  */
+object D19DupProvenance extends GraftQuery {
+  val name = "d19_dup_provenance"
+  val describe = "near-dup provenance: verified-pair counts per unordered source pair (which feeds copy which)"
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = D4NgramJaccard.run(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(
+        least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val oracle = Some(
+    s"""WITH ${D4NgramJaccard.pairsCtesSql},
+       |s AS (SELECT doc_id, source FROM documents),
+       |j AS (
+       |  SELECT least(a.source, b.source) AS src_a,
+       |         greatest(a.source, b.source) AS src_b
+       |  FROM d4 JOIN s a ON d4.doc_a = a.doc_id JOIN s b ON d4.doc_b = b.doc_id)
+       |SELECT src_a, src_b, count(*) AS n_pairs
+       |FROM j GROUP BY 1, 2""".stripMargin)
+}

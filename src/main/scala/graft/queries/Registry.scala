@@ -80,6 +80,7 @@ object Registry {
     D16SemanticLshClusters,
     D17Containment,
     D18ExactSubstr,
+    D19DupProvenance,
     S1AnnBrute,
     S2AnnLsh,
     S4AnnIvf,

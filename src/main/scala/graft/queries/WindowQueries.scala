@@ -349,7 +349,7 @@ object W11VolumeAnomaly extends GraftQuery {
   /** The z-score table over any (event_type, day, cnt) frame — the seam
     * VolumeAnomalySpec's spike fixture and zero-sum pin use.
     */
-  private[queries] def zScores(daily: DataFrame): DataFrame = {
+  private[graft] def zScores(daily: DataFrame): DataFrame = {
     val stats = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"),
         sum(col("cnt")).as("s"),

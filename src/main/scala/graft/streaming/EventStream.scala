@@ -334,6 +334,26 @@ object EventStream {
   def histogramBins(rows: DataFrame): DataFrame =
     graft.queries.T25HistogramQuantiles.histogram(rows)
 
+  /** Streaming daily volume — w11's count stage as a live monitor: per
+    * (event_type, day) counts maintained by stateful grouped counting
+    * (count merge = addition, the histogramBins argument), so arbitrary
+    * micro-batch splits land on the same (type, day, cnt) table a batch
+    * pass computes. State is O(types × days) — calendar-bounded, not
+    * event-bounded. The z-score read-out stays OUT of the stream (the
+    * hllRegisters discipline): a monitoring job runs
+    * [[graft.queries.W11VolumeAnomaly.zScores]] over the complete-mode
+    * snapshot on its alert cadence, and because the counts are exact
+    * integers the streamed z table is bit-equal to batch w11's.
+    * VolumeStreamSpec pins both.
+    */
+  def dailyVolume(events: DataFrame, tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame =
+    events
+      .withColumn("day",
+        (floor(unix_timestamp(col(tsCol)) / 86400L) * 86400L).cast("long"))
+      .groupBy(col(typeCol).as("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Markup-extraction gate — t21's strip chain applied at ingestion: the
     * HTML-boilerplate removal that runs ahead of even langid in a
     * web-corpus pipeline, as the stateless streaming stage it is in
