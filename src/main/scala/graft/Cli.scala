@@ -45,6 +45,11 @@ object Cli {
       |  -shared               enable shared-stage materialization (graft.Materialize) for
       |                        this invocation — common upstream stages build once across
       |                        the queries run, the Verify/Bench pipeline shape.
+      |  -sharedroot <dir>     like -shared, but over an EXPLICIT persistent root (the
+      |                        object-store mount in production): same-release invocations
+      |                        reuse warm stage parquet across processes. Requires -token.
+      |  -token <id>           release fingerprint stamped on the -sharedroot; a root
+      |                        stamped by a DIFFERENT release is rejected, never served.
       |  -inputformat <class>  specify SourceFormat class name for the input directory.
       |  -n <job name>         specify job name.
       |  -list                 list registered query names.""".stripMargin
@@ -89,11 +94,20 @@ object Cli {
       Tables.registerFormat(input, resolveFormat(cls))
     }
     opts.get("n").foreach(spark.sparkContext.setJobDescription)
-    // -shared: turn the run-scoped stage layer on for THIS invocation only
-    // (and only if the caller hadn't already enabled it) — the pipeline
-    // shape Verify/Bench run, now reachable from the client surface.
-    val enabledHere = opts.contains("shared") && !Materialize.enabled
-    if (enabledHere) Materialize.enable()
+    // -shared / -sharedroot: turn the stage layer on for THIS invocation
+    // only (and only if the caller hadn't already enabled it) — the
+    // pipeline shape Verify/Bench run, now reachable from the client
+    // surface. -sharedroot is the production form: an explicit persistent
+    // root guarded by the -token release fingerprint (Materialize.enableAt
+    // rejects a root stamped by another release).
+    if (opts.contains("sharedroot") && !opts.contains("token"))
+      throw new IllegalArgumentException("-sharedroot requires -token <release id>.")
+    val enabledHere =
+      (opts.contains("shared") || opts.contains("sharedroot")) && !Materialize.enabled
+    if (enabledHere) opts.get("sharedroot") match {
+      case Some(dir) => Materialize.enableAt(new java.io.File(dir), opts("token"))
+      case None      => Materialize.enable()
+    }
     try {
       if (names.size == 1) {
         val df = SparkEntry.queries(names.head)(spark, input)
@@ -146,7 +160,7 @@ object Cli {
     })
 
   private def parse(args: Array[String]): Map[String, String] = {
-    val valued = Set("i", "o", "q", "inputformat", "n")
+    val valued = Set("i", "o", "q", "inputformat", "n", "sharedroot", "token")
     val flags = Set("list", "all", "shared")
     def loop(rest: List[String], acc: Map[String, String]): Map[String, String] =
       rest match {

@@ -235,3 +235,57 @@ object P7SpanStrip extends GraftQuery {
     s"""WITH ${stripSqlCtes("documents", "")}
        |SELECT doc_id, n_tokens, n_dropped, clean_text FROM clean""".stripMargin)
 }
+
+/** t28: per-document GRAM NOVELTY — the doc-level rollup of d18's
+  * evidence: what fraction of a document's k-token grams occur nowhere
+  * else in the corpus (novel) vs duplicated somewhere (boilerplate mass).
+  * d18 reports the spans and p7 strips them; t28 is the per-doc SCORE a
+  * curation dashboard ranks by — a low-novelty doc is mostly shared
+  * boilerplate even when no single span is long enough to strip, which
+  * neither t8 (within-doc repetition) nor d9 (eval overlap) measures.
+  *
+  * Exactness: gram counts and duplicated-position counts are exact
+  * integers from the shared hits chain; novelty_e6 is one exactly-rounded
+  * IEEE division on the 1e-6 grid. Docs with fewer than k tokens have no
+  * grams and are reported with n_grams = 0 and novelty 1e6 (vacuously
+  * novel) — both engines by the same rule.
+  *
+  * Scale: rides [[ExactSubstr.hitsOn]]'s audited two-shuffle shape (one
+  * hash-keyed count, one join-back) plus a doc-keyed count and one
+  * doc_id-keyed left join against the per-doc gram totals.
+  */
+object T28GramNovelty extends GraftQuery {
+  val name = "t28_gram_novelty"
+  val describe = "per-doc novelty: fraction of k-gram positions not duplicated anywhere in the corpus"
+
+  private val k = ExactSubstr.k
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextOps
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(TextOps.gramHashes(
+          TextOps.tokenHashes(TextOps.tokens(col("text"))), k)).cast("long").as("n_grams"))
+    val dup = ExactSubstr.hits(spark, sfDir)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    grams.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_grams"))
+      .withColumn("novelty_e6",
+        when(col("n_grams") === 0L, 1000000L).otherwise(
+          round((lit(1.0) - col("n_dup_grams").cast("double") / col("n_grams").cast("double")) * 1e6)
+            .cast("long")))
+  }
+
+  val oracle = Some(
+    s"""WITH ${ExactSubstr.hitsSqlCtes},
+       |ng AS (SELECT doc_id, CAST(len(gh) AS BIGINT) AS n_grams FROM g),
+       |nd AS (SELECT doc_id, count(*) AS n_dup FROM hit GROUP BY doc_id)
+       |SELECT ng.doc_id, ng.n_grams,
+       |       CAST(coalesce(nd.n_dup, 0) AS BIGINT) AS n_dup_grams,
+       |       CASE WHEN ng.n_grams = 0 THEN 1000000
+       |            ELSE CAST(round((1.0 - CAST(coalesce(nd.n_dup, 0) AS DOUBLE)
+       |                                 / CAST(ng.n_grams AS DOUBLE)) * 1e6) AS BIGINT)
+       |       END AS novelty_e6
+       |FROM ng LEFT JOIN nd ON ng.doc_id = nd.doc_id""".stripMargin)
+}

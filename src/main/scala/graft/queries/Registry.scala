@@ -111,6 +111,7 @@ object Registry {
     T19LmFilter,
     T26FilterAgreement,
     T27VocabCoverage,
+    T28GramNovelty,
     T20PiiScan,
     T21MarkupStrip,
     T22GopherRules,

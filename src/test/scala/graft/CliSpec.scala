@@ -93,6 +93,37 @@ class CliSpec extends AnyFunSuite {
     }
   }
 
+  test("-sharedroot: warm cross-invocation reuse under one token, rejection under another") {
+    assert(!Materialize.enabled)
+    val root = java.nio.file.Files.createTempDirectory("cli_root_").toString
+    val out1 = java.nio.file.Files.createTempDirectory("cli_sr1_").toString
+    val out2 = java.nio.file.Files.createTempDirectory("cli_sr2_").toString
+    // first invocation builds the stages into the persistent root
+    Cli.runWith(spark, Array("-i", sf, "-o", out1,
+      "-sharedroot", root, "-token", "rel-1",
+      "-q", "p5_decontaminated,p12_attrition_funnel"))
+    assert(!Materialize.enabled, "-sharedroot must be invocation-scoped")
+    // second invocation, SAME token: stages served warm — zero new builds
+    val before = Materialize.buildCosts.keySet
+    Cli.runWith(spark, Array("-i", sf, "-o", out2,
+      "-sharedroot", root, "-token", "rel-1",
+      "-q", "p5_decontaminated,p12_attrition_funnel"))
+    // buildCosts is cleared per enable, so ANY key present means a rebuild
+    assert(Materialize.buildCosts.isEmpty,
+      s"warm root rebuilt stages: ${Materialize.buildCosts.keySet -- before}")
+    // different token: the root is another release's — hard rejection
+    val ex = intercept[IllegalStateException] {
+      Cli.runWith(spark, Array("-i", sf, "-o", out2,
+        "-sharedroot", root, "-token", "rel-2", "-q", "p5_decontaminated"))
+    }
+    assert(ex.getMessage.contains("rel-1") && !Materialize.enabled)
+    // -sharedroot without -token refuses before any work
+    assert(intercept[IllegalArgumentException] {
+      Cli.runWith(spark, Array("-i", sf, "-o", out2,
+        "-sharedroot", root, "-q", "p5_decontaminated"))
+    }.getMessage.contains("requires -token"))
+  }
+
   test("suite runs require -o; one failing query is reported, not fatal") {
     assert(intercept[IllegalArgumentException] {
       Cli.runWith(spark, Array("-i", sf, "-q", "q1_agg,q7_grouped_agg"))
