@@ -478,12 +478,14 @@ object K8DsirWeights extends GraftQuery {
     val docToks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
     // one row per gram OCCURRENCE (unigrams ++ bigrams), already hashed —
-    // only (doc_id, lang, bucket) ever shuffles
-    val occ = docToks
+    // only (doc_id, lang, bucket) ever shuffles. PERSISTED: the model
+    // aggregate and the scoring join both read it, and without the cache
+    // the tokenize+hash pass runs once per consumer (the d4 `build` rule).
+    val occ = graft.CacheScope.persisted(docToks
       .select(col("doc_id"), col("lang"),
         explode(concat(col("toks"), TextOps.shingles(col("toks"), 2))).as("g"))
       .select(col("doc_id"), col("lang"),
-        (graft.functions.Portable.hash60(concat(lit("dsir:"), col("g"))) % lit(nBuckets)).as("b"))
+        (graft.functions.Portable.hash60(concat(lit("dsir:"), col("g"))) % lit(nBuckets)).as("b")))
     val bc = occ.groupBy(col("b")).agg(
       count(lit(1)).as("cr"),
       sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ct"))
