@@ -22,10 +22,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                      wrong supertype each fail loudly, before any Spark
   *                      job starts — GuaguaMapReduceClient.java:471-487)
   *   -n <job name>      Spark job description (reference `-n`)
+  *   -c <count>         cap every iterative driver loop at <count> rounds
+  *                      for this invocation (reference `-c`,
+  *                      GuaguaOptionsParser.java:393 — see
+  *                      [[graft.core.IterationBudget]]; intentionally
+  *                      changes iterative queries' results)
+  *   -D key=value       set a Spark conf for this invocation, restored
+  *                      afterwards; repeatable (reference `-D`,
+  *                      GuaguaOptionsParser.java:381)
   *   -list              print every registered query name and exit
   *   -q a,b / -all      suite runs: several (or every) registered queries in
-  *                      one invocation, each result at `<out>/<name>.parquet`,
-  *                      one failure reported, not fatal (Verify's contract)
+  *                      one invocation, each result at `<out>/<name>.parquet`.
+  *                      Per-query isolation (one failure never stops the
+  *                      rest — Verify's contract), but the INVOCATION fails
+  *                      at the end when any query failed: failed names are
+  *                      listed, their stale outputs removed, and main exits
+  *                      non-zero — a downstream consumer can trust that an
+  *                      exit-0 output directory is complete
   *   -shared            enable [[graft.Materialize]] for the invocation, so
   *                      a suite run builds each common upstream stage ONCE —
   *                      the Verify/Bench pipeline shape from the client
@@ -52,6 +65,11 @@ object Cli {
       |                        stamped by a DIFFERENT release is rejected, never served.
       |  -inputformat <class>  specify SourceFormat class name for the input directory.
       |  -n <job name>         specify job name.
+      |  -c <count>            cap iterative queries' driver loops at <count> iterations
+      |                        (min with each query's declared count; changes results —
+      |                        the point of the knob).
+      |  -D <key=value>        set a Spark conf for this invocation (repeatable; restored
+      |                        to its prior value afterwards).
       |  -list                 list registered query names.""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -74,7 +92,8 @@ object Cli {
     * client refuses the job (GuaguaOptionsParser.java:356-370).
     */
   def runWith(spark: SparkSession, args: Array[String]): Option[DataFrame] = {
-    val opts = parse(args)
+    val parsed = parse(args)
+    val opts = parsed.vals
     if (opts.contains("list")) {
       SparkEntry.queries.keys.toSeq.sorted.foreach(println)
       return None
@@ -94,6 +113,35 @@ object Cli {
       Tables.registerFormat(input, resolveFormat(cls))
     }
     opts.get("n").foreach(spark.sparkContext.setJobDescription)
+    // -c: positive-int iteration cap, applied via IterationBudget.withCap
+    // around the execution block below.
+    val iterCap: Option[Int] = opts.get("c").map { v =>
+      val n =
+        try v.toInt
+        catch {
+          case e: NumberFormatException =>
+            System.err.println(usage)
+            throw new IllegalArgumentException(s"-c requires a positive integer, got '$v'.", e)
+        }
+      if (n < 1) {
+        System.err.println(usage)
+        throw new IllegalArgumentException(s"-c requires a positive integer, got '$v'.")
+      }
+      n
+    }
+    // -D key=value: session-conf injection, scoped to this invocation. The
+    // prior value of every touched key is captured first and restored in the
+    // finally below — runWith runs over a CALLER's session (the embedding
+    // API), which must not keep another invocation's conf. A key Spark
+    // refuses to set at runtime fails loudly before any query runs.
+    val dProps: Seq[(String, String)] = parsed.d.map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => (k, v)
+        case _ =>
+          System.err.println(usage)
+          throw new IllegalArgumentException(s"-D requires key=value, got '$kv'.")
+      }
+    }
     // -shared / -sharedroot: turn the stage layer on for THIS invocation
     // only (and only if the caller hadn't already enabled it) — the
     // pipeline shape Verify/Bench run, now reachable from the client
@@ -108,7 +156,13 @@ object Cli {
       case Some(dir) => Materialize.enableAt(new java.io.File(dir), opts("token"))
       case None      => Materialize.enable()
     }
-    try {
+    // conf mutation happens INSIDE the try (after the read-only prior-value
+    // capture) so even a refused set — Spark rejects non-runtime keys — runs
+    // the restore and Materialize cleanup in the finally below.
+    val priorConf: Seq[(String, Option[String])] =
+      dProps.map { case (k, _) => (k, spark.conf.getOption(k)) }
+    try graft.core.IterationBudget.withCap(iterCap) {
+      dProps.foreach { case (k, v) => spark.conf.set(k, v) }
       if (names.size == 1) {
         val df = SparkEntry.queries(names.head)(spark, input)
         opts.get("o").foreach { out =>
@@ -117,19 +171,44 @@ object Cli {
         Some(df)
       } else {
         val out = opts("o")
+        // Per-query isolation (Verify's contract: one failing query never
+        // stops the rest) — but failures are COLLECTED, their stale/partial
+        // outputs removed, and the invocation fails at the end: a suite out
+        // dir that survives to exit 0 is complete, never "looks complete".
+        val failed = scala.collection.mutable.ListBuffer.empty[String]
         names.foreach { q =>
-          // per-query isolation, Verify's contract: one failing query is
-          // reported, not allowed to zero the suite
           try SparkEntry.queries(q)(spark, input)
             .write.mode("overwrite").parquet(s"$out/$q.parquet")
           catch {
             case scala.util.control.NonFatal(e) =>
               System.err.println(s"[cli] $q failed: ${e.getMessage}")
+              // overwrite deletes-then-writes, so a mid-write failure can
+              // leave a partial dir; a PREVIOUS invocation's output could
+              // also sit here looking fresh. Either way: remove it.
+              deleteRecursively(new java.io.File(s"$out/$q.parquet"))
+              failed += q
           }
         }
+        if (failed.nonEmpty)
+          throw new IllegalStateException(
+            s"${failed.size}/${names.size} suite queries failed: ${failed.mkString(", ")} " +
+              "(failed outputs removed; see stderr for per-query errors)")
         None
       }
-    } finally if (enabledHere) Materialize.disable()
+    } finally {
+      priorConf.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+      if (enabledHere) Materialize.disable()
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val fs = f.listFiles()
+    if (fs != null) fs.foreach(deleteRecursively)
+    f.delete()
+    ()
   }
 
   /** Reflect a [[graft.sources.SourceFormat]] by name, mirroring the
@@ -159,17 +238,24 @@ object Cli {
       throw new IllegalArgumentException(s"Missing -$key <$what>.")
     })
 
-  private def parse(args: Array[String]): Map[String, String] = {
-    val valued = Set("i", "o", "q", "inputformat", "n", "sharedroot", "token")
+  /** Parsed options: single-valued/flag options in `vals`; the repeatable
+    * `-D key=value` occurrences in `d`, in command-line order.
+    */
+  private final case class Opts(vals: Map[String, String], d: Seq[String])
+
+  private def parse(args: Array[String]): Opts = {
+    val valued = Set("i", "o", "q", "inputformat", "n", "c", "sharedroot", "token")
     val flags = Set("list", "all", "shared")
-    def loop(rest: List[String], acc: Map[String, String]): Map[String, String] =
+    def loop(rest: List[String], acc: Map[String, String], d: List[String]): Opts =
       rest match {
-        case Nil => acc
+        case Nil => Opts(acc, d.reverse)
         case opt :: tail if opt.startsWith("-") =>
           val name = opt.dropWhile(_ == '-')
-          if (flags(name)) loop(tail, acc + (name -> "true"))
-          else if (valued(name)) tail match {
-            case v :: more => loop(more, acc + (name -> v))
+          if (flags(name)) loop(tail, acc + (name -> "true"), d)
+          else if (name == "D" || valued(name)) tail match {
+            case v :: more =>
+              if (name == "D") loop(more, acc, v :: d)
+              else loop(more, acc + (name -> v), d)
             case Nil =>
               System.err.println(usage)
               throw new IllegalArgumentException(s"Option $opt requires a value.")
@@ -182,6 +268,6 @@ object Cli {
           System.err.println(usage)
           throw new IllegalArgumentException(s"Stray argument '$stray'.")
       }
-    loop(args.toList, Map.empty)
+    loop(args.toList, Map.empty, Nil)
   }
 }

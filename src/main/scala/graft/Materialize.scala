@@ -46,6 +46,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * concurrently; two requests for the SAME stage serialize and the loser
   * reads the winner's parquet.
   *
+  * CROSS-PROCESS publication is atomic-rename: a builder writes into a
+  * process-unique temp dir under the root and renames it into place
+  * (`Files.move` ATOMIC_MOVE). The first rename wins; a loser discards its
+  * temp build and reads the winner's complete artifact. A stage directory
+  * therefore only ever EXISTS complete — no reader can observe a
+  * half-written or mid-overwrite stage, which the previous
+  * `mode("overwrite")`-in-place protocol could not guarantee across
+  * processes (overwrite deletes the target first; a concurrent cold start
+  * could read the gap, or interleave part files from two jobs). The in-JVM
+  * per-key locks remain purely an efficiency layer — they stop same-process
+  * duplicate builds; correctness never depends on them. On an object store
+  * without atomic directory rename the same protocol needs the store's
+  * conditional-put/commit primitive (e.g. an S3 committer); the rename form
+  * here is correct for the POSIX mounts local/NFS/Lustre roots are.
+  *
+  * STALENESS: the release token guards against cross-release reuse; within
+  * a release, inputs are assumed IMMUTABLE at a given path (the object-store
+  * contract a production pipeline already has — data regeneration lands at a
+  * new snapshot path). As a cheap tripwire for the local/dev case where that
+  * assumption breaks silently (testdata regenerated in place), the stage key
+  * folds in the source directory's mtime: regenerating the input directory
+  * re-keys every stage built from it, so stale parquet is never served for
+  * refreshed inputs. Content-level mutation that leaves the dir mtime
+  * untouched is out of scope — that is a data catalog's job, not a stage
+  * cache's.
+  *
   * Correctness is unchanged by construction: the builder is the exact frame
   * the query would have computed, parquet round-trips every type the stages
   * use (long/int/double/string/boolean, nullable included), and all
@@ -83,14 +109,24 @@ object Materialize {
     require(token.nonEmpty, "Materialize.enableAt: token must be non-empty")
     rootDir.mkdirs()
     val tf = new java.io.File(rootDir, TokenFile)
-    if (tf.exists()) {
-      val existing = new String(Files.readAllBytes(tf.toPath), "UTF-8")
-      if (existing != token)
-        throw new IllegalStateException(
-          s"Materialize root ${rootDir.getAbsolutePath} is stamped with token " +
-            s"'$existing' but this run is '$token' — stale stage artifacts from " +
-            "another release; point at a fresh root or clear this one.")
-    } else Files.write(tf.toPath, token.getBytes("UTF-8"))
+    // First stamp is EXCLUSIVE (CREATE_NEW): two cold processes racing to
+    // claim a fresh root cannot both think they stamped it — the loser falls
+    // through to the read-and-compare path and is admitted only if the
+    // winner's token matches its own.
+    val existing: String =
+      try {
+        Files.write(tf.toPath, token.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        token
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          new String(Files.readAllBytes(tf.toPath), "UTF-8")
+      }
+    if (existing != token)
+      throw new IllegalStateException(
+        s"Materialize root ${rootDir.getAbsolutePath} is stamped with token " +
+          s"'$existing' but this run is '$token' — stale stage artifacts from " +
+          "another release; point at a fresh root or clear this one.")
     builds.clear()
     root = Some(rootDir)
   }
@@ -108,16 +144,68 @@ object Materialize {
   private def slug(s: String) = s.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** Directory name for a stage: readable slugs PLUS a hash of the raw
-    * (name, srcDir) pair. slug() is lossy ('/' and '_' both slug to '_',
-    * and the '__' separator is itself producible), so the hash — computed
-    * on a length-prefixed encoding, injective by construction since the
-    * prefix delimits `name` exactly — is what makes the mapping collision
-    * free; the slugs are only for humans reading the root.
+    * (name, srcDir, srcDir-mtime) triple. slug() is lossy ('/' and '_' both
+    * slug to '_', and the '__' separator is itself producible), so the
+    * hash — computed on a length-prefixed encoding, injective by
+    * construction since the prefix delimits `name` exactly — is what makes
+    * the mapping collision free; the slugs are only for humans reading the
+    * root. The mtime term is the in-place-regeneration tripwire documented
+    * above (one stat per table() call; 0 for a nonexistent path).
     */
   private def stageDirName(name: String, srcDir: String): String = {
+    val mtime = new java.io.File(srcDir).lastModified()
     val h = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(s"${name.length}:$name$srcDir"))
+      scala.util.hashing.MurmurHash3.stringHash(s"${name.length}:$name$srcDir@$mtime"))
     s"${slug(name)}__${slug(srcDir)}__$h"
+  }
+
+  /** A stage directory is complete iff it exists — publication is atomic
+    * rename, so existence implies the full artifact. The _SUCCESS check is
+    * defense-in-depth against a root populated by some OTHER writer.
+    */
+  private def complete(dir: java.io.File): Boolean =
+    new java.io.File(dir, "_SUCCESS").exists()
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val fs = f.listFiles()
+    if (fs != null) fs.foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
+  /** Build `build` into a process-unique temp dir under `root` and atomic-
+    * rename it to `target`. Returns build seconds when this call published,
+    * None when another builder (thread OR process) won the race — in which
+    * case `target` is the winner's complete artifact. Package-visible so the
+    * spec can drive two racing builders through the cross-process path
+    * directly (bypassing the in-JVM per-key lock, exactly the situation two
+    * cold processes on one shared root are in).
+    */
+  private[graft] def buildAndPublish(
+      root: java.io.File, target: java.io.File, dirName: String)(
+      build: => DataFrame): Option[Double] = {
+    if (complete(target)) return None
+    val tmp = new java.io.File(
+      root, s".build_${dirName}_${java.util.UUID.randomUUID().toString.take(12)}")
+    val t0 = System.nanoTime()
+    build.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    try {
+      Files.move(tmp.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Some((System.nanoTime() - t0) / 1e9)
+    } catch {
+      // Another builder renamed first (target now exists): rename of a dir
+      // onto an existing non-empty dir fails — POSIX surfaces ENOTEMPTY /
+      // EEXIST, which the JDK maps to DirectoryNotEmptyException /
+      // FileAlreadyExistsException OR (observed on Linux for the ATOMIC_MOVE
+      // path) a plain FileSystemException carrying the errno text. So: on
+      // ANY FileSystemException, lost-the-race iff the target is now a
+      // complete published stage — then drop our build and read the
+      // winner's; a failure with no complete winner is a real error.
+      case e: java.nio.file.FileSystemException =>
+        if (complete(target)) { deleteRecursively(tmp); None }
+        else throw e
+    }
   }
 
   /** The stage named `name` over inputs from `srcDir`: built (and written)
@@ -125,7 +213,9 @@ object Materialize {
     * sharing is off. The builder executes EAGERLY on the build path (the
     * parquet write runs inside this call), so a caller can force
     * materialization by calling and discarding. Distinct stage keys build
-    * concurrently; same-key requests serialize on a per-key lock.
+    * concurrently; same-key requests serialize on a per-key lock (in-JVM
+    * efficiency); cross-process races are settled by [[buildAndPublish]]'s
+    * atomic rename.
     */
   def table(spark: SparkSession, name: String, srcDir: String)(build: => DataFrame): DataFrame =
     root match {
@@ -133,11 +223,11 @@ object Materialize {
       case Some(r) =>
         val dirName = stageDirName(name, srcDir)
         val dir = new java.io.File(r, dirName)
-        keyLocks.getOrElseUpdate(dirName, new Object).synchronized {
-          if (!new java.io.File(dir, "_SUCCESS").exists()) {
-            val t0 = System.nanoTime()
-            build.write.mode("overwrite").parquet(dir.getAbsolutePath)
-            builds(s"$name@$srcDir") = (System.nanoTime() - t0) / 1e9
+        if (!complete(dir)) {
+          keyLocks.getOrElseUpdate(dirName, new Object).synchronized {
+            buildAndPublish(r, dir, dirName)(build).foreach { secs =>
+              builds(s"$name@$srcDir") = secs
+            }
           }
         }
         spark.read.parquet(dir.getAbsolutePath)

@@ -144,6 +144,9 @@ object Iterate {
         scala.concurrent.duration.DurationInt(60).seconds): IterationResult[M] = {
     val sc = data.sparkSession.sparkContext
     val appId = sc.applicationId
+    // CLI `-c` cap ([[IterationBudget]]): min(declared, cap); identity when
+    // no cap is set (the library default and the whole oracle-gated surface).
+    val effMaxIterations = IterationBudget.effective(maxIterations)
 
     // Load-once / iterate-many (AbstractWorkerComputable.java:66-104): cache
     // the deserialized records so every iteration after the first reads from
@@ -159,7 +162,7 @@ object Iterate {
       "Iterate.run: input Dataset has no partitions (empty input?)")
 
     val t0 = System.nanoTime()
-    listeners.foreach(_.onStart(maxIterations))
+    listeners.foreach(_.onStart(effMaxIterations))
 
     // Cross-job restart: resume from the last checkpointed master state
     // (fail-over semantics of AbstractMasterCoordinator.java:194-238).
@@ -183,10 +186,10 @@ object Iterate {
     // worker/master compute throws: a failed run in a shared session must not
     // leak executor cache or driver broadcast memory across retries.
     try {
-      while (iteration <= maxIterations && !halted) {
+      while (iteration <= effMaxIterations && !halted) {
         val iterStart = System.nanoTime()
         listeners.foreach(_.onIterationStart(iteration))
-        val ctx = IterationContext(iteration, maxIterations, appId)
+        val ctx = IterationContext(iteration, effMaxIterations, appId)
 
         // Master→worker hop: one broadcast per iteration, destroyed eagerly
         // afterwards — the reference's "release results early" hygiene

@@ -86,7 +86,9 @@ object KMeans {
     val dims = features.indices
     var centers = init
     var it = 0
-    while (it < iterations) {
+    // CLI `-c` cap (graft.core.IterationBudget): min(declared, cap).
+    val effIterations = graft.core.IterationBudget.effective(iterations)
+    while (it < effIterations) {
       val rows = step(df, features, centers, d).collect()
       val byCluster = rows.map(r => r.getInt(0) -> r).toMap
       centers = centers.zipWithIndex.map { case (old, ci) =>

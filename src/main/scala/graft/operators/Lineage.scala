@@ -62,7 +62,9 @@ object Lineage {
     require(cadence >= 0, s"cadence must be >= 0 (0 = never truncate), got $cadence")
     var cur = init
     var prevBoundary: RDD[Row] = null
-    for (i <- 1 to rounds) {
+    // CLI `-c` cap (graft.core.IterationBudget): min(declared, cap);
+    // identity unless graft.Cli set a cap for this invocation.
+    for (i <- 1 to graft.core.IterationBudget.effective(rounds)) {
       val t0 = System.nanoTime()
       var next = step(cur)
       if (cadence > 0 && i % cadence == 0) {

@@ -263,6 +263,26 @@ object NeuralNet {
     }
   }
 
+  /** The reference's `nn.record.scale` load knob (NNWorker.java:219-220):
+    * each loaded record is duplicated `scale` times — a data-volume lever
+    * for load-testing a training config without generating new data. Spark
+    * form: a flatMap at load, so the duplicates are created inside each
+    * partition (no shuffle, no driver materialization) and partition sizing
+    * scales exactly like real data would.
+    */
+  def scaleRecords(data: Dataset[Sample], scale: Int): Dataset[Sample] = {
+    require(scale >= 1, s"record scale must be >= 1, got $scale")
+    if (scale == 1) data
+    else data.flatMap(s => Seq.fill(scale)(s))(
+      org.apache.spark.sql.Encoders.product[Sample])
+  }
+
+  /** @param recordScale duplicate every record this many times at load —
+    *   the reference's `nn.record.scale` ([[scaleRecords]]). Mean errors are
+    *   invariant under duplication; summed gradients scale by the factor
+    *   (same as the reference, whose workers also emit summed gradients over
+    *   the duplicated records).
+    */
   def train(
       data: Dataset[Sample],
       layers: Layers,
@@ -270,9 +290,10 @@ object NeuralNet {
       learnRate: Double = 0.1,
       seed: Long = 42L,
       convergeBelow: Double = 0.0,
-      update: Option[WeightUpdate] = None): IterationResult[NNState] =
+      update: Option[WeightUpdate] = None,
+      recordScale: Int = 1): IterationResult[NNState] =
     Iterate.run[Sample, NNState, NNGrad](
-      data,
+      scaleRecords(data, recordScale),
       new Worker(layers),
       new Master(layers, update.getOrElse(new GradientDescentUpdate(learnRate)), seed),
       maxIterations = iterations,

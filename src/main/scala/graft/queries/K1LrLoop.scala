@@ -51,7 +51,7 @@ object K1LrLoop extends GraftQuery {
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     var w = w0
-    for (_ <- 1 to iterations) {
+    for (_ <- 1 to graft.core.IterationBudget.effective(iterations)) {
       val g = gradientStep(li, w)
       w = w.zip(g).map { case (wi, gi) => round6(wi - lr * gi) }
     }

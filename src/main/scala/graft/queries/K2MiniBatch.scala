@@ -56,7 +56,7 @@ object K2MiniBatchSgd extends GraftQuery {
         col("l_quantity"), col("l_extendedprice"), col("l_discount"),
         col("l_tax"), col("l_returnflag")))
     var w = w0
-    for (step <- 1 to steps) {
+    for (step <- 1 to graft.core.IterationBudget.effective(steps)) {
       val batch = (step - 1) % nBatches
       val err = sigmoidResidual(zExpr(w))
       val aggs = gradCols.zipWithIndex.map { case (f, j) =>

@@ -257,7 +257,9 @@ object Q9KMeansLoop extends GraftQuery {
     var centers = init
     var last: Array[(Int, Long, Seq[Double])] = Array.empty
     var it = 0
-    while (it < iterations) {
+    // CLI `-c` cap (graft.core.IterationBudget): min(declared, cap).
+    val effIterations = graft.core.IterationBudget.effective(iterations)
+    while (it < effIterations) {
       val rows = KMeans.step(li, kmeansCols, centers, KMeans.SquaredEuclidean).collect()
       val byCluster = rows.map(r => r.getInt(0) -> r).toMap
       last = (0 until k).map { ci =>

@@ -45,7 +45,7 @@ object K3PcaPower extends GraftQuery {
     def x(j: Int): Column = element_at(col("embedding"), j + 1).cast("double")
     var v = Array.fill(d)(v0)
     var eigval = 0.0
-    for (_ <- 1 to iterations) {
+    for (_ <- 1 to graft.core.IterationBudget.effective(iterations)) {
       // u projected ONCE per row (64 multiplies), then 64 avg aggregates
       // read it — not 64 re-computations of the dot product.
       val u = (0 until d).map(j => x(j) * lit(v(j))).reduce(_ + _)

@@ -556,10 +556,18 @@ object K9ClassifierAuc extends GraftQuery {
   val name = "k9_classifier_auc"
   val describe = "exact tie-aware Mann-Whitney AUC of k4's classifier scores (threshold-free ranking quality)"
 
-  def run(spark: SparkSession, sfDir: String): DataFrame = {
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    aucOf(K4QualityClassifier.run(spark, sfDir).select(col("is_ref"), col("score")))
+
+  /** The exact tie-aware Mann–Whitney fold over any (is_ref, score) frame.
+    * A single-class frame (n_pos or n_neg = 0) has UNDEFINED AUC — there are
+    * no (positive, negative) pairs to rank — and is reported as NULL, never
+    * a NaN-cast artifact: Spark's NaN→long cast (0) and DuckDB's round(NaN)
+    * path disagree, so the gate would flag exactly the corpus where the
+    * metric should say "undefined" (ClassifierAucSpec pins both classes).
+    */
+  private[queries] def aucOf(scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = K4QualityClassifier.run(spark, sfDir)
-      .select(col("is_ref"), col("score"))
     val byScore = scored.groupBy(col("score")).agg(
       sum(when(col("is_ref"), 1L).otherwise(0L)).as("p"),
       sum(when(col("is_ref"), 0L).otherwise(1L)).as("n"))
@@ -574,8 +582,10 @@ object K9ClassifierAuc extends GraftQuery {
         sum(col("n")).as("n_neg"),
         sum(col("p") * (lit(2L) * col("neg_below") + col("n"))).as("u2"))
       .select(col("n_pos"), col("n_neg"), col("u2"),
-        round(col("u2").cast("double")
-          / (lit(2.0) * col("n_pos") * col("n_neg")) * 1e9).cast("long").as("auc_e9"))
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null).cast("long"))
+          .otherwise(round(col("u2").cast("double")
+            / (lit(2.0) * col("n_pos") * col("n_neg")) * 1e9).cast("long"))
+          .as("auc_e9"))
   }
 
   val oracle = Some(
@@ -593,7 +603,9 @@ object K9ClassifierAuc extends GraftQuery {
        |SELECT CAST(sum(p) AS BIGINT) AS n_pos,
        |       CAST(sum(n) AS BIGINT) AS n_neg,
        |       CAST(sum(p * (2 * neg_below + n)) AS BIGINT) AS u2,
-       |       CAST(round(CAST(sum(p * (2 * neg_below + n)) AS DOUBLE)
-       |                  / (2.0 * sum(p) * sum(n)) * 1e9) AS BIGINT) AS auc_e9
+       |       CASE WHEN sum(p) = 0 OR sum(n) = 0 THEN NULL
+       |            ELSE CAST(round(CAST(sum(p * (2 * neg_below + n)) AS DOUBLE)
+       |                       / (2.0 * sum(p) * sum(n)) * 1e9) AS BIGINT)
+       |       END AS auc_e9
        |FROM c""".stripMargin)
 }

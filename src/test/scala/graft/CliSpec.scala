@@ -16,6 +16,21 @@ class PqSuffixFormat extends graft.sources.SourceFormat {
     spark.read.parquet(s"$dir/$table.pq")
 }
 
+/** Observes session conf DURING a CLI invocation from the read path — the
+  * only point user-pluggable code runs — so the `-D` test can prove the
+  * injected conf was live while queries executed, not just set and reverted.
+  */
+object ConfProbe { @volatile var seen: Option[String] = None }
+class ConfProbeFormat extends graft.sources.SourceFormat {
+  override def load(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      table: String): org.apache.spark.sql.DataFrame = {
+    ConfProbe.seen = spark.conf.getOption("graft.test.probe")
+    spark.read.parquet(s"$dir/$table.parquet")
+  }
+}
+
 class CliSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
@@ -131,6 +146,73 @@ class CliSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       Cli.runWith(spark, Array("-i", sf, "-all"))
     }.getMessage.contains("requires -o"))
+  }
+
+  test("-c caps iterative driver loops for the invocation only; malformed -c refused") {
+    val q = "q9_kmeans_loop"
+    val full = Cli.runWith(spark, Array("-i", sf, "-q", q)).get.collect().toSeq
+    val capped = Cli.runWith(spark, Array("-i", sf, "-q", q, "-c", "1")).get.collect().toSeq
+    assert(graft.core.IterationBudget.cap.isEmpty, "-c must be invocation-scoped")
+    assert(capped != full, "-c 1 must change a multi-iteration loop's result")
+    // the capped CLI run == the library run under the same explicit cap
+    val lib = graft.core.IterationBudget.withCap(Some(1)) {
+      SparkEntry.queries(q)(spark, sf).collect().toSeq
+    }
+    assert(capped == lib)
+    // a cap at/above the declared count is the identity (min semantics)
+    val slack = Cli.runWith(spark, Array("-i", sf, "-q", q, "-c", "9999")).get.collect().toSeq
+    assert(slack == full)
+    for (bad <- Seq("0", "-3", "two"))
+      assert(intercept[IllegalArgumentException] {
+        Cli.runWith(spark, Array("-i", sf, "-q", q, "-c", bad))
+      }.getMessage.contains("positive integer"))
+  }
+
+  test("-D injects a Spark conf live during the run and restores it after") {
+    // A dir only the probe format reads, so the global format registration
+    // never leaks onto the shared sf dir other tests use.
+    val dir = Files.createTempDirectory("graft-cli-dprop")
+    Files.copy(
+      java.nio.file.Paths.get(s"$sf/lineitem.parquet"),
+      dir.resolve("lineitem.parquet"))
+    val shuffleBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    ConfProbe.seen = None
+    assert(spark.conf.getOption("graft.test.probe").isEmpty)
+    Cli.runWith(spark, Array(
+      "-i", dir.toString, "-q", "q1_agg",
+      "-inputformat", "graft.ConfProbeFormat",
+      "-D", "graft.test.probe=hello",
+      "-D", "spark.sql.shuffle.partitions=7"))
+    assert(ConfProbe.seen == Some("hello"), "-D conf was not live during the run")
+    assert(spark.conf.getOption("graft.test.probe").isEmpty,
+      "a key absent before the invocation must be unset after it")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == shuffleBefore,
+      "a key present before the invocation must be restored after it")
+    assert(intercept[IllegalArgumentException] {
+      Cli.runWith(spark, Array("-i", sf, "-q", "q1_agg", "-D", "novalue"))
+    }.getMessage.contains("key=value"))
+  }
+
+  test("suite invocation FAILS at the end when a query failed; stale output removed") {
+    // Input dir holds only documents: d1 succeeds, q1_agg (lineitem) fails.
+    val dir = Files.createTempDirectory("graft-cli-partial")
+    Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val out = Files.createTempDirectory("graft-cli-partial-out")
+    // a previous invocation's output for the soon-to-fail query: must NOT
+    // survive to make the out dir look complete
+    val stale = out.resolve("q1_agg.parquet")
+    Files.createDirectories(stale)
+    Files.write(stale.resolve("part-stale.parquet"), Array[Byte](1, 2, 3))
+    val ex = intercept[IllegalStateException] {
+      Cli.runWith(spark,
+        Array("-i", dir.toString, "-o", out.toString, "-q", "d1_exact_dedup,q1_agg"))
+    }
+    assert(ex.getMessage.contains("q1_agg") && ex.getMessage.contains("1/2"))
+    assert(spark.read.parquet(s"$out/d1_exact_dedup.parquet").count() > 0,
+      "per-query isolation lost: the passing query's output is missing")
+    assert(!stale.toFile.exists(), "failed query's stale output left in place")
   }
 
   test("unknown query name and malformed options fail loudly") {

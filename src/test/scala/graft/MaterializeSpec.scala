@@ -97,6 +97,54 @@ class MaterializeSpec extends AnyFunSuite {
     } finally { Materialize.disable() }
   }
 
+  test("cross-process race: two concurrent cold builders publish once, both read complete") {
+    // Two PROCESSES cold-starting on one shared root have no common keyLocks
+    // map — drive buildAndPublish (the cross-process protocol) from two
+    // threads directly, bypassing the in-JVM per-key lock, with a latch so
+    // both builds are genuinely in flight at once. Exactly one rename may
+    // win; both sides must then read the same complete artifact.
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val root = java.nio.file.Files.createTempDirectory("graft_race_").toFile
+    val target = new java.io.File(root, "stage_x")
+    val bothStarted = new CountDownLatch(2)
+    val published = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def builder(): Unit = {
+      val r = Materialize.buildAndPublish(root, target, "stage_x") {
+        bothStarted.countDown()
+        assert(bothStarted.await(30, TimeUnit.SECONDS),
+          "second cold builder never started")
+        spark.range(11).toDF("id")
+      }
+      if (r.isDefined) published.incrementAndGet()
+      ()
+    }
+    val ts = Seq(new Thread(() => builder()), new Thread(() => builder()))
+    ts.foreach(_.setUncaughtExceptionHandler((_, e) => errs.add(e)))
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    assert(errs.isEmpty, s"racing builders failed: ${errs.toArray.mkString(";")}")
+    assert(published.get() == 1, s"expected exactly one publish, got ${published.get()}")
+    assert(new java.io.File(target, "_SUCCESS").exists(), "published stage incomplete")
+    assert(spark.read.parquet(target.getAbsolutePath).count() == 11)
+    // the loser's temp build is cleaned up, not left as root litter
+    val litter = root.listFiles().filter(_.getName.startsWith(".build_"))
+    assert(litter.isEmpty, s"loser left temp builds: ${litter.map(_.getName).toSeq}")
+  }
+
+  test("in-place regenerated source dir re-keys its stages (mtime tripwire)") {
+    val src = java.nio.file.Files.createTempDirectory("graft_src_").toFile
+    Materialize.enable()
+    try {
+      assert(Materialize.table(spark, "trip", src.getAbsolutePath)(
+        spark.range(3).toDF("id")).count() == 3)
+      // regenerate the input dir in place: mtime changes, stage must re-key
+      assert(src.setLastModified(src.lastModified() + 5000))
+      val after = Materialize.table(spark, "trip", src.getAbsolutePath)(
+        spark.range(8).toDF("id"))
+      assert(after.count() == 8, "stale stage served for a regenerated source dir")
+    } finally Materialize.disable()
+  }
+
   test("enableAt: explicit root reuses same-token artifacts, REJECTS a stale root") {
     val root = java.nio.file.Files.createTempDirectory("graft_root_").toFile
     Materialize.enableAt(root, "release-1")

@@ -37,6 +37,26 @@ class IterateSpec extends AnyFunSuite {
     assert(r.master == IterativeSum.closedForm(15, 2, 17))
   }
 
+  test("IterationBudget cap: min(declared, cap) inside withCap, identity outside") {
+    // cap below declared: loop runs exactly `cap` iterations and the
+    // closed-form value matches that shorter run
+    val capped = IterationBudget.withCap(Some(4)) {
+      IterativeSum.run(sumFixture, maxIterations = 10, haltAbove = Long.MaxValue)
+    }
+    assert(capped.iterations == 4)
+    assert(capped.master == IterativeSum.closedForm(15, 2, 4))
+    // cap above declared: identity
+    val slack = IterationBudget.withCap(Some(99)) {
+      IterativeSum.run(sumFixture, maxIterations = 3, haltAbove = Long.MaxValue)
+    }
+    assert(slack.iterations == 3)
+    // scope discipline: cap restored (even nested), invalid cap refused
+    assert(IterationBudget.cap.isEmpty)
+    assert(IterationBudget.withCap(Some(2))(IterationBudget.effective(10)) == 2)
+    assert(IterationBudget.effective(10) == 10)
+    intercept[IllegalArgumentException](IterationBudget.withCap(Some(0))(()))
+  }
+
   test("combinable and non-combinable paths agree") {
     val data = sumFixture
     val worker = new IterativeSum.SumWorker

@@ -125,6 +125,35 @@ class NeuralNetSpec extends AnyFunSuite {
       f"graft NN ($oursAcc%.3f) more than 5 points behind MLPC ($mlpcAcc%.3f)")
   }
 
+  test("nn.record.scale: records duplicated at load, convergence unchanged (NNWorker.java:219-220)") {
+    val xor = Seq(
+      (Array(0.0, 0.0), 0.0), (Array(0.0, 1.0), 1.0),
+      (Array(1.0, 0.0), 1.0), (Array(1.0, 1.0), 0.0))
+    val samples = (0 until 200).flatMap { r =>
+      xor.zipWithIndex.map { case ((x, y), i) =>
+        var k = r * 4 + i
+        while (!isTrain(k)) k += 1
+        Sample(x, y, k)
+      }
+    }
+    val ds = spark.createDataset(samples).repartition(4)
+    // the load knob multiplies the dataset exactly
+    assert(NeuralNet.scaleRecords(ds, 3).count() == samples.size * 3L)
+    assert(NeuralNet.scaleRecords(ds, 1).count() == samples.size.toLong)
+    intercept[IllegalArgumentException](NeuralNet.scaleRecords(ds, 0))
+    // duplicated data is the same learning problem: summed gradients scale
+    // by the factor, so the same effective step (learnRate / scale) must
+    // still learn XOR to the same tolerance the unscaled test pins.
+    val r = NeuralNet.train(ds, Layers(Seq(2, 4, 1)),
+      iterations = 300, learnRate = 0.05 / 3, seed = 7L, recordScale = 3)
+    val w = r.master.weights
+    xor.foreach { case (x, y) =>
+      val out = forward(Layers(Seq(2, 4, 1)), w, x).last.head
+      assert(math.abs(out - y) < 0.25, s"XOR(${x.mkString(",")}) = $out, want $y")
+    }
+    assert(r.master.trainError < 0.03, s"scaled-load trainError ${r.master.trainError}")
+  }
+
   test("deterministic split sends ~half of keys to train, stable across calls") {
     val keys = (0L until 10000L)
     val trainCount = keys.count(isTrain)

@@ -51,6 +51,26 @@ class ClassifierAucSpec extends AnyFunSuite {
     assert(auc(sep) == 1.0 && auc(rev) == 0.0 && auc(tie) == 0.5)
   }
 
+  test("single-class corpus: AUC is NULL (undefined), never a NaN-cast artifact") {
+    // With n_pos = 0 or n_neg = 0 there are no (positive, negative) pairs —
+    // the statistic is undefined. Spark's NaN→long cast used to publish 0
+    // while DuckDB's round(NULL/NaN) path diverges, so the guard must emit
+    // NULL identically on both engines (the oracle carries the same CASE).
+    val spark0 = spark
+    import spark0.implicits._
+    for (allRef <- Seq(true, false)) {
+      val oneClass = Seq((allRef, 0.9), (allRef, 0.4), (allRef, 0.4))
+        .toDF("is_ref", "score")
+      val row = K9ClassifierAuc.aucOf(oneClass).collect()(0)
+      val (np, nn) = (row.getLong(0), row.getLong(1))
+      assert(if (allRef) (np, nn) == ((3L, 0L)) else (np, nn) == ((0L, 3L)))
+      assert(row.isNullAt(3), s"degenerate AUC must be NULL, got ${row.get(3)}")
+    }
+    // and a two-class frame still publishes a defined value
+    val ok = Seq((true, 0.9), (false, 0.1)).toDF("is_ref", "score")
+    assert(K9ClassifierAuc.aucOf(ok).collect()(0).getLong(3) == 1000000000L)
+  }
+
   test("AUC is invariant under monotone recalibration of the scores") {
     val scored = K4QualityClassifier.run(spark, TestSpark.sf0001)
       .select("is_ref", "score").collect()
