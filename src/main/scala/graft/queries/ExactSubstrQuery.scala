@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{Materialize, Tables}
 import graft.operators.TextOps
 
 /** Shared machinery for d18/p7 — the EXACT-SUBSTRING dedup family
@@ -52,11 +52,16 @@ private[queries] object ExactSubstr {
     * it means re-tokenizing the corpus.
     */
   def hits(spark: SparkSession, sfDir: String): DataFrame =
-    // Deliberately NOT a Materialize stage: measured at sf0.1, writing the
-    // hit-position frame costs more than the one consumer it would save
-    // (p7's cost is its strip join, not hit generation — the round-11
-    // recording showed build 5.1s vs 2.4s of avoided recompute).
-    hitsOn(Tables.documents(spark, sfDir))
+    // A Materialize stage since round 13. The round-11 note here said the
+    // opposite ("build 5.1s vs 2.4s of avoided recompute") — but that was
+    // measured with ONE consumer; t28 (round 12) made it three. Re-measured
+    // A/B at sf0.1 (reps=3, d18+t28+p7 all riding this chain): unshared
+    // consumers 7.81s (2.15+3.04+2.63) vs shared 2.61s build + 2.03s
+    // consumers (0.22+1.08+0.73) = 4.64s — the build pays for itself at
+    // two consumers and wins ~3.2s at three.
+    // (doc_id, pos, occ_n) is all-long, parquet-exact.
+    Materialize.table(spark, "d18_hits", sfDir)(
+      hitsOn(Tables.documents(spark, sfDir)))
 
   /** [[hits]] over an arbitrary (doc_id, text) frame — the form a composed
     * release (p9) runs over its SURVIVOR set: duplicated spans are found
@@ -165,7 +170,12 @@ object P7SpanStrip extends GraftQuery {
   private val k = ExactSubstr.k
 
   def run(spark: SparkSession, sfDir: String): DataFrame =
-    stripOn(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+    // The raw-corpus strip consumes the SHARED d18_hits stage (see
+    // [[ExactSubstr.hits]]) — d18/t28/p7 all ride one build; the composed
+    // releases (p9/p12) strip FILTERED frames and keep the inline form.
+    stripWith(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      ExactSubstr.hits(spark, sfDir))
 
   /** The strip over an arbitrary (doc_id, text) frame — p9 runs it over
     * the release's survivor set. Output: (doc_id, n_tokens, n_dropped,
@@ -182,10 +192,17 @@ object P7SpanStrip extends GraftQuery {
     * pins output equality of the two forms on the corpus + a hostile
     * fully-duplicated fixture.
     */
-  private[queries] def stripOn(docs: DataFrame): DataFrame = {
+  private[queries] def stripOn(docs: DataFrame): DataFrame =
+    stripWith(docs, ExactSubstr.hitsOn(docs))
+
+  /** [[stripOn]] with the hit-position frame supplied by the caller — the
+    * raw-corpus path passes the shared d18_hits stage; composed callers
+    * pass [[ExactSubstr.hitsOn]] of their own filtered frame.
+    */
+  private[queries] def stripWith(docs: DataFrame, hits: DataFrame): DataFrame = {
     org.apache.spark.sql.graft.SortedContains.register(
       docs.sparkSession)
-    val cov = ExactSubstr.hitsOn(docs)
+    val cov = hits
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1).cast("long"))).as("tp"))
       .distinct()
