@@ -93,6 +93,10 @@ object Bench {
       // events.parquet is TIMESTAMP(NANOS); fixed at session build so read
       // behavior never depends on query execution order (see Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE: ON — Spark 4's default, kept deliberately (SURVEY §4 "AQE
+      // decision"); SPARK_GRAFT_AQE=false re-runs the whole bench without
+      // adaptive execution for an A/B.
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Shared-stage materialization (graft.Materialize): on by default, so

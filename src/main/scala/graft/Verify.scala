@@ -15,6 +15,14 @@ object Verify {
       // events.parquet is TIMESTAMP(NANOS); fixed at session build so read
       // behavior never depends on query execution order (see Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE: ON — Spark 4's default, kept deliberately (SURVEY §4 "AQE
+      // decision"): every oracle gate and bench number is certified under
+      // adaptive execution (runtime coalescing + skew-join splitting), which
+      // composes with the engine's explicit salting/broadcast choices. The
+      // knob exists so the whole gate can be re-run with AQE OFF in one
+      // invocation (SPARK_GRAFT_AQE=false) — proving no query DEPENDS on
+      // adaptive rewrites for correctness.
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Shared-stage materialization (graft.Materialize): the run-scoped

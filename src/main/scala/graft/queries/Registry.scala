@@ -81,6 +81,8 @@ object Registry {
     D17Containment,
     D18ExactSubstr,
     D19DupProvenance,
+    D20WinnowDup,
+    D21WinnowClusters,
     S1AnnBrute,
     S2AnnLsh,
     S4AnnIvf,
@@ -92,6 +94,7 @@ object Registry {
     S10MmrSelect,
     S11AnnIvfPq,
     S13AnnRecallCurve,
+    S14AnnHamming,
     T1LangId,
     T2Quality,
     T3TokenCount,
@@ -112,6 +115,7 @@ object Registry {
     T26FilterAgreement,
     T27VocabCoverage,
     T28GramNovelty,
+    T29Winnowing,
     T20PiiScan,
     T21MarkupStrip,
     T22GopherRules,
@@ -127,6 +131,7 @@ object Registry {
     V3CentroidOutliers,
     V4LabelSilhouette,
     V5ClusterPurity,
+    V6LabelPropagation,
     M1MultimodalMeta,
     M2FrameSample,
     M3KeyframePool,
@@ -153,6 +158,7 @@ object Registry {
     P15LengthBatches,
     P16EpochShuffle,
     P17ShardManifest,
+    P18Curriculum,
     G1PageRank,
     G2Triangles,
     G3PageRankLsh,

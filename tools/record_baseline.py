@@ -69,6 +69,9 @@ PLAUSIBILITY_UNSHARED_ONLY = [
 ]
 PLAUSIBILITY = [
     ("d6_simhash_pairs", "d3_simhash"),
+    ("s14_ann_hamming", "d3_simhash"),  # s14 reads d3's signature stage + bands/joins/ranks
+    ("d20_winnow_dup", "t29_winnowing"),  # d20 reads t29's minima stage + df-cap/self-join/3 joins vs t29's one per-doc aggregate
+    ("d21_winnow_clusters", "d20_winnow_dup"),  # d21 = d20's pair stage + component propagation (shared: stage read + loop vs pure stage read; unshared: rebuilds d20's chain + loop)
     ("d13_cluster_sizes", "d7_dup_clusters"),
     ("d10_semantic_clusters", "d5_embed_dup"),
     ("g1_pagerank", "d5_embed_dup"),  # g1 runs D5EmbedDedup.run as stage 1
