@@ -168,6 +168,22 @@ object Cli {
         opts.get("o").foreach { out =>
           df.write.mode("overwrite").parquet(s"$out/${names.head}.parquet")
         }
+        // Embedding API + invocation-scoped knobs: without -o the returned
+        // frame would otherwise execute lazily AFTER this block's finally
+        // restored the -D confs and released the -c cap — silently violating
+        // "live for this invocation". So when either knob is set, pin the
+        // result INSIDE the scope: persist + count materializes every
+        // partition while the confs/cap are in effect, and later actions on
+        // the returned frame read the cached rows rather than re-planning
+        // under restored confs. (The caller may unpersist when done; under
+        // cache-eviction pressure a recompute would see restored confs —
+        // acceptable for the single-JVM embedding shape this API serves,
+        // and -o remains the durable form.)
+        if (opts.get("o").isEmpty && (dProps.nonEmpty || iterCap.nonEmpty)) {
+          df.persist()
+          df.count()
+          ()
+        }
         Some(df)
       } else {
         val out = opts("o")

@@ -68,9 +68,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * assumption breaks silently (testdata regenerated in place), the stage key
   * folds in the source directory's mtime: regenerating the input directory
   * re-keys every stage built from it, so stale parquet is never served for
-  * refreshed inputs. Content-level mutation that leaves the dir mtime
-  * untouched is out of scope — that is a data catalog's job, not a stage
-  * cache's.
+  * refreshed inputs. Re-keying is paired with garbage collection: every
+  * published stage carries a `_GRAFT_KEY` file recording its (name, srcDir,
+  * mtime) triple, and [[enableAt]] sweeps stage dirs whose recorded mtime no
+  * longer matches the live source — a persistent root does not accumulate
+  * one orphan dir per in-place regeneration. KNOWN BLIND SPOT: directory
+  * mtime only moves on entry create/delete, so rewriting file CONTENTS
+  * inside an existing subdirectory (e.g. overwriting part files without
+  * recreating `documents.parquet/`) leaves both the key and the sweep
+  * untouched and serves stale parquet. Content-level mutation detection is a
+  * data catalog's job (snapshot paths / table versions), not a stage
+  * cache's — regenerate at a new path, or clear the root.
   *
   * Correctness is unchanged by construction: the builder is the exact frame
   * the query would have computed, parquet round-trips every type the stages
@@ -87,6 +95,7 @@ object Materialize {
   private val builds = scala.collection.concurrent.TrieMap.empty[String, Double]
   private val keyLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
   private val TokenFile = "_GRAFT_TOKEN"
+  private val KeyFile = "_GRAFT_KEY"
 
   /** Turn sharing on for this JVM (idempotent). The root is a fresh temp
     * dir per process — run-scoped by construction.
@@ -127,8 +136,38 @@ object Materialize {
         s"Materialize root ${rootDir.getAbsolutePath} is stamped with token " +
           s"'$existing' but this run is '$token' — stale stage artifacts from " +
           "another release; point at a fresh root or clear this one.")
+    sweepStale(rootDir)
     builds.clear()
     root = Some(rootDir)
+  }
+
+  /** GC for a persistent root: delete stage dirs whose recorded source mtime
+    * no longer matches the live source directory (the in-place-regeneration
+    * tripwire re-keys them, so they can never be read again — pure litter),
+    * and crashed builders' `.build_*` temp dirs older than an hour (a LIVE
+    * concurrent process's build is younger than that; non-crash paths clean
+    * their own tmp in [[buildAndPublish]]'s finally). Stage dirs without a
+    * `_GRAFT_KEY` (another writer's, or pre-key-file builds) are left alone —
+    * the token check already scoped the root to this release.
+    */
+  private def sweepStale(rootDir: java.io.File): Unit = {
+    val kids = rootDir.listFiles()
+    if (kids == null) return
+    kids.foreach { d =>
+      if (d.isDirectory) {
+        val kf = new java.io.File(d, KeyFile)
+        if (kf.exists()) {
+          val stale = try {
+            val lines = Files.readAllLines(kf.toPath)
+            lines.size >= 3 && new java.io.File(lines.get(1)).lastModified() != lines.get(2).toLong
+          } catch { case scala.util.control.NonFatal(_) => false }
+          if (stale) deleteRecursively(d)
+        } else if (d.getName.startsWith(".build_") &&
+            System.currentTimeMillis() - d.lastModified() > 60L * 60 * 1000) {
+          deleteRecursively(d)
+        }
+      }
+    }
   }
 
   /** Turn sharing off (tests that pin UNSHARED plan shapes rely on the
@@ -152,8 +191,7 @@ object Materialize {
     * root. The mtime term is the in-place-regeneration tripwire documented
     * above (one stat per table() call; 0 for a nonexistent path).
     */
-  private def stageDirName(name: String, srcDir: String): String = {
-    val mtime = new java.io.File(srcDir).lastModified()
+  private def stageDirName(name: String, srcDir: String, mtime: Long): String = {
     val h = java.lang.Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(s"${name.length}:$name$srcDir@$mtime"))
     s"${slug(name)}__${slug(srcDir)}__$h"
@@ -182,29 +220,44 @@ object Materialize {
     * cold processes on one shared root are in).
     */
   private[graft] def buildAndPublish(
-      root: java.io.File, target: java.io.File, dirName: String)(
+      root: java.io.File, target: java.io.File, dirName: String,
+      keyRecord: Option[String] = None)(
       build: => DataFrame): Option[Double] = {
     if (complete(target)) return None
     val tmp = new java.io.File(
       root, s".build_${dirName}_${java.util.UUID.randomUUID().toString.take(12)}")
     val t0 = System.nanoTime()
-    build.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    var published = false
+    // The finally is the no-litter guarantee: whenever THIS builder did not
+    // rename tmp into place — lost the race, OR the parquet write / key-file
+    // write itself threw — the partial temp dir is removed rather than
+    // accumulating forever under a persistent shared root.
     try {
-      Files.move(tmp.toPath, target.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      Some((System.nanoTime() - t0) / 1e9)
-    } catch {
-      // Another builder renamed first (target now exists): rename of a dir
-      // onto an existing non-empty dir fails — POSIX surfaces ENOTEMPTY /
-      // EEXIST, which the JDK maps to DirectoryNotEmptyException /
-      // FileAlreadyExistsException OR (observed on Linux for the ATOMIC_MOVE
-      // path) a plain FileSystemException carrying the errno text. So: on
-      // ANY FileSystemException, lost-the-race iff the target is now a
-      // complete published stage — then drop our build and read the
-      // winner's; a failure with no complete winner is a real error.
-      case e: java.nio.file.FileSystemException =>
-        if (complete(target)) { deleteRecursively(tmp); None }
-        else throw e
+      build.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      keyRecord.foreach { rec =>
+        Files.write(new java.io.File(tmp, KeyFile).toPath, rec.getBytes("UTF-8"))
+        ()
+      }
+      try {
+        Files.move(tmp.toPath, target.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        published = true
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        // Another builder renamed first (target now exists): rename of a dir
+        // onto an existing non-empty dir fails — POSIX surfaces ENOTEMPTY /
+        // EEXIST, which the JDK maps to DirectoryNotEmptyException /
+        // FileAlreadyExistsException OR (observed on Linux for the ATOMIC_MOVE
+        // path) a plain FileSystemException carrying the errno text. So: on
+        // ANY FileSystemException, lost-the-race iff the target is now a
+        // complete published stage — then drop our build and read the
+        // winner's; a failure with no complete winner is a real error.
+        case e: java.nio.file.FileSystemException =>
+          if (complete(target)) None
+          else throw e
+      }
+    } finally {
+      if (!published && tmp.exists()) deleteRecursively(tmp)
     }
   }
 
@@ -221,11 +274,22 @@ object Materialize {
     root match {
       case None => build
       case Some(r) =>
-        val dirName = stageDirName(name, srcDir)
+        val mtime = new java.io.File(srcDir).lastModified()
+        val dirName = stageDirName(name, srcDir, mtime)
         val dir = new java.io.File(r, dirName)
         if (!complete(dir)) {
+          // Invariant guard: no stage builder may run under a -c iteration
+          // cap. No CURRENT builder consults IterationBudget, but if an
+          // iterative builder were ever materialized, a capped run would
+          // publish capped artifacts that later UNCAPPED runs (same key!)
+          // silently read as correct. Enforced here, not just assumed.
+          require(graft.core.IterationBudget.cap.isEmpty,
+            s"Materialize: refusing to build shared stage '$name' under a -c " +
+              "iteration cap — capped runs must not publish shared artifacts " +
+              "(the stage key does not include the cap)")
           keyLocks.getOrElseUpdate(dirName, new Object).synchronized {
-            buildAndPublish(r, dir, dirName)(build).foreach { secs =>
+            buildAndPublish(r, dir, dirName,
+              Some(s"$name\n$srcDir\n$mtime\n"))(build).foreach { secs =>
               builds(s"$name@$srcDir") = secs
             }
           }

@@ -31,6 +31,32 @@ class ConfProbeFormat extends graft.sources.SourceFormat {
   }
 }
 
+/** Observes session conf at EXECUTION time (inside a task, via the SQLConf
+  * Spark propagates to tasks per query execution) — distinct from ConfProbe,
+  * which observes at plan-construction time in load(). Lets the embedding-API
+  * test prove the returned frame's rows were COMPUTED while -D confs were
+  * live, not merely planned then.
+  */
+object ExecConfProbe { @volatile var seen: Option[String] = None }
+class ExecConfProbeFormat extends graft.sources.SourceFormat {
+  override def load(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      table: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.udf
+    // spark.sql.* keys are the ones Spark serializes into the task-side
+    // SQLConf snapshot (custom keys are not propagated), so the probe reads
+    // shuffle.partitions — the -D test sets it to a value the session never
+    // uses otherwise.
+    val probe = udf { () =>
+      ExecConfProbe.seen = Some(org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.sql.shuffle.partitions", "unset"))
+      true
+    }
+    spark.read.parquet(s"$dir/$table.parquet").filter(probe())
+  }
+}
+
 class CliSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
@@ -191,6 +217,30 @@ class CliSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       Cli.runWith(spark, Array("-i", sf, "-q", "q1_agg", "-D", "novalue"))
     }.getMessage.contains("key=value"))
+  }
+
+  test("-D without -o: the returned frame executes INSIDE the conf scope") {
+    // Without the in-scope pin (persist + count), the lazy frame would
+    // execute only when the CALLER acts on it — after the finally restored
+    // the confs, when the task-side probe would read "unset". Asserting the
+    // probe value BEFORE touching the returned frame proves its rows were
+    // computed while the -D confs were live.
+    val dir = Files.createTempDirectory("graft-cli-dexec")
+    Files.copy(
+      java.nio.file.Paths.get(s"$sf/lineitem.parquet"),
+      dir.resolve("lineitem.parquet"))
+    ExecConfProbe.seen = None
+    val res = Cli.runWith(spark, Array(
+      "-i", dir.toString, "-q", "q1_agg",
+      "-inputformat", "graft.ExecConfProbeFormat",
+      "-D", "spark.sql.shuffle.partitions=7")).get
+    assert(ExecConfProbe.seen == Some("7"),
+      s"returned frame was not executed under the -D confs (probe saw ${ExecConfProbe.seen})")
+    try {
+      assert(res.storageLevel.useMemory || res.storageLevel.useDisk,
+        "-D without -o must pin the result inside the conf scope")
+      assert(res.collect().nonEmpty)
+    } finally { res.unpersist(); () }
   }
 
   test("suite invocation FAILS at the end when a query failed; stale output removed") {

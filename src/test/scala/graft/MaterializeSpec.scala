@@ -145,6 +145,66 @@ class MaterializeSpec extends AnyFunSuite {
     } finally Materialize.disable()
   }
 
+  test("a failing build leaves no temp litter under the root") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_fail_").toFile
+    val target = new java.io.File(root, "stage_boom")
+    // fails DURING the parquet write (a partial .build_* dir exists by then),
+    // not merely during builder evaluation — the leak path ADVICE flagged.
+    val boom = udf((i: Long) => {
+      if (i > 1) throw new RuntimeException("builder boom"); i
+    })
+    intercept[Exception] {
+      Materialize.buildAndPublish(root, target, "stage_boom") {
+        spark.range(4).toDF("id").select(boom(col("id")).as("id"))
+      }
+    }
+    val litter = root.listFiles().filter(_.getName.startsWith(".build_"))
+    assert(litter.isEmpty, s"failed build leaked temp dirs: ${litter.map(_.getName).toSeq}")
+    assert(!target.exists(), "failed build must not publish")
+  }
+
+  test("enableAt sweeps stage dirs whose source mtime changed (re-key GC)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gc_").toFile
+    val src = java.nio.file.Files.createTempDirectory("graft_gc_src_").toFile
+    Materialize.enableAt(root, "rel-gc")
+    try assert(Materialize.table(spark, "gc_stage", src.getAbsolutePath)(
+      spark.range(3).toDF("id")).count() == 3)
+    finally Materialize.disable()
+    assert(root.listFiles().count(_.getName.startsWith("gc_stage")) == 1)
+    // regenerate the input in place: the stage re-keys (tripwire), and the
+    // next enableAt must GC the orphan old-mtime dir instead of hoarding it
+    assert(src.setLastModified(src.lastModified() + 7000))
+    Materialize.enableAt(root, "rel-gc")
+    try {
+      assert(root.listFiles().count(_.getName.startsWith("gc_stage")) == 0,
+        "orphan stage dir (stale source mtime) was not swept")
+      assert(Materialize.table(spark, "gc_stage", src.getAbsolutePath)(
+        spark.range(6).toDF("id")).count() == 6)
+      assert(root.listFiles().count(_.getName.startsWith("gc_stage")) == 1)
+    } finally Materialize.disable()
+  }
+
+  test("stage BUILD path refuses an active -c iteration cap; READS stay allowed") {
+    Materialize.enable()
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        graft.core.IterationBudget.withCap(Some(2)) {
+          Materialize.table(spark, "capped_stage", "dirC")(spark.range(2).toDF("id"))
+        }
+      }
+      assert(ex.getMessage.contains("iteration cap"))
+      // an already-published stage may be READ under a cap (its content was
+      // built uncapped; consumer-side loops cap themselves)
+      assert(Materialize.table(spark, "capped_read", "dirC")(
+        spark.range(3).toDF("id")).count() == 3)
+      graft.core.IterationBudget.withCap(Some(2)) {
+        assert(Materialize.table(spark, "capped_read", "dirC")(
+          spark.range(99).toDF("id")).count() == 3)
+      }
+    } finally Materialize.disable()
+  }
+
   test("enableAt: explicit root reuses same-token artifacts, REJECTS a stale root") {
     val root = java.nio.file.Files.createTempDirectory("graft_root_").toFile
     Materialize.enableAt(root, "release-1")
