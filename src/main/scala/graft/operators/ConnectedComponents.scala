@@ -7,14 +7,45 @@ import org.apache.spark.sql.functions._
   * undirected pair list — the step that turns pairwise dedup output into
   * actionable clusters ("delete all but the survivor") for ANY pair source:
   * d7 runs it over d4's verified Jaccard pairs, d10 over d5's embedding-
-  * cosine pairs (SemDeDup-style semantic clusters). Extracted from d7
-  * (round 5) so the propagation engine exists once.
+  * cosine pairs (SemDeDup-style semantic clusters), d21 over d20's
+  * winnowing pairs, d16/v5 over the LSH-verified semantic pairs. Extracted
+  * from d7 (round 5) so the propagation engine exists once.
   *
   * Algorithm: labels(node) ← min(label(node), min over neighbors' labels)
-  * until fixpoint. Every iteration is a key join + grouped min (shuffles on
-  * node id only); convergence takes O(cluster diameter) rounds and
-  * duplicate clusters are shallow, so 2-4 rounds in practice with a hard
-  * cap — the same driver-loop shape as the kernel's k1/q9.
+  * until fixpoint, with pointer jumping (each node also adopts its label's
+  * label) so convergence is O(log diameter) rounds, not O(diameter).
+  *
+  * DELTA PROPAGATION (round-14, closing the r13 "d16_clusters build
+  * exceeds the pair build it consumes" flag): labels only ever DECREASE,
+  * so a round only needs to push labels that CHANGED last round — the
+  * full-frame form re-joined the ENTIRE edge list and the ENTIRE label
+  * table every round even when one straggler chain was still moving.
+  * Each round now:
+  *   - prop:  edges ⨝ delta (changed labels only) — the edge side is a
+  *     PERSISTED DataFrame hash-partitioned on src, so Catalyst reuses its
+  *     partitioning and only the (shrinking) delta shuffles; once delta is
+  *     small, AQE turns this into a broadcast join and the O(E) per-round
+  *     exchange disappears entirely.
+  *   - chase: labels ⨝ delta on (label = changed node) — pointer jumping,
+  *     delta-restricted for the same reason (an unchanged pointee
+  *     contributes nothing).
+  *   - merge: labels left-join candidate minima; rows where the candidate
+  *     beats the current label form the NEXT delta.
+  * Convergence = empty delta, checked by the same count that materializes
+  * the round — no extra confirmation round (the Σlabel form needed one
+  * final full pass just to observe the fixpoint).
+  * MEASURED A/B at the sf1 probe (CcProbe: the d16_clusters stage build
+  * over the 3.27M verified pairs / 6.5M directed edges of 20k vectors,
+  * local[32], AQE on): full-frame form 85.6 s propagation
+  * (SCALE_SLOPE_r13.json shared_big, pairs stage prebuilt) → delta form
+  * ~6.4 s (99.10 s inclusive build minus the 92.75 s nested pairs build;
+  * CcProbe runs colder than Bench, so the delta number is if anything an
+  * overestimate). Fixpoint in 4 rounds, delta collapsing
+  * 19 458 → 18 206 → 1 159 → 0 nodes — the old form re-joined all 6.5M
+  * directed edges AND all 20k labels every round and needed a final full
+  * pass just to observe the fixpoint. d7/d10/d16/d21/v5/v6/g3/g4 all
+  * hash-green against the recursive-CTE oracle closure at sf0.01 on the
+  * delta form.
   *
   * Scale: the working set is the PAIR list — orders of magnitude smaller
   * than the corpus — partitioned by `edgePartitions` (size with the
@@ -24,7 +55,10 @@ import org.apache.spark.sql.functions._
   * every prior round (measured 10.5 s → ~4 s cold at sf0.1 on d7), RDD
   * lineage keeps partitions recomputable on executor loss (which
   * localCheckpoint would sacrifice), and each round unpersists its
-  * predecessor precisely.
+  * predecessor precisely. The edge list itself is a DataFrame-level
+  * persist (not an RDD truncate): it is built once — no lineage growth —
+  * and keeping it as an InMemoryRelation preserves its HashPartitioning
+  * for the per-round join, which the RDD boundary would erase.
   */
 object ConnectedComponents {
 
@@ -46,14 +80,11 @@ object ConnectedComponents {
       val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
       (spark.createDataFrame(rdd, df.schema), rdd)
     }
-    // Materialize the pair source ONCE (both union branches read the
-    // persisted pair RDD), partitioned at a granularity matched to the
-    // edge-list size, not the corpus scan's.
-    val (pairs, pairsRdd) = truncate(pairsIn.toDF("pa", "pb"))
-    val (edges, edgesRdd) = truncate(
-      pairs.union(pairs.select(col("pb"), col("pa")))
-        .toDF("src", "dst")
-        .repartition(edgePartitions, col("src")))
+    val pairs = pairsIn.toDF("pa", "pb").persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.union(pairs.select(col("pb"), col("pa")))
+      .toDF("src", "dst")
+      .repartition(edgePartitions, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Seed labels at min(node, min neighbor) instead of node: any init that
     // is ≥ the fixpoint and ≤ the node's own id converges to the same
     // component minimum, and this one puts every DIRECT pair (the vast
@@ -63,50 +94,48 @@ object ConnectedComponents {
       edges.groupBy(col("src"))
         .agg(min(col("dst")).as("mn"))
         .select(col("src").as("node"), least(col("mn"), col("src")).as("label")))
-    // Labels are monotonically non-increasing, so the fixpoint is reached
-    // exactly when Σ label stops decreasing — one aggregate over the
-    // truncated frame per round instead of a join-based change count.
-    def labelSum(df: DataFrame): Long = {
-      // sum over an EMPTY frame is SQL NULL (zero input pairs) — coalesce
-      // to 0 so the loop converges immediately.
-      val row = df.agg(sum(col("label"))).head
-      if (row.isNullAt(0)) 0L else row.getLong(0)
-    }
-    var prevSum = labelSum(labels) // materializes labels → edges → pairs
-    pairsRdd.unpersist(blocking = false) // both edge directions are cached now
+    // Round 0's delta is every node (all labels are new); it shares the
+    // seed's persisted RDD.
+    var delta = labels
+    var deltaCount = labels.count() // materializes labels → edges → pairs
+    pairs.unpersist(blocking = false) // both edge directions are cached now
     var round = 0
-    var converged = false
-    while (!converged && round < maxRounds) {
-      val prop = edges.join(labels, col("src") === col("node"))
+    while (deltaCount > 0 && round < maxRounds) {
+      val prop = edges.join(delta, col("src") === col("node"))
         .select(col("dst").as("node"), col("label"))
-      // Pointer jumping: each node also adopts its label's label. Every
-      // label value is itself a node key (it is some node's id and every
-      // edge endpoint appears as src), so the self-join is total. This
-      // shortcut halves the remaining path length every round — O(log
-      // diameter) rounds instead of O(diameter), which is the difference
-      // between 10 rounds and 4 on a chain-heavy graph (d10's semantic
-      // pairs measured exactly that) and the standard CC-on-dataflow trick.
+      // Pointer jumping, delta-restricted: nodes whose label IS a changed
+      // node adopt its new (smaller) label. Every label value is itself a
+      // node key (it is some node's id and every edge endpoint appears as
+      // src), so the restriction loses nothing an unchanged pointee could
+      // have given.
       val chase = labels.alias("l")
-        .join(labels.alias("p"), col("l.label") === col("p.node"))
+        .join(delta.alias("p"), col("l.label") === col("p.node"))
         .select(col("l.node").as("node"), col("p.label").as("label"))
-      val (next, nextRdd) = truncate(
-        labels.unionByName(prop).unionByName(chase)
-          .groupBy(col("node")).agg(min(col("label")).as("label")))
-      val s = labelSum(next) // materializes next; old labels never read again
+      val cand = prop.unionByName(chase)
+        .groupBy(col("node")).agg(min(col("label")).as("cnd"))
+      // One persisted frame carries BOTH next-round outputs: the merged
+      // labels and the delta (rows where the candidate actually improved).
+      val (merged, mergedRdd) = truncate(
+        labels.join(cand, Seq("node"), "left")
+          .select(col("node"), col("label"), col("cnd")))
+      val nextDelta = merged.filter(col("cnd") < col("label"))
+        .select(col("node"), col("cnd").as("label"))
+      deltaCount = nextDelta.count() // materializes merged; old labels done
+      log.info(s"$name: round ${round + 1} delta=$deltaCount")
       labelsRdd.unpersist(blocking = false)
-      labels = next
-      labelsRdd = nextRdd
-      converged = s == prevSum
-      prevSum = s
+      labels = merged.select(col("node"),
+        least(col("label"), coalesce(col("cnd"), col("label"))).as("label"))
+      labelsRdd = mergedRdd
+      delta = nextDelta
       round += 1
     }
-    if (converged)
+    if (deltaCount == 0)
       log.info(s"$name: min-label propagation converged after $round rounds")
     else
       log.warn(s"$name: min-label propagation hit the $maxRounds-round cap without " +
         "converging — a cluster has diameter > cap and its component " +
         "labels are PARTIAL (one true cluster reported as several components)")
-    edgesRdd.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
     labels
   }
 }

@@ -1,0 +1,39 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+/** Measurement probe for the ConnectedComponents delta-propagation A/B
+  * (round-13 verdict #4: "d16_clusters' 85.6 s sf1 build exceeds the pair
+  * build it consumes"). Runs the d16 chain under an enabled Materialize at
+  * Bench's config (local[N], shuffle=N, AQE on) over the given dir and
+  * prints the per-stage build costs — the d16_clusters row is the delta
+  * form's number against SCALE_SLOPE_r13.json shared_big's full-frame
+  * 85.6 s. The CC logger is raised to INFO so the per-round delta sizes
+  * (the convergence trace) land in the output.
+  */
+object CcProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "graft.operators.ConnectedComponents", org.apache.logging.log4j.Level.INFO)
+    graft.Materialize.enable()
+    val t0 = System.nanoTime()
+    val n = D16SemanticLshClusters.run(spark, dir).count()
+    val total = (System.nanoTime() - t0) / 1e9
+    val costs = graft.Materialize.buildCosts.toSeq.sortBy(_._1)
+      .map { case (k, v) => f""""$k":$v%.2f""" }.mkString(",")
+    println(f"""{"rows":$n,"total_sec":$total%.2f,"builds":{$costs}}""")
+    graft.Materialize.disable()
+    spark.stop()
+  }
+}

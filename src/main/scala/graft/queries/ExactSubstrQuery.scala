@@ -270,6 +270,23 @@ object P7SpanStrip extends GraftQuery {
   * Scale: rides [[ExactSubstr.hitsOn]]'s audited two-shuffle shape (one
   * hash-keyed count, one join-back) plus a doc-keyed count and one
   * doc_id-keyed left join against the per-doc gram totals.
+  *
+  * SLOPE ATTRIBUTION (round-14, closing the r13 6.85x flag): the 10x-doc
+  * probe put the consumer at 1.24s -> 8.52s while d18 — same shared hits
+  * input, heavier per-doc window — ran 0.81x. The difference was the
+  * n_grams branch: it re-tokenized AND gram-hashed the full corpus
+  * (`size(gramHashes(tokenHashes(tokens)))`, O(tokens*k) fold work per
+  * doc) only to take the array's SIZE — which is identically
+  * `greatest(n_tokens - k + 1, 0)` (gramHashes emits exactly
+  * len - k + 1 hashes when len >= k, else an empty array). The count is
+  * now computed from `size(tokens)` directly: the corpus pass drops the
+  * per-token xxhash and the 2x k-element rolling folds and keeps only the
+  * regex tokenize. MEASURED at the sf1 probe (StripProbe, 50k docs,
+  * local[32]): old n_grams pass 7.83 s vs 0.72 s for the identity (same
+  * 2 255 063-gram mass), and the full t28 consumer over a shared
+  * d18_hits stage drops 8.52 s (SCALE_SLOPE_r13) -> 0.31 s
+  * (hits read 0.22 s + dup count 0.42 s + join, pipelined) — the entire
+  * unattributed 6.85x slope was this one wasted hash pass.
   */
 object T28GramNovelty extends GraftQuery {
   val name = "t28_gram_novelty"
@@ -281,8 +298,8 @@ object T28GramNovelty extends GraftQuery {
     import graft.operators.TextOps
     val grams = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        size(TextOps.gramHashes(
-          TextOps.tokenHashes(TextOps.tokens(col("text"))), k)).cast("long").as("n_grams"))
+        greatest(size(TextOps.tokens(col("text"))).cast("long") - lit((k - 1).toLong),
+          lit(0L)).as("n_grams"))
     val dup = ExactSubstr.hits(spark, sfDir)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
     grams.join(dup, Seq("doc_id"), "left")
@@ -296,7 +313,7 @@ object T28GramNovelty extends GraftQuery {
 
   val oracle = Some(
     s"""WITH ${ExactSubstr.hitsSqlCtes},
-       |ng AS (SELECT doc_id, CAST(len(gh) AS BIGINT) AS n_grams FROM g),
+       |ng AS (SELECT doc_id, CAST(greatest(len(toks) - ${k - 1}, 0) AS BIGINT) AS n_grams FROM tk),
        |nd AS (SELECT doc_id, count(*) AS n_dup FROM hit GROUP BY doc_id)
        |SELECT ng.doc_id, ng.n_grams,
        |       CAST(coalesce(nd.n_dup, 0) AS BIGINT) AS n_dup_grams,

@@ -45,6 +45,26 @@ object StripProbe {
       .select(posexplode(col("gh")).as(Seq("p0", "h"))).count())
     timed("hits")(ExactSubstr.hits(spark, dir).count())
     timed("strip")(P7SpanStrip.stripOn(docs).count())
+    // t28 novelty-chain decomposition (round-13 verdict #2): the two forms
+    // of the per-doc gram count — the old full-hash pass vs the
+    // size(tokens)-k+1 identity t28 now uses — then the chain's remaining
+    // stages over a SHARED hits stage (Bench's shape): stage read,
+    // doc-keyed dup count, and the full left-join + division.
+    timed("t28_ngrams_hash")(docs.select(
+        size(TextOps.gramHashes(
+          TextOps.tokenHashes(TextOps.tokens(col("text"))), ExactSubstr.k)).cast("long").as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0))
+    timed("t28_ngrams_tokens")(docs.select(
+        greatest(size(TextOps.tokens(col("text"))).cast("long") - lit((ExactSubstr.k - 1).toLong),
+          lit(0L)).as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0))
+    graft.Materialize.enable()
+    timed("t28_hits_build")(ExactSubstr.hits(spark, dir).count())
+    timed("t28_hits_read")(ExactSubstr.hits(spark, dir).count())
+    timed("t28_dup_count")(ExactSubstr.hits(spark, dir)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup")).count())
+    timed("t28_full_shared")(T28GramNovelty.run(spark, dir).count())
+    graft.Materialize.disable()
     spark.stop()
   }
 }

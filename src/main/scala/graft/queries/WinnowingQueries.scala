@@ -30,7 +30,7 @@ import graft.operators.TextOps
   * pos-level frame is a Materialize stage (two consumers: t29's per-doc
   * profile and d20's pair join).
   */
-private[queries] object Winnowing {
+private[graft] object Winnowing {
   /** Gram size in word tokens (k) and window width in grams (w): a match
     * of ≥ w+k−1 = 8 consecutive tokens is guaranteed to share a
     * fingerprint; expected density 2/(w+1) = 1/3 of grams.

@@ -377,6 +377,52 @@ object EventStream {
       .withColumn("clean_text", T21MarkupStrip.stripCol(h))
   }
 
+  /** Winnowing-fingerprint gate — t29's per-document fingerprint profile
+    * stamped at ingestion (the markupGate discipline for the dedup front):
+    * each arriving document leaves with its gram count, full-window count,
+    * distinct winnowed-fingerprint count, order-independent fp digest, and
+    * selection density — the profile d20's pair join and t29's monitoring
+    * read, computed where the document first exists.
+    *
+    * Statelessness is structural: winnowing is a PER-DOCUMENT computation
+    * (the window slides over one doc's gram sequence, never across docs),
+    * so what batch t29 does with a doc_id-partitioned SQL window this gate
+    * does with array combinators INSIDE the row — `slice`+`array_min` per
+    * window position, `array_distinct` for the set, an `aggregate` XOR for
+    * the digest. No shuffle, no state, no watermark; partitioning follows
+    * the source. Hash/tokenizer/k/w all come from [[graft.queries.Winnowing]]
+    * and [[graft.operators.TextOps]], so gate and batch cannot disagree
+    * about what a fingerprint is; WinnowGateStreamSpec pins bit-exact
+    * parity with t29 across micro-batches.
+    *
+    * Too-short documents (< w+k−1 tokens = no full window) are STAMPED
+    * (null profile) rather than dropped — an ingestion gate must not lose
+    * rows; t29 simply has no row for them (its minima frame is empty).
+    */
+  def winnowGate(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import graft.operators.TextOps
+    import graft.queries.Winnowing
+    val w = Winnowing.w
+    val gh = TextOps.gramHashes(
+      TextOps.tokenHashes(TextOps.tokens(col(textCol))), Winnowing.k)
+    // One pass over the gram array per row: minima of each w-wide window,
+    // then set-level profile columns. All codegen'd higher-order functions.
+    val wmins = expr(
+      s"transform(sequence($w, size(__gh)), p -> array_min(slice(__gh, p - ${w - 1}, $w)))")
+    val fps = array_distinct(col("__wmins"))
+    docs
+      .withColumn("__gh", gh)
+      .withColumn("__wmins", when(size(col("__gh")) >= w, wmins))
+      .withColumn("n_grams", when(size(col("__gh")) >= w, size(col("__gh")).cast("long")))
+      .withColumn("n_windows", size(col("__wmins")).cast("long"))
+      .withColumn("n_fp", size(fps).cast("long"))
+      .withColumn("fp_digest",
+        expr("aggregate(array_distinct(__wmins), 0L, (acc, x) -> acc ^ x)"))
+      .withColumn("density",
+        round(col("n_fp").cast("double") / col("n_windows"), 6))
+      .drop("__gh", "__wmins")
+  }
+
   final case class OpenSession(startSec: Long, lastSec: Long, nEvents: Long)
   final case class OpenSessions(sessions: List[OpenSession])
   final case class FinalizedSession(
