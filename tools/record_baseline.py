@@ -66,11 +66,15 @@ MARKER = "### Recorded"
 PLAUSIBILITY_UNSHARED_ONLY = [
     ("d4_ngram_jaccard", "d2_minhash_lsh"),
     ("d7_dup_clusters", "d4_ngram_jaccard"),
+    # d20's pair list is ITSELF a stage (d20_pairs, shared with d21): under
+    # sharing d20 is a pure stage read while t29 still aggregates the full
+    # minima stage — the d4 >= d2 situation exactly. Unshared, d20 rebuilds
+    # the minima chain + the self-join and the rule is structural.
+    ("d20_winnow_dup", "t29_winnowing"),
 ]
 PLAUSIBILITY = [
     ("d6_simhash_pairs", "d3_simhash"),
     ("s14_ann_hamming", "d3_simhash"),  # s14 reads d3's signature stage + bands/joins/ranks
-    ("d20_winnow_dup", "t29_winnowing"),  # d20 reads t29's minima stage + df-cap/self-join/3 joins vs t29's one per-doc aggregate
     ("d21_winnow_clusters", "d20_winnow_dup"),  # d21 = d20's pair stage + component propagation (shared: stage read + loop vs pure stage read; unshared: rebuilds d20's chain + loop)
     ("d13_cluster_sizes", "d7_dup_clusters"),
     ("d10_semantic_clusters", "d5_embed_dup"),
