@@ -34,18 +34,30 @@ import org.apache.spark.sql.functions._
   * Convergence = empty delta, checked by the same count that materializes
   * the round — no extra confirmation round (the Σlabel form needed one
   * final full pass just to observe the fixpoint).
-  * MEASURED A/B at the sf1 probe (CcProbe: the d16_clusters stage build
-  * over the 3.27M verified pairs / 6.5M directed edges of 20k vectors,
-  * local[32], AQE on): full-frame form 85.6 s propagation
-  * (SCALE_SLOPE_r13.json shared_big, pairs stage prebuilt) → delta form
-  * ~6.4 s (99.10 s inclusive build minus the 92.75 s nested pairs build;
-  * CcProbe runs colder than Bench, so the delta number is if anything an
-  * overestimate). Fixpoint in 4 rounds, delta collapsing
-  * 19 458 → 18 206 → 1 159 → 0 nodes — the old form re-joined all 6.5M
-  * directed edges AND all 20k labels every round and needed a final full
-  * pass just to observe the fixpoint. d7/d10/d16/d21/v5/v6/g3/g4 all
-  * hash-green against the recursive-CTE oracle closure at sf0.01 on the
-  * delta form.
+  * MEASURED A/B at the sf1 probe (the d16_clusters stage build over the
+  * 426k verified pairs / 852k directed edges of 20k vectors, local[32],
+  * AQE on). Materialize build costs are NESTED-INCLUSIVE — when the pair
+  * stage builds inside the cluster build's scope (which Bench's
+  * warmup-at-big ordering always produces: no smaller sibling dir exists
+  * for scaledata/sf1), the d16_clusters row carries pairs + propagation —
+  * so the propagation cost is the DIFFERENCE of the two rows:
+  *   - full-frame form (r13): 85.61 − 74.89 = ~10.7 s
+  *     (SCALE_SLOPE_r13.json shared_big; the r13 verdict's reading of
+  *     85.6 s as pure propagation was this attribution artifact)
+  *   - delta form (r14): 75.69 − 70.59 = ~5.1 s (SCALE_SLOPE_r14
+  *     shared_big), 82.35 − 77.29 = ~5.1 s (restricted re-run), and
+  *     99.10 − 92.75 = ~6.4 s (CcProbe, cold) — three consistent reads.
+  * ≈2× less propagation wall, and the loop's own INFO timestamps bound
+  * the join work at ~3 s: fixpoint in 4 rounds, delta collapsing
+  * 19 458 → 18 206 → 1 159 → 0 nodes, vs the old form's re-join of all
+  * 852k directed edges AND all 20k labels every round plus a final full
+  * pass just to observe the fixpoint. At sf0.1's toy pair count (4 137)
+  * the delta form is ~1 s SLOWER (3.67 vs 2.62 s — more jobs per round;
+  * fixed scheduling overhead dominates), which is the right trade: the
+  * per-round cost is now bounded by the CHANGE mass, not the edge mass,
+  * and at 100 TB the change mass after round 1 is a vanishing fraction.
+  * d7/d10/d16/d21/v5/v6/g3/g4 all hash-green against the recursive-CTE
+  * oracle closure at sf0.01 on the delta form.
   *
   * Scale: the working set is the PAIR list — orders of magnitude smaller
   * than the corpus — partitioned by `edgePartitions` (size with the

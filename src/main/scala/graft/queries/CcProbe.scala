@@ -3,13 +3,16 @@ package graft.queries
 import org.apache.spark.sql.SparkSession
 
 /** Measurement probe for the ConnectedComponents delta-propagation A/B
-  * (round-13 verdict #4: "d16_clusters' 85.6 s sf1 build exceeds the pair
-  * build it consumes"). Runs the d16 chain under an enabled Materialize at
-  * Bench's config (local[N], shuffle=N, AQE on) over the given dir and
-  * prints the per-stage build costs — the d16_clusters row is the delta
-  * form's number against SCALE_SLOPE_r13.json shared_big's full-frame
-  * 85.6 s. The CC logger is raised to INFO so the per-round delta sizes
-  * (the convergence trace) land in the output.
+  * (round-13 verdict #4: the d16_clusters sf1 build cost). Runs the d16
+  * chain under an enabled Materialize at Bench's config (local[N],
+  * shuffle=N, AQE on) over the given dir and prints the per-stage build
+  * costs. ATTRIBUTION: the pairs stage builds NESTED inside the clusters
+  * build here (fresh Materialize root, clusters requested first), so the
+  * d16_clusters row is INCLUSIVE — propagation cost = clusters row minus
+  * pairs row (see ConnectedComponents' scaladoc; the r13 verdict's
+  * "85.6 s propagation" read the same nested number as exclusive). The CC
+  * logger is raised to INFO so the per-round delta sizes (the convergence
+  * trace) land in the output.
   */
 object CcProbe {
   def main(args: Array[String]): Unit = {
