@@ -31,7 +31,9 @@ import graft.operators.VectorOps
   * table), so nPlanes GROWS with the corpus to hold buckets bounded while L
   * and the probe radius buy recall — every knob is a constant here and an
   * argument in a deployment. Verification touches candidates only, and the
-  * propagation working set is the verified pair list. Nothing is O(n²).
+  * propagation working set is the verified pair list. No OPERATOR is
+  * O(n²) — the candidate mass still is whenever the threshold carries no
+  * signal (see THRESHOLD-REGIME HONESTY below).
   *
   * OPERATING POINT — 8 planes × 6 tables × radius 3 — is MEASURED, not
   * argued: the round-11 sf1-equivalent probe (SCALE_SLOPE_r11.json; 20k
@@ -48,6 +50,30 @@ import graft.operators.VectorOps
   * declared chain itself. The structural guarantee the plan pin holds is
   * what scales: candidates come from keyed equi-joins, never a quadratic
   * operator.
+  *
+  * THRESHOLD-REGIME HONESTY (round 14). Structure is not selectivity: on
+  * THIS fixture the candidate MASS is still ~quadratic, because the 0.35
+  * threshold sits in the random-cosine tail of random unit vectors
+  * (per-plane agreement: signal 0.61 vs noise 0.50). Per table the
+  * radius-3 probe accepts P(Binom(8, ½) ≤ 3) = 93/256 ≈ 36% of RANDOM
+  * pairs; across 6 tables 1−(1−.36)⁶ ≈ 93% — measured exactly at the sf1
+  * probe: 183.4M candidates of the 200.0M possible pairs (91.7%),
+  * verifying down to 425k (SCALE_SLOPE_r14.json probes). At a 0.61-vs-0.50
+  * gap NO sign-LSH config separates sub-quadratically at recall ≈ 1 (the
+  * per-bit information is ~0.035 bits; code length would have to grow
+  * faster than the noise-acceptance shrinks). Consequence, measured: the
+  * exact tiled d5 form builds the same pair list in 3.1 s where this
+  * chain spends 70.6 s (shared_big rows, SCALE_SLOPE_r14) — below the
+  * threshold-signal crossover, all-pairs-with-tiny-constants beats
+  * LSH-with-shuffled-candidates, which is WHY d5 stays in the engine as
+  * more than an oracle. d16's regime is the production one: at real
+  * near-dup thresholds (cosine ≥ 0.8 → per-plane 0.80 vs 0.50) per-table
+  * noise acceptance at radius 2 is 14.5% and falls exponentially with
+  * planes while signal capture stays high — there the same chain prunes
+  * by orders of magnitude and the log2(n) sizing rule above applies. The
+  * fixture prices the operator's floor, not its value; the emb-family
+  * slope gate already judges these chains against the fixture's own
+  * quadratic true-pair growth for the same reason.
   *
   * Recall: sign-LSH at cosine 0.35 (≈ 70°) is a hard regime — per-plane
   * agreement p ≈ 0.61, so one 8-plane table alone catches only p⁸ ≈ 2% of
