@@ -70,10 +70,15 @@ import graft.operators.VectorOps
   * near-dup thresholds (cosine ≥ 0.8 → per-plane 0.80 vs 0.50) per-table
   * noise acceptance at radius 2 is 14.5% and falls exponentially with
   * planes while signal capture stays high — there the same chain prunes
-  * by orders of magnitude and the log2(n) sizing rule above applies. The
-  * fixture prices the operator's floor, not its value; the emb-family
-  * slope gate already judges these chains against the fixture's own
-  * quadratic true-pair growth for the same reason.
+  * by orders of magnitude and the log2(n) sizing rule above applies.
+  * EXECUTABLE: D16RegimeSpec plants 300 cosine≈0.95 clusters among 2 800
+  * random vectors and runs THIS chain ([[verifiedPairsOver]]) at
+  * threshold 0.8 with a 16×5×r2 config — measured candidates 1.57% of
+  * all pairs (125 733 of 8.0M) at recall 0.9994, against the same
+  * operator's 91.7% on the noise-threshold fixture. The fixture prices
+  * the operator's floor, not its value; the emb-family slope gate
+  * already judges these chains against the fixture's own quadratic
+  * true-pair growth for the same reason.
   *
   * Recall: sign-LSH at cosine 0.35 (≈ 70°) is a hard regime — per-plane
   * agreement p ≈ 0.61, so one 8-plane table alone catches only p⁸ ≈ 2% of
@@ -185,18 +190,31 @@ object D16SemanticLshClusters extends GraftQuery {
     */
   private[queries] def verifiedPairsWith(spark: SparkSession, sfDir: String,
       tables: Seq[Seq[Seq[Double]]], probeMasks: Seq[Long],
-      bucketSalts: Int = 1): DataFrame = {
+      bucketSalts: Int = 1): DataFrame =
+    verifiedPairsOver(spark,
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
+      tables, probeMasks, bucketSalts, threshold)
+
+  /** The same chain over an EXPLICIT (vec_id, embedding) frame and
+    * threshold — so the threshold-regime demonstration (D16RegimeSpec) can
+    * run the DECLARED operator, not a model of it, over planted near-dup
+    * clusters at a production threshold. The sfDir overload binds the
+    * declared table and the d5 threshold.
+    */
+  private[queries] def verifiedPairsOver(spark: SparkSession, embIn: DataFrame,
+      tables: Seq[Seq[Seq[Double]]], probeMasks: Seq[Long],
+      bucketSalts: Int, minCos: Double): DataFrame = {
     org.apache.spark.sql.graft.DotProduct.register(spark)
     org.apache.spark.sql.graft.CosineSimilarity.register(spark)
-    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val cand = candidatePairsWith(spark, sfDir, tables, probeMasks, bucketSalts)
+    val emb = embIn.select(col("vec_id"), col("embedding"))
+    val cand = candidatePairsOver(spark, emb, tables, probeMasks, bucketSalts)
     val cos = org.apache.spark.sql.graft.CosineSimilarity.cosineSimilarity(
       col("ea.embedding"), col("eb.embedding"))
     cand
       .join(emb.alias("ea"), col("vec_a") === col("ea.vec_id"))
       .join(emb.alias("eb"), col("vec_b") === col("eb.vec_id"))
       .select(col("vec_a"), col("vec_b"), cos.as("cos"))
-      .filter(col("cos") >= threshold)
+      .filter(col("cos") >= minCos)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
   }
 
@@ -207,10 +225,17 @@ object D16SemanticLshClusters extends GraftQuery {
     */
   private[queries] def candidatePairsWith(spark: SparkSession, sfDir: String,
       tables: Seq[Seq[Seq[Double]]], probeMasks: Seq[Long],
-      bucketSalts: Int = 1): DataFrame = {
+      bucketSalts: Int = 1): DataFrame =
+    candidatePairsOver(spark,
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
+      tables, probeMasks, bucketSalts)
+
+  private[queries] def candidatePairsOver(spark: SparkSession, embIn: DataFrame,
+      tables: Seq[Seq[Seq[Double]]], probeMasks: Seq[Long],
+      bucketSalts: Int): DataFrame = {
     require(bucketSalts >= 1, s"bucketSalts must be >= 1, got $bucketSalts")
     org.apache.spark.sql.graft.DotProduct.register(spark)
-    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val emb = embIn.select(col("vec_id"), col("embedding"))
     val e = emb.select(
       col("vec_id") +:
         tables.zipWithIndex.map { case (p, t) =>
