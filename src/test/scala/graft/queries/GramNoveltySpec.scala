@@ -50,4 +50,24 @@ class GramNoveltySpec extends AnyFunSuite {
     // doc 3 shares nothing: zero duplicated positions -> novelty 1e6
     assert(nov(3L)._1 == 21L && nov(3L)._2 == 0L, s"unique doc: ${nov(3L)}")
   }
+
+  test("plan pin: t28's consumer never re-hashes the corpus (the r13 6.85x slope regression)") {
+    // The n_grams branch is greatest(size(tokens)-k+1, 0) — a count, not a
+    // hash pass. Under Bench's shape (hits as a shared stage) the ONLY md5
+    // in the old plan was that wasted per-token hash (tokenHashes =
+    // md5-derived hash60): its reappearance IS the 6.85x slope coming back
+    // (sf1: 7.83s hash pass vs 0.72s count; consumer 8.52s -> 0.31s).
+    graft.Materialize.enable()
+    try {
+      ExactSubstr.hits(spark, TestSpark.sf0001).count() // stage in place
+      val plan = T28GramNovelty.run(spark, TestSpark.sf0001)
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("md5"),
+        "t28's consumer plan hashes tokens again — the r13 slope regression")
+    } finally {
+      graft.Materialize.disable()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+  }
 }
