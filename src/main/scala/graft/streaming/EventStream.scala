@@ -675,4 +675,98 @@ object EventStream {
       .withColumn("contaminated", col("overlap_frac_ub") >= threshold)
       .drop("__c")
   }
+
+  /** CMS row addressing: 4 rows, each reading a different bit-slice of the
+    * 62-bit gram hash (the BloomSliceOffsets trick — the hash is md5-derived,
+    * so slices are independent enough, and NO extra hashing is paid per gram
+    * per row). Max width 2^20 keeps the top slice inside the hash.
+    */
+  private val CmSliceOffsets = Seq(0, 14, 28, 42)
+  private val CmDepth = CmSliceOffsets.size
+
+  /** DISTRIBUTED gram-count count-min build over a reference corpus: every
+    * k-gram occurrence increments one cell per CMS row; the groupBy is
+    * partial-aggregated, so each partition contributes its own depth×width
+    * sub-sketch and the shuffle merges them cell-wise (t15's argument —
+    * ≤ depth·width rows per partition regardless of corpus size). Collected
+    * to the driver as the "model": depth·width longs, e.g. width 2^16 =
+    * 2 MB. Ship it to the stream side via [[noveltyGate]]. Gram hashing is
+    * [[graft.operators.TextOps]]'s own chain at d18's k, so the model and
+    * the batch hits chain cannot disagree about what a gram is.
+    */
+  def gramCountCells(refDocs: DataFrame, width: Int,
+      k: Int = graft.queries.ExactSubstr.k): Array[Long] = {
+    require(width >= 64 && (width & (width - 1)) == 0 && width <= (1 << 20),
+      s"width must be a power of two in [64, 2^20], got $width")
+    import graft.operators.TextOps
+    val addr = explode(array(CmSliceOffsets.zipWithIndex.map { case (o, r) =>
+      struct(lit(r).as("r"),
+        shiftright(col("h"), o).bitwiseAND(width - 1).as("b"))
+    }: _*)).as("rb")
+    val cells = refDocs
+      .select(TextOps.gramHashes(TextOps.tokenHashes(TextOps.tokens(col("text"))), k).as("gh"))
+      .select(explode(col("gh")).as("h"))
+      .select(addr)
+      .select(col("rb.r").as("r"), col("rb.b").as("b"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("cnt"))
+      .collect()
+    val arr = new Array[Long](CmDepth * width)
+    cells.foreach(r => arr(r.getInt(0) * width + r.getLong(1).toInt) = r.getLong(2))
+    arr
+  }
+
+  /** STATELESS streaming novelty gate — t28's per-document gram-novelty
+    * score at ingest time, against a frozen count-min model of the corpus
+    * ([[gramCountCells]]): for each streamed document, the count of gram
+    * positions whose CMS-estimated corpus occurrence is ≥ 2, and the
+    * resulting novelty score on t28's exact 1e6 grid.
+    *
+    * Why CMS instead of the batch join: a stream cannot shuffle against the
+    * corpus-wide gram occurrence frame per micro-batch (d18's `hits` is a
+    * corpus join), but it CAN carry a 2 MB counter array to every task. The
+    * CMS is one-sided the way the contamination Bloom is: estimates only
+    * ever OVER-count, so a truly duplicated position ALWAYS gates as
+    * duplicated — `n_dup_ub` is an upper bound on t28's `n_dup_grams`,
+    * `novelty_lb_e6` a lower bound on `novelty_e6` (a boilerplate document
+    * is never scored novel; false positives deflate novelty by ~the
+    * collision rate and are re-checked by the exact batch t28 offline).
+    * Frozen-model semantics: a NEW document's grams score against the
+    * reference counts — its own occurrences are not in the model, exactly
+    * like contaminationGate. No state store, no watermark, no shuffle — a
+    * pure per-row projection; NoveltyGateStreamSpec pins one-sidedness at a
+    * hostile width, near-parity at a sized width, and exact t28 grid parity
+    * wherever the estimate agrees.
+    *
+    * HOF hygiene: the gram array binds once through a single-element struct
+    * array (the contaminationGate pattern), so the tokenize+hash chain runs
+    * once per document; the per-gram estimate is `least` over CmDepth
+    * `element_at` lookups into the literal cell array — all codegen'd.
+    */
+  def noveltyGate(docs: DataFrame, textCol: String, cmCells: Array[Long],
+      width: Int, k: Int = graft.queries.ExactSubstr.k): DataFrame = {
+    require(cmCells.length == CmDepth * width,
+      s"cmCells has ${cmCells.length} cells; expected ${CmDepth * width}")
+    import graft.operators.TextOps
+    val cellsCol = typedLit(cmCells.toSeq)
+    def est(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      CmSliceOffsets.zipWithIndex.map { case (o, r) =>
+        element_at(cellsCol,
+          (lit(r.toLong * width) + shiftright(h, o).bitwiseAND(width - 1) + 1).cast("int"))
+      }.reduce(least(_, _))
+    val gh = TextOps.gramHashes(TextOps.tokenHashes(TextOps.tokens(col(textCol))), k)
+    val bound = transform(
+      array(struct(gh.as("g"))),
+      p => struct(
+        size(p.getField("g")).as("n"),
+        size(filter(p.getField("g"), x => est(x) >= 2)).as("nd")))
+    docs
+      .withColumn("__n", element_at(bound, 1))
+      .withColumn("n_grams", col("__n.n").cast("long"))
+      .withColumn("n_dup_ub", col("__n.nd").cast("long"))
+      .withColumn("novelty_lb_e6",
+        when(col("n_grams") === 0L, 1000000L).otherwise(
+          round((lit(1.0) - col("n_dup_ub").cast("double") / col("n_grams").cast("double")) * 1e6)
+            .cast("long")))
+      .drop("__n")
+  }
 }
