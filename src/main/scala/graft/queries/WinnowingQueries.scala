@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Materialize, Tables}
@@ -24,11 +23,12 @@ import graft.operators.TextOps
   * selected VALUE set is identical and set-level consumers like d20 see
   * exactly the paper's fingerprints.)
   *
-  * Scale shape: gram hashing is executor-local array work (TextOps), the
-  * window min is a per-document window whose partitions are bounded by
-  * document length — one shuffle on doc_id, no corpus-wide state. The
-  * pos-level frame is a Materialize stage (two consumers: t29's per-doc
-  * profile and d20's pair join).
+  * Scale shape: the ENTIRE minima computation is executor-local array work
+  * (TextOps gram hashing + per-row slice/array_min window minima) — ZERO
+  * shuffles; partitioning follows the documents scan. The pos-level frame
+  * is a Materialize stage (two consumers: t29's per-doc profile and d20's
+  * pair join), so the first shuffle anywhere in the winnowing family is
+  * t29's own groupBy / d20's fingerprint join.
   */
 private[graft] object Winnowing {
   /** Gram size in word tokens (k) and window width in grams (w): a match
@@ -49,16 +49,33 @@ private[graft] object Winnowing {
       minimaOn(Tables.documents(spark, sfDir)))
 
   def minimaOn(docs: DataFrame): DataFrame = {
-    val occ = docs
-      .select(col("doc_id"),
-        TextOps.gramHashes(TextOps.tokenHashes(TextOps.tokens(col("text"))), k).as("gh"))
-      .select(col("doc_id"), posexplode(col("gh")).as(Seq("p0", "h")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(-(w - 1), 0)
-    occ.withColumn("wm", min(col("h")).over(win))
-      .filter(col("pos") >= w)
-      .select(col("doc_id"), col("pos"), col("wm"))
+    // SHUFFLE-FREE (round 14): winnowing is a per-document computation, so
+    // the window minima are computed INSIDE the row with array combinators
+    // (slice + array_min per window position) instead of a doc_id-
+    // partitioned SQL window — the round-13 form shuffled the entire
+    // pos-exploded gram frame (2.25M rows at the sf1 probe) just to sort
+    // each doc's own grams back together. Executor-local projection; the
+    // gram array binds ONCE through a single-element array (the TextOps
+    // CollapseProject discipline — size() and the transform both read the
+    // bound variable, so the md5 token-hash chain runs once per doc).
+    // WinnowGateStreamSpec had already proven the two formulations
+    // bit-equal; the DuckDB oracle keeps the window formulation, so the
+    // hash gate now pins the equivalence every round. Measured at the sf1
+    // probe: stage build 16.8 s (window form, SCALE_SLOPE_r14) → 14.8 s —
+    // the md5 gram-hash chain and the stage write dominate the build, so
+    // removing the shuffle trims ~12% of wall; the structural win is the
+    // plan (zero exchanges before the stage — Round13PlanSpec pins NO
+    // window operator — and at cluster scale the avoided 2.25M-row/probe
+    // corpus shuffle is network, not local disk).
+    val gh = TextOps.gramHashes(TextOps.tokenHashes(TextOps.tokens(col("text"))), k)
+    val minsArr = flatten(transform(array(gh), a =>
+      when(size(a) >= w,
+        transform(sequence(lit(w), size(a)), p =>
+          array_min(slice(a, p - (w - 1), lit(w)))))
+        .otherwise(array().cast("array<bigint>"))))
+    docs
+      .select(col("doc_id"), posexplode(minsArr).as(Seq("i", "wm")))
+      .select(col("doc_id"), (col("i") + w).cast("long").as("pos"), col("wm"))
   }
 
   /** CTE chain ending in `${p}wmn(doc_id, pos, wm)` — the DuckDB mirror of

@@ -18,14 +18,15 @@ class Round13PlanSpec extends AnyFunSuite {
     p
   }
 
-  test("t29: the winnow window partitions by doc_id — never a corpus-wide window") {
+  test("t29: the winnow minima are executor-local — NO window operator at all (round-14 strengthening)") {
+    // Round 13 pinned "window partitioned by doc_id"; round 14 removed the
+    // window entirely (per-row slice/array_min combinators — winnowing is
+    // per-document, so no shuffle is ever needed for the minima). A
+    // windowspecdefinition reappearing here is the corpus-wide gram shuffle
+    // coming back.
     val p = plan(T29Winnowing)
-    val windowLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(windowLines.nonEmpty, s"expected the winnow min-window in:\n$p")
-    windowLines.foreach { l =>
-      assert(l.contains("doc_id"),
-        s"winnow window not doc_id-partitioned (single-partition sort at scale): $l")
-    }
+    assert(!p.contains("windowspecdefinition"),
+      s"t29 reacquired a SQL window — the minima should be per-row array work:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"t29 acquired a non-keyed join:\n$p")
   }
