@@ -31,10 +31,17 @@ import pyarrow.parquet as pq
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC = "/root/testdata/sf0.1"
-OUT = os.path.join(REPO, "scaledata", "sf1")
-N_DOCS = 50_000     # 10x sf0.1
-N_VECS = 20_000     # 10x sf0.1
-SEED = 4242
+# Default: the sf1-equivalent decade. `gen_scale.py sf10` (round 14)
+# generates a THIRD document decade — 500k docs — for the doc-chain slope
+# experiment only; embeddings stay at 20k (the emb chains' honest cost is
+# output-quadratic by fixture construction, so a 200k-vector decade would
+# burn hours re-measuring a known fixture property — the sf10 run excludes
+# them and scale_slope_decade.py judges doc chains alone).
+_TIER = (os.sys.argv[1] if len(os.sys.argv) > 1 else "sf1")
+_TIERS = {"sf1": (50_000, 20_000), "sf10": (500_000, 20_000)}
+OUT = os.path.join(REPO, "scaledata", _TIER)
+N_DOCS, N_VECS = _TIERS[_TIER]
+SEED = 4242 if _TIER == "sf1" else 42420
 
 
 def main():
