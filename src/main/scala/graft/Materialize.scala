@@ -94,6 +94,14 @@ object Materialize {
   @volatile private var root: Option[java.io.File] = None
   private val builds = scala.collection.concurrent.TrieMap.empty[String, Double]
   private val keyLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
+  // Per-thread stack of nested-build accumulators: a stage whose builder
+  // requests another stage (d16_clusters' builder requests
+  // d16_verified_pairs) runs the child's build INSIDE its own timer; each
+  // frame accumulates the inclusive spans of builds executed beneath it so
+  // the enclosing build can record exclusive self time.
+  private val nestedFrames = new ThreadLocal[java.util.ArrayDeque[java.lang.Double]] {
+    override def initialValue() = new java.util.ArrayDeque[java.lang.Double]()
+  }
   private val TokenFile = "_GRAFT_TOKEN"
   private val KeyFile = "_GRAFT_KEY"
 
@@ -177,7 +185,15 @@ object Materialize {
 
   def enabled: Boolean = root.isDefined
 
-  /** One-time build wall-clock per `name@srcDir`, seconds. */
+  /** One-time build wall-clock per `name@srcDir`, seconds — EXCLUSIVE
+    * (self) time: a build that triggers a nested stage build records its
+    * own cost NET of the child's, the child records its own row, and the
+    * map's values sum to true build wall with no double counting.
+    * (Round 14: previously inclusive — the d16_clusters row carried the
+    * whole pairs build whenever the cluster stage was requested first,
+    * which is run-shape-dependent and produced the r13 "85.6 s
+    * propagation" misreading; exclusive rows are comparable across runs.)
+    */
   def buildCosts: Map[String, Double] = builds.toMap
 
   private def slug(s: String) = s.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -288,9 +304,28 @@ object Materialize {
               "iteration cap — capped runs must not publish shared artifacts " +
               "(the stage key does not include the cap)")
           keyLocks.getOrElseUpdate(dirName, new Object).synchronized {
-            buildAndPublish(r, dir, dirName,
-              Some(s"$name\n$srcDir\n$mtime\n"))(build).foreach { secs =>
-              builds(s"$name@$srcDir") = secs
+            // EXCLUSIVE attribution (see buildCosts): push a fresh nested-
+            // time accumulator for the span of this build; children add
+            // their inclusive spans to it; this build records its own time
+            // net of them and charges its full span to ITS parent frame.
+            val frames = nestedFrames.get()
+            frames.push(0.0)
+            var res: Option[Double] = None
+            try {
+              res = buildAndPublish(r, dir, dirName,
+                Some(s"$name\n$srcDir\n$mtime\n"))(build)
+            } finally {
+              val childSecs: Double = frames.pop()
+              res match {
+                case Some(secs) =>
+                  builds(s"$name@$srcDir") = secs - childSecs
+                  if (!frames.isEmpty) frames.push(frames.pop() + secs)
+                case None =>
+                  // lost the race (or threw): our own wall is recorded
+                  // nowhere, but child rows we DID execute sit inside the
+                  // ancestor's timer and must still be subtracted there
+                  if (!frames.isEmpty) frames.push(frames.pop() + childSecs)
+              }
             }
           }
         }

@@ -7,12 +7,15 @@ import org.apache.spark.sql.SparkSession
   * chain under an enabled Materialize at Bench's config (local[N],
   * shuffle=N, AQE on) over the given dir and prints the per-stage build
   * costs. ATTRIBUTION: the pairs stage builds NESTED inside the clusters
-  * build here (fresh Materialize root, clusters requested first), so the
-  * d16_clusters row is INCLUSIVE — propagation cost = clusters row minus
-  * pairs row (see ConnectedComponents' scaladoc; the r13 verdict's
-  * "85.6 s propagation" read the same nested number as exclusive). The CC
-  * logger is raised to INFO so the per-round delta sizes (the convergence
-  * trace) land in the output.
+  * build here (fresh Materialize root, clusters requested first). Since
+  * round 14 [[graft.Materialize.buildCosts]] records EXCLUSIVE self time,
+  * so the d16_clusters row IS the propagation cost directly (measured
+  * ~5.5 s at the sf1 probe on the delta form). Historical rows
+  * (SCALE_SLOPE_r13 and earlier, and this probe's first run) were
+  * inclusive — the r13 verdict's "85.6 s propagation" read such a nested
+  * number as exclusive; subtract the pairs row when comparing against
+  * them. The CC logger is raised to INFO so the per-round delta sizes
+  * (the convergence trace) land in the output.
   */
 object CcProbe {
   def main(args: Array[String]): Unit = {

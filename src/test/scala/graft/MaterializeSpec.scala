@@ -224,4 +224,34 @@ class MaterializeSpec extends AnyFunSuite {
     val ex = intercept[IllegalStateException](Materialize.enableAt(root, "release-2"))
     assert(ex.getMessage.contains("release-1") && !Materialize.enabled)
   }
+
+  test("buildCosts are EXCLUSIVE: a nested stage's time never lands in its parent's row") {
+    // d16_clusters-shape: the parent stage's builder requests a child stage
+    // inside its own build scope. The child's 500 ms must appear in the
+    // CHILD row only — the parent's row is its self time, even though the
+    // parent's wall span necessarily contained the child's. (Round 14: the
+    // inclusive form made the parent row run-shape-dependent — the r13
+    // "85.6 s propagation" misreading.)
+    import org.apache.spark.sql.functions._
+    assert(!Materialize.enabled)
+    Materialize.enable()
+    try {
+      val src = TestSpark.sf0001
+      def child = {
+        Thread.sleep(500)
+        spark.range(3).toDF("id")
+      }
+      def parent = Materialize.table(spark, "excl_child", src)(child)
+        .withColumn("y", col("id") + 1)
+      Materialize.table(spark, "excl_parent", src)(parent).count()
+      val costs = Materialize.buildCosts.map { case (k, v) => k.takeWhile(_ != '@') -> v }
+      assert(costs("excl_child") >= 0.45,
+        s"child row lost its own sleep: ${costs("excl_child")}")
+      assert(costs("excl_parent") < 0.45,
+        s"parent row still carries the nested child build: ${costs("excl_parent")}")
+    } finally {
+      Materialize.disable()
+      spark.catalog.clearCache()
+    }
+  }
 }
