@@ -21,8 +21,22 @@ object Portable {
 
   /** 60-bit non-negative hash: first 15 hex chars of md5, as a long.
     * DuckDB equivalent: `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`.
+    *
+    * Routed through the native [[org.apache.spark.sql.graft.Md5Hash60]]
+    * expression since round 15: bit-identical values (the 15 hex chars ARE
+    * the digest's top 60 bits), but computed straight from the digest —
+    * no 32-char hex string, substring copy, or radix re-parse per call.
+    * This is the hottest scalar in the engine (once per token in every
+    * shingle/gram/winnow chain); Md5Hash60Spec pins equality against the
+    * composed `conv(substring(md5(..),1,15),16,10)` form.
     */
   def hash60(c: Column): Column =
+    org.apache.spark.sql.graft.Md5Hash60.hash60Col(c)
+
+  /** The pre-round-15 composed-builtins form of [[hash60]] — kept as the
+    * equality witness Md5Hash60Spec compares against.
+    */
+  private[graft] def hash60Composed(c: Column): Column =
     conv(substring(md5Hex(c), 1, 15), 16, 10).cast(LongType)
 
   /** Seeded member of a 60-bit hash family (for minhash/LSH). */

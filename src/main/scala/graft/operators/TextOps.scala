@@ -155,6 +155,19 @@ object TextOps {
     */
   def gramHashes(ht: Column, k: Int): Column = {
     require(k >= 2, s"gramHashes requires k >= 2, got $k")
+    // Round 15: routed through the native rolling expression — the O(tokens)
+    // form this scaladoc previously only described. Values are bit-identical
+    // (GramHashSpec pins equality against [[gramHashesComposed]] including
+    // the empty-array-for-short/null-input contract); the per-window
+    // 2×O(k) slice folds become one O(1) rolling update.
+    org.apache.spark.sql.graft.GramHash.gramHashCol(ht, k)
+  }
+
+  /** The pre-round-15 built-ins form of [[gramHashes]] — kept as the
+    * equality witness GramHashSpec compares the native expression against.
+    */
+  private[graft] def gramHashesComposed(ht: Column, k: Int): Column = {
+    require(k >= 2, s"gramHashesComposed requires k >= 2, got $k")
     def inner(a: Column): Column = {
       val m = size(a) - (k - 1)
       val window = (i: Column) => slice(a, i, lit(k))
