@@ -97,6 +97,16 @@ object Bench {
       // decision"); SPARK_GRAFT_AQE=false re-runs the whole bench without
       // adaptive execution for an A/B.
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // Join strategy: Spark's sort-merge default, DELIBERATELY kept after
+      // a measured A/B (round 15): preferSortMergeJoin=false +
+      // maxShuffledHashJoinLocalMapThreshold=64m — the optimization guide's
+      // §9 baseline — ran the 16 join-heaviest queries 15-20% SLOWER here
+      // (subset 25.7s → 30.5s, builds 27.0s → 32.2s at sf0.1/local[32]):
+      // per-partition hash-map builds cost more than the avoided sorts on
+      // AQE-coalesced partitions of this size. Override via
+      // SPARK_GRAFT_PREFER_SMJ=false to re-run that A/B.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Shared-stage materialization (graft.Materialize): on by default, so
@@ -369,8 +379,14 @@ object Bench {
         b <- baseRows.get(n)
       } yield f""""$n":{"sec":$m,"baseline":$b,"ratio":${m / b}%.3f}"""
     }.mkString("{", ",", "}")
+    // Key order is deliberate (round 15, VERDICT r14 #4): the driver
+    // captures only the final 2 kB of stdout, and this line exceeds 2 kB
+    // (159 queries + the slope block), so the bulky maps go FIRST and the
+    // headline scalars (value/failed/slope_red) go LAST — the captured tail
+    // then always contains the numbers a reader needs. Still exactly ONE
+    // JSON line with the same fields; JSON key order carries no meaning.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"shared":$sharedJson,"sentinels":$sentinels,"slope":$slopeJson,"slope_red":$slopeRedJson,"sf":"$sfDir"}"""
+      s"""{"sf":"$sfDir","reps":$reps,"shared":$sharedJson,"sentinels":$sentinels,"slope":$slopeJson,"queries":$qs,"metric":"total","unit":"sec","slope_red":$slopeRedJson,"failed":$failed,"value":$total}"""
     println(line)
     val outDir = sys.env.get("SPARK_GRAFT_OUT").filter(_.nonEmpty)
     val outPath = Paths.get(outDir.getOrElse("."), "bench.json")

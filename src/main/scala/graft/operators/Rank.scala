@@ -26,8 +26,17 @@ object Rank {
     * Bench/Verify discipline.
     */
   def globalRowNumber(df: DataFrame, sortCols: Seq[Column], parts: Int): DataFrame = {
+    // Persist the INPUT, not just the ranged output (round 15):
+    // repartitionByRange's RangePartitioner SAMPLES its child by executing
+    // the child RDD in full before the exchange runs it again — an
+    // un-persisted upstream chain (t19's bigram-LM scoring, p16's pack
+    // chain) therefore executed twice per rank, once for boundaries and
+    // once for data. Caching the input turns the sampler pass into the
+    // cache fill and the exchange into a cache read. Idempotent when the
+    // caller already persisted its frame (Spark no-ops a second persist).
+    val src = graft.CacheScope.persisted(df)
     val ranged = graft.CacheScope.persisted(
-      df.repartitionByRange(parts, sortCols: _*)
+      src.repartitionByRange(parts, sortCols: _*)
         .withColumn("__pid", spark_partition_id()))
     val cnts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

@@ -59,16 +59,31 @@ object V6LabelPropagation extends GraftQuery {
     val argmax = Window.partitionBy(col("vec_id"))
       .orderBy(col("votes").desc, col("label").asc)
     var labels = graft.CacheScope.persisted(seeds)
+    // DELTA vote join (round 15): the vote side joins only the PREVIOUS
+    // round's newly-labeled nodes, not the whole label table — and this is
+    // EXACT, not an approximation: the clamp rule labels every node with
+    // ≥ 1 labeled neighbour, so a node still unlabeled at the start of
+    // round r had zero neighbours labeled before round r−1 (any such
+    // neighbour would have labeled it in an earlier round) — its labeled
+    // neighbours are therefore exactly the round-(r−1) cohort, and the
+    // per-(node, label) vote counts over that cohort equal the full-table
+    // counts. The anti-join clamp still checks the FULL label table. Same
+    // fixpoint, same per-round assignments, same `round` provenance; the
+    // per-round join mass drops from O(all labels) to O(last round's
+    // additions) — the ConnectedComponents delta argument applied to
+    // propagation votes.
+    var prevNewly = labels
     for (r <- 1 to rounds) {
-      val newly = edges
-        .join(labels.select(col("vec_id").as("src"), col("label")), "src")
+      val newly = graft.CacheScope.persisted(edges
+        .join(prevNewly.select(col("vec_id").as("src"), col("label")), "src")
         .join(labels.select(col("vec_id").as("dst")), Seq("dst"), "left_anti")
         .groupBy(col("dst").as("vec_id"), col("label"))
         .agg(count(lit(1)).as("votes"))
         .withColumn("rn", row_number().over(argmax))
         .filter(col("rn") === 1)
-        .select(col("vec_id"), col("label"), lit(r).as("round"))
+        .select(col("vec_id"), col("label"), lit(r).as("round")))
       labels = graft.CacheScope.persisted(labels.union(newly))
+      prevNewly = newly
     }
     labels
   }

@@ -184,7 +184,11 @@ object Q6KMeansSeed extends GraftQuery {
     // scale-unsafe window.
     val sortKey = Seq(col("norm"), col("l_orderkey"), col("l_linenumber"))
     val parts = spark.sparkContext.defaultParallelism
-    val ranged = graft.CacheScope.persisted(f.withColumn("norm", norm)
+    // Round 15: persist the input — the range sampler otherwise executes
+    // the un-persisted child once more before the exchange (the
+    // Rank.globalRowNumber fix applied here).
+    val normed = graft.CacheScope.persisted(f.withColumn("norm", norm))
+    val ranged = graft.CacheScope.persisted(normed
       .repartitionByRange(parts, sortKey: _*)
       .withColumn("pid", spark_partition_id()))
     val cnts = ranged.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))

@@ -64,6 +64,11 @@ object P2SequencePack extends GraftQuery {
     // range sampler picks, because the key is a total order).
     // Persisted because two jobs read it (the O(P) totals, then the ranked
     // output); unpersisted by the caller's sweep (runManaged/Bench/Verify).
+    // Round-15 note: persisting `toks` before the range exchange (the
+    // Rank.globalRowNumber fix) was MEASURED A/B here and reverted — pack
+    // inputs are stage reads or narrow projections, so the extra cache
+    // materialization pass cost more than the sampler's re-execution saves
+    // (p9/p10 consumers +0.5-0.9 s at sf0.1).
     val ranged = graft.CacheScope.persisted(
       toks.repartitionByRange(partitions, col("h").asc, col("doc_id").asc)
         .withColumn("pid", spark_partition_id()))

@@ -58,16 +58,20 @@ object S7AnnPq extends GraftQuery {
     * per-element x/‖x‖ is the same IEEE division the oracle's
     * list_transform performs.
     */
-  private def normalized(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  private def normalized(spark: SparkSession, sfDir: String): DataFrame =
+    // Round 15: pure projection instead of the typed .map closure — the
+    // closure ran outside whole-stage codegen (deserialize → Scala lambda →
+    // reserialize per row) AND blocked predicate pushdown through
+    // MapElements, so codebook()'s vec_id filter deserialized the whole
+    // corpus to collect K rows. Same arithmetic, bit-identical doubles
+    // (x / nrm is the identical IEEE divide); nrm is a plain attribute
+    // reference inside the lambda, so nothing expensive re-evaluates per
+    // element (the TextOps binding rule).
     Tables.embeddings(spark, sfDir).select(
       col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("ed"),
       VectorOps.norm(col("embedding"), d).as("nrm"))
-      .as[(Long, Array[Double], Double)]
-      .map { case (id, arr, nrm) => (id, arr.map(_ / nrm)) }
-      .toDF("vec_id", "en")
-  }
+      .select(col("vec_id"), transform(col("ed"), x => x / col("nrm")).as("en"))
 
   /** The pinned codebook as a broadcastable frame (m, k, cv: array<double>),
     * cv = subspace-m slice of pinned vector centLo+k. Collected once — M·K

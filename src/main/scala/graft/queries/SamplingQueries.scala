@@ -273,8 +273,13 @@ object V4LabelSilhouette extends GraftQuery {
     // comparisons and an argmax, so a summation-order ulp flipping round-6
     // at a grid midpoint would silently change nearest_other (the t17
     // failure mode; Rounding.exactAvg scaladoc).
-    val conf = e.crossJoin(broadcast(cents))
-      .select(col("label"), col("clabel"), round(dot / (nv * nc), 6).as("cos"))
+    // Round 15: the vector's own norm is label-independent, so it is
+    // computed ONCE per embedding row before the |labels|-way fan-out
+    // instead of once per (row, label) pair — identical IEEE expression,
+    // just hoisted below the cross join (same sqrt-of-sum chain, so the
+    // rounded cosine is bit-identical).
+    val conf = e.withColumn("__nv", nv).crossJoin(broadcast(cents))
+      .select(col("label"), col("clabel"), round(dot / (col("__nv") * nc), 6).as("cos"))
       .groupBy(col("label"), col("clabel"))
       .agg(graft.functions.Rounding.exactAvg(col("cos"), 6).as("mcos"))
     val own = conf.filter(col("label") === col("clabel"))

@@ -410,16 +410,23 @@ object EventStream {
     val wmins = expr(
       s"transform(sequence($w, size(__gh)), p -> array_min(slice(__gh, p - ${w - 1}, $w)))")
     val fps = array_distinct(col("__wmins"))
+    // Every profile column is guarded by the SAME `size(__gh) >= w`
+    // predicate (round-15 ADVICE fix): the previous form stamped
+    // n_windows/n_fp/density via size(null), which is null only under
+    // non-legacy sizeOfNull semantics — with
+    // spark.sql.legacy.sizeOfNull=true they silently became -1/-1/1.0.
+    // The explicit guard makes the stamped-null contract config-independent.
+    val full = size(col("__gh")) >= w
     docs
       .withColumn("__gh", gh)
-      .withColumn("__wmins", when(size(col("__gh")) >= w, wmins))
-      .withColumn("n_grams", when(size(col("__gh")) >= w, size(col("__gh")).cast("long")))
-      .withColumn("n_windows", size(col("__wmins")).cast("long"))
-      .withColumn("n_fp", size(fps).cast("long"))
+      .withColumn("__wmins", when(full, wmins))
+      .withColumn("n_grams", when(full, size(col("__gh")).cast("long")))
+      .withColumn("n_windows", when(full, size(col("__wmins")).cast("long")))
+      .withColumn("n_fp", when(full, size(fps).cast("long")))
       .withColumn("fp_digest",
         expr("aggregate(array_distinct(__wmins), 0L, (acc, x) -> acc ^ x)"))
       .withColumn("density",
-        round(col("n_fp").cast("double") / col("n_windows"), 6))
+        when(full, round(col("n_fp").cast("double") / col("n_windows"), 6)))
       .drop("__gh", "__wmins")
   }
 
