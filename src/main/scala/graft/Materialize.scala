@@ -169,7 +169,16 @@ object Materialize {
             val lines = Files.readAllLines(kf.toPath)
             lines.size >= 3 && new java.io.File(lines.get(1)).lastModified() != lines.get(2).toLong
           } catch { case scala.util.control.NonFatal(_) => false }
-          if (stale) deleteRecursively(d)
+          // Grace window (round-15 ADVICE fix): a stage published within
+          // the last hour may still be read by a concurrently RUNNING
+          // process whose DataFrames were constructed before the source
+          // regeneration — deleting it mid-run turns that process's lazy
+          // actions into FileNotFoundExceptions. Stale dirs older than the
+          // window are safe litter (the re-keyed readers can never resolve
+          // them); younger ones are left for the next enableAt sweep.
+          if (stale &&
+              System.currentTimeMillis() - d.lastModified() > 60L * 60 * 1000)
+            deleteRecursively(d)
         } else if (d.getName.startsWith(".build_") &&
             System.currentTimeMillis() - d.lastModified() > 60L * 60 * 1000) {
           deleteRecursively(d)
@@ -193,6 +202,15 @@ object Materialize {
     * whole pairs build whenever the cluster stage was requested first,
     * which is run-shape-dependent and produced the r13 "85.6 s
     * propagation" misreading; exclusive rows are comparable across runs.)
+    *
+    * SAME-THREAD ASSUMPTION (round-15 ADVICE note): the exclusive
+    * attribution rides a ThreadLocal frame stack, so it is correct only
+    * while nested stage builds execute on the REQUESTING thread — which
+    * every current builder does (table() runs the child build inside the
+    * parent's call). A future builder that materializes a child on another
+    * thread, or blocks on another thread's in-flight build via the key
+    * lock, would charge that wall to its own row, silently reintroducing
+    * the inclusive double-counting this design removed.
     */
   def buildCosts: Map[String, Double] = builds.toMap
 

@@ -36,10 +36,14 @@ object T18SourceOverlap extends GraftQuery {
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     // (source, shingle-hash) distinct sets; one exploded frame feeds both
     // the join sides and the per-source totals, so shingling runs once.
+    // Round 15: `source` rides the shingle projection itself instead of a
+    // second documents scan re-joined on doc_id — one less scan and one
+    // less join for the identical distinct (source, sh) set.
+    val docs = Tables.documents(spark, sfDir)
     val ss = graft.CacheScope.persisted(
-      TextOps.shingleHashSets(Tables.documents(spark, sfDir))
-        .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("source")), "doc_id")
-        .select(col("source"), explode(col("shs")).as("sh"))
+      docs.select(col("source"), TextOps.tokenHashes(TextOps.tokens(col("text"))).as("ht"))
+        .select(col("source"),
+          explode(array_distinct(TextOps.shingleHashes(col("ht"), 3))).as("sh"))
         .distinct())
     val totals = ss.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
     val shared = ss.alias("a")

@@ -175,6 +175,16 @@ class MaterializeSpec extends AnyFunSuite {
     // regenerate the input in place: the stage re-keys (tripwire), and the
     // next enableAt must GC the orphan old-mtime dir instead of hoarding it
     assert(src.setLastModified(src.lastModified() + 7000))
+    // Grace window (round 15): a stale dir YOUNGER than the window is left
+    // alone — a concurrently running process may still be reading it.
+    Materialize.enableAt(root, "rel-gc")
+    Materialize.disable()
+    assert(root.listFiles().count(_.getName.startsWith("gc_stage")) == 1,
+      "young stale stage dir swept inside the grace window")
+    // Age the orphan past the window: now it is safe litter and must go.
+    root.listFiles().filter(_.getName.startsWith("gc_stage")).foreach { d =>
+      assert(d.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    }
     Materialize.enableAt(root, "rel-gc")
     try {
       assert(root.listFiles().count(_.getName.startsWith("gc_stage")) == 0,
