@@ -64,14 +64,19 @@ object S7AnnPq extends GraftQuery {
     // reserialize per row) AND blocked predicate pushdown through
     // MapElements, so codebook()'s vec_id filter deserialized the whole
     // corpus to collect K rows. Same arithmetic, bit-identical doubles
-    // (x / nrm is the identical IEEE divide); nrm is a plain attribute
-    // reference inside the lambda, so nothing expensive re-evaluates per
-    // element (the TextOps binding rule).
+    // (x / n is the identical IEEE divide). The norm is BOUND as a lambda
+    // variable through a single-element array (the TextOps binding rule):
+    // a plain two-projection form lets CollapseProject inline the 64-term
+    // sqrt tree into the divide lambda, re-evaluating it PER ELEMENT —
+    // measured s7 1.19 s → 3.01 s before this binding; the transform
+    // TARGET (`ed`) is evaluated once per row, so it needs no binding.
     Tables.embeddings(spark, sfDir).select(
       col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("ed"),
       VectorOps.norm(col("embedding"), d).as("nrm"))
-      .select(col("vec_id"), transform(col("ed"), x => x / col("nrm")).as("en"))
+      .select(col("vec_id"),
+        flatten(transform(array(col("nrm")), n =>
+          transform(col("ed"), x => x / n))).as("en"))
 
   /** The pinned codebook as a broadcastable frame (m, k, cv: array<double>),
     * cv = subspace-m slice of pinned vector centLo+k. Collected once — M·K
