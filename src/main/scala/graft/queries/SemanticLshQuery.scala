@@ -247,8 +247,16 @@ object D16SemanticLshClusters extends GraftQuery {
     // multiplies every vector |tables|×|probes| times and the bucket join
     // multiplies again by bucket occupancy, so the embedding payload must
     // not ride through either (the d11 "payload never shuffles" rule).
-    val nLong = e.select(col("vec_id"), tb)
-      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    // PERSISTED (round 15): both join sides — the probe explode and the
+    // bucket side — derive from this frame through DIFFERENT exchanges
+    // ((t, probe) vs (t, bucket)), so without the cache the 48-hyperplane
+    // bucket projection over the embeddings scan executed TWICE per build
+    // (~0.7 s per pass at sf0.1, D16StageProbe). The frame is n·|tables|
+    // rows of three longs — the standard multi-consumer persist (the
+    // t8/d4 rule), tiny at any corpus size relative to the scan it saves.
+    val nLong = graft.CacheScope.persisted(
+      e.select(col("vec_id"), tb)
+        .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket")))
     val probes = explode(array(probeMasks.map(m =>
       col("bucket").bitwiseXOR(lit(m))): _*))
     val pLong = nLong
