@@ -248,16 +248,21 @@ class MaterializeSpec extends AnyFunSuite {
     try {
       val src = TestSpark.sf0001
       def child = {
-        Thread.sleep(500)
+        Thread.sleep(2000)
         spark.range(3).toDF("id")
       }
       def parent = Materialize.table(spark, "excl_child", src)(child)
         .withColumn("y", col("id") + 1)
       Materialize.table(spark, "excl_parent", src)(parent).count()
       val costs = Materialize.buildCosts.map { case (k, v) => k.takeWhile(_ != '@') -> v }
-      assert(costs("excl_child") >= 0.45,
+      // Round 15: thresholds widened around a 2 s child sleep — the old
+      // 500 ms / 0.45 s pair flaked when the parent's own ~50 ms of work
+      // measured >0.45 s under full-suite load (timing assertion, not a
+      // logic change; an inclusive-attribution bug would put the parent at
+      // >= 2 s, far above the 1 s bound).
+      assert(costs("excl_child") >= 1.8,
         s"child row lost its own sleep: ${costs("excl_child")}")
-      assert(costs("excl_parent") < 0.45,
+      assert(costs("excl_parent") < 1.0,
         s"parent row still carries the nested child build: ${costs("excl_parent")}")
     } finally {
       Materialize.disable()
