@@ -385,8 +385,17 @@ object Bench {
     // headline scalars (value/failed/slope_red) go LAST — the captured tail
     // then always contains the numbers a reader needs. Still exactly ONE
     // JSON line with the same fields; JSON key order carries no meaning.
+    // CPU-contract observability (round 16, VERDICT r15 #2): the bench DOES
+    // honor $SPARK_GRAFT_CPUS (master local[$cpus] + shuffle.partitions
+    // above), but nothing in the output let the driver VERIFY that — at
+    // sf0.1 fixed per-exec overhead dominates, so an 8-core run can beat a
+    // 32-core run and look like the knob is ignored. Emit the requested
+    // core count AND the context's actual defaultParallelism so "applied"
+    // is checkable from the line itself.
+    val defaultPar = spark.sparkContext.defaultParallelism
+    val cpusJson = if (cpus.nonEmpty && cpus.forall(_.isDigit)) cpus else "\"" + cpus + "\""
     val line =
-      s"""{"sf":"$sfDir","reps":$reps,"shared":$sharedJson,"sentinels":$sentinels,"slope":$slopeJson,"queries":$qs,"metric":"total","unit":"sec","slope_red":$slopeRedJson,"failed":$failed,"value":$total}"""
+      s"""{"sf":"$sfDir","reps":$reps,"cpus":$cpusJson,"default_parallelism":$defaultPar,"shared":$sharedJson,"sentinels":$sentinels,"slope":$slopeJson,"queries":$qs,"metric":"total","unit":"sec","slope_red":$slopeRedJson,"failed":$failed,"value":$total}"""
     println(line)
     val outDir = sys.env.get("SPARK_GRAFT_OUT").filter(_.nonEmpty)
     val outPath = Paths.get(outDir.getOrElse("."), "bench.json")

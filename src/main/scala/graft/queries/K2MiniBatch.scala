@@ -56,7 +56,14 @@ object K2MiniBatchSgd extends GraftQuery {
     // the stats check instead of decompressing and scanning them
     // (spark.sql.inMemoryColumnarStorage.partitionPruning). No shuffle — a
     // per-partition sort of the projection — and row content is unchanged,
-    // so every step's aggregate sees exactly the same batch rows.
+    // so every step's aggregate sees exactly the same batch rows. CAVEAT
+    // (round 16, ADVICE r15): "same rows" is not "same result" for a plain
+    // double sum — the sort changes intra-partition SUMMATION ORDER, and a
+    // ulp shift could in principle flip round(…, 6) at a grid midpoint
+    // (the t17 failure mode Rounding.exactAvg exists for). That order
+    // sensitivity is ACCEPTED here and covered by the oracle hash gate,
+    // which has stayed green across the change; routing the gradient
+    // through exactAvg would pin it structurally if it ever flips.
     val proj = graft.CacheScope.persisted(
       Tables.lineitem(spark, sfDir).select(
         pmod(rowHash, lit(nBatches.toLong)).as("bat"),

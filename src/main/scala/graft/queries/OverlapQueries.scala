@@ -34,21 +34,30 @@ object T18SourceOverlap extends GraftQuery {
   val describe = "cross-source shingle-containment matrix: fraction of each source's 3-grams present in every other source"
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
-    // (source, shingle-hash) distinct sets; one exploded frame feeds both
-    // the join sides and the per-source totals, so shingling runs once.
     // Round 15: `source` rides the shingle projection itself instead of a
     // second documents scan re-joined on doc_id — one less scan and one
     // less join for the identical distinct (source, sh) set.
+    // Round 16 (guide §2.4): the per-shingle distinct source SET is
+    // collected in ONE grouped pass (collect_set subsumes the old
+    // `.distinct()` — same exchange, same dedup, no second pass), and both
+    // the totals and the full ordered source-pair matrix explode from that
+    // small cached frame — replacing the distinct exchange plus BOTH
+    // self-join sides with a single shuffle of the (source, sh) rows. Per
+    // shingle each source appears once in the set, so the double explode
+    // emits every ordered (a, b) pair — diagonal included — exactly once,
+    // the self-join's multiset.
     val docs = Tables.documents(spark, sfDir)
-    val ss = graft.CacheScope.persisted(
+    val lists = graft.CacheScope.persisted(
       docs.select(col("source"), TextOps.tokenHashes(TextOps.tokens(col("text"))).as("ht"))
         .select(col("source"),
           explode(array_distinct(TextOps.shingleHashes(col("ht"), 3))).as("sh"))
-        .distinct())
-    val totals = ss.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
-    val shared = ss.alias("a")
-      .join(ss.alias("b"), col("a.sh") === col("b.sh"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .groupBy(col("sh")).agg(collect_set(col("source")).as("ss")))
+    val totals = lists.select(explode(col("ss")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+    val shared = lists
+      .select(explode(col("ss")).as("source_a"), col("ss"))
+      .select(col("source_a"), explode(col("ss")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_shared"))
     shared
       .join(broadcast(totals.withColumnRenamed("source", "source_a")), "source_a")
@@ -116,20 +125,28 @@ object D17Containment extends GraftQuery {
   private val jaccardThreshold = 0.3
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
-    // Exploded (doc_id, sh) with document frequency ≤ maxDf; persisted —
-    // it feeds the self-join twice plus the per-doc denominators.
+    // Round 16 (guide §2.4 + §4.1): ONE grouped pass replaces the df-count
+    // join and BOTH self-join sides. Each shingle's distinct doc_id list is
+    // collected once (the (doc_id, sh) frame crosses one exchange instead
+    // of three), the df ≤ maxDf stop-shingle cap becomes a size() filter on
+    // the collected list, and the pair stream is the codegen'd
+    // OrderedPairs × inline generators — the identical pair multiset the
+    // `a.sh = b.sh AND a.doc_id < b.doc_id` join emitted (ids are distinct
+    // per shingle since shs is array_distinct per doc; OrderedPairsSpec
+    // pins the multiset equality). The r15 HOF attempt at this rewrite
+    // lost to interpreted lambdas; the native expression is the fix.
     val ex = graft.CacheScope.persisted(
       TextOps.shingleHashSets(Tables.documents(spark, sfDir))
         .select(col("doc_id"), explode(col("shs")).as("sh")))
-    val informative = ex.join(
-      ex.groupBy(col("sh")).agg(count(lit(1)).as("df")).filter(col("df") <= maxDf),
-      "sh")
-    val inf = graft.CacheScope.persisted(informative.select(col("doc_id"), col("sh")))
-    val sizes = inf.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = inf.alias("a")
-      .join(inf.alias("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val lists = graft.CacheScope.persisted(
+      ex.groupBy(col("sh")).agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) <= maxDf)
+        .select(col("ids")))
+    val sizes = lists.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = lists
+      .select(inline(org.apache.spark.sql.graft.OrderedPairs.orderedPairsCol(col("ids"))))
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     val cA = round(col("n_inter").cast("double") / col("na"), 6)
     val cB = round(col("n_inter").cast("double") / col("nb"), 6)

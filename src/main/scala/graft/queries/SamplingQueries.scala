@@ -198,18 +198,29 @@ object V3CentroidOutliers extends GraftQuery {
   private val k = 20
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
+    // Round 16 (guide §4.1, the DotProduct scaladoc's wide-tree argument):
+    // the unrolled 128-term dot/norm chains (~1 000 Catalyst nodes in one
+    // projection: 128 element_at bounds checks per sum) become three native
+    // dot_product loops. IEEE-identical by the expression's contract — it
+    // accumulates left-to-right from 0.0 (0 + x = x exactly), the same
+    // association as the reduce(_ + _) chains and the oracle's unrolled
+    // SQL — so the rounded cosines are bit-identical. The centroid norm is
+    // hoisted to the |labels|-row centroid frame (once per label, not once
+    // per row — the v4 r15 hoist applied on this side).
     val e = Tables.embeddings(spark, sfDir)
+    val dp = org.apache.spark.sql.graft.DotProduct.dotProductCol _
     val avgs = (0 until d).map(i =>
       Rounding.exactAvg(element_at(col("embedding"), i + 1).cast("double"), 12, 6).as(s"c$i"))
-    val cents = e.groupBy(col("label")).agg(avgs.head, avgs.tail: _*)
-    val dot = (0 until d).map(i =>
-      element_at(col("embedding"), i + 1).cast("double") * col(s"c$i")).reduce(_ + _)
-    val nv = sqrt((0 until d).map(i =>
-      element_at(col("embedding"), i + 1).cast("double") *
-        element_at(col("embedding"), i + 1).cast("double")).reduce(_ + _))
     val nc = sqrt((0 until d).map(i => col(s"c$i") * col(s"c$i")).reduce(_ + _))
-    e.join(broadcast(cents), "label")
-      .select(col("vec_id"), col("label"), (dot / (nv * nc)).as("cos"))
+    val cents = e.groupBy(col("label")).agg(avgs.head, avgs.tail: _*)
+      .select(col("label"),
+        array((0 until d).map(i => col(s"c$i")): _*).as("__carr"), nc.as("__nc"))
+    val ed = col("embedding").cast("array<double>")
+    e.select(col("vec_id"), col("label"), ed.as("__ed"))
+      .join(broadcast(cents), "label")
+      .select(col("vec_id"), col("label"),
+        (dp(col("__ed"), col("__carr")) /
+          (sqrt(dp(col("__ed"), col("__ed"))) * col("__nc"))).as("cos"))
       .orderBy(col("cos").asc, col("vec_id").asc)
       .limit(k)
       .select(col("vec_id"), col("label"), round(col("cos"), 6).as("cosine"))
@@ -258,15 +269,22 @@ object V4LabelSilhouette extends GraftQuery {
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
+    val dp = org.apache.spark.sql.graft.DotProduct.dotProductCol _
     val avgs = (0 until d).map(i =>
       Rounding.exactAvg(element_at(col("embedding"), i + 1).cast("double"), 12, 6).as(s"c$i"))
-    val cents = e.groupBy(col("label").as("clabel")).agg(avgs.head, avgs.tail: _*)
-    val dot = (0 until d).map(i =>
-      element_at(col("embedding"), i + 1).cast("double") * col(s"c$i")).reduce(_ + _)
-    val nv = sqrt((0 until d).map(i =>
-      element_at(col("embedding"), i + 1).cast("double") *
-        element_at(col("embedding"), i + 1).cast("double")).reduce(_ + _))
     val nc = sqrt((0 until d).map(i => col(s"c$i") * col(s"c$i")).reduce(_ + _))
+    // Round 16 (guide §4.1, the v3 move): the unrolled 128-term dot chain —
+    // ~250 Catalyst nodes evaluated once per (row, label) PAIR under the
+    // |labels|-way fan-out — becomes one native dot_product loop, and the
+    // centroid norm moves above the broadcast (once per label, completing
+    // the r15 row-norm hoist symmetrically). IEEE-identical: dot_product
+    // accumulates left-to-right from 0.0 (0 + x = x exactly), the same
+    // association as reduce(_ + _) and the oracle's unrolled SQL, so every
+    // rounded cosine is bit-identical.
+    val cents = e.groupBy(col("label").as("clabel")).agg(avgs.head, avgs.tail: _*)
+      .select(col("clabel"),
+        array((0 until d).map(i => col(s"c$i")): _*).as("__carr"), nc.as("__nc"))
+    val nv = sqrt(dp(col("__ed"), col("__ed")))
     // |labels|² confusion means. The per-row cosine is rounded to the 1e-6
     // grid FIRST (bit-identical across engines — v3's argument), then
     // averaged with the order-independent scaled-long sum: mcos feeds
@@ -275,11 +293,11 @@ object V4LabelSilhouette extends GraftQuery {
     // failure mode; Rounding.exactAvg scaladoc).
     // Round 15: the vector's own norm is label-independent, so it is
     // computed ONCE per embedding row before the |labels|-way fan-out
-    // instead of once per (row, label) pair — identical IEEE expression,
-    // just hoisted below the cross join (same sqrt-of-sum chain, so the
-    // rounded cosine is bit-identical).
-    val conf = e.withColumn("__nv", nv).crossJoin(broadcast(cents))
-      .select(col("label"), col("clabel"), round(dot / (col("__nv") * nc), 6).as("cos"))
+    // instead of once per (row, label) pair.
+    val conf = e.select(col("label"), col("embedding").cast("array<double>").as("__ed"))
+      .withColumn("__nv", nv).crossJoin(broadcast(cents))
+      .select(col("label"), col("clabel"),
+        round(dp(col("__ed"), col("__carr")) / (col("__nv") * col("__nc")), 6).as("cos"))
       .groupBy(col("label"), col("clabel"))
       .agg(graft.functions.Rounding.exactAvg(col("cos"), 6).as("mcos"))
     val own = conf.filter(col("label") === col("clabel"))

@@ -68,11 +68,14 @@ private[graft] object Winnowing {
     // window operator — and at cluster scale the avoided 2.25M-row/probe
     // corpus shuffle is network, not local disk).
     val gh = TextOps.gramHashes(TextOps.tokenHashes(TextOps.tokens(col("text"))), k)
-    val minsArr = flatten(transform(array(gh), a =>
-      when(size(a) >= w,
-        transform(sequence(lit(w), size(a)), p =>
-          array_min(slice(a, p - (w - 1), lit(w)))))
-        .otherwise(array().cast("array<bigint>"))))
+    // Round 16: the per-window `array_min(slice(...))` combinator chain —
+    // O(grams·w) interpreted-HOF work plus one slice allocation per window
+    // — is the native monotonic-deque WindowMin expression, O(grams) total
+    // and inside whole-stage codegen. Bit-identical minima and the same
+    // empty-for-short contract (WindowMinSpec pins both); the single-
+    // element-array binding trick is obsolete here because the expression
+    // references its child exactly once.
+    val minsArr = org.apache.spark.sql.graft.WindowMin.windowMinCol(gh, w)
     docs
       .select(col("doc_id"), posexplode(minsArr).as(Seq("i", "wm")))
       .select(col("doc_id"), (col("i") + w).cast("long").as("pos"), col("wm"))
@@ -162,19 +165,27 @@ object D20WinnowDup extends GraftQuery {
     graft.Materialize.table(spark, "d20_pairs", sfDir)(build(spark, sfDir))
 
   private def build(spark: SparkSession, sfDir: String): DataFrame = {
-    val fp = graft.CacheScope.persisted(
+    // Round 16 (guide §2.4 + §4.1, the d17 rewrite): ONE grouped pass —
+    // collect_set(doc_id) per fingerprint — subsumes the old `.distinct()`
+    // (set semantics), the df count+join (the size() filter), and BOTH
+    // self-join sides; pairs explode from the codegen'd OrderedPairs ×
+    // inline generators. Identical pair multiset (each (doc, fp) pair
+    // contributes once to its fingerprint's set — the join's distinct-
+    // input precondition; OrderedPairsSpec pins the equality) and the
+    // same per-doc denominators.
+    val lists = graft.CacheScope.persisted(
       Winnowing.minima(spark, sfDir)
-        .select(col("doc_id"), col("wm").as("fp")).distinct())
-    val inf = graft.CacheScope.persisted(fp.join(
-      fp.groupBy(col("fp")).agg(count(lit(1)).as("df")).filter(col("df") <= maxDf),
-      "fp").select(col("doc_id"), col("fp")))
-    val sizes = inf.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        .select(col("doc_id"), col("wm").as("fp"))
+        .groupBy(col("fp")).agg(collect_set(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) <= maxDf)
+        .select(col("ids")))
+    val sizes = lists.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val sim = round(col("n_shared").cast("double") /
       (col("n_a") + col("n_b") - col("n_shared")), 6)
-    inf.alias("a")
-      .join(inf.alias("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    lists
+      .select(inline(org.apache.spark.sql.graft.OrderedPairs.orderedPairsCol(col("ids"))))
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")

@@ -406,9 +406,13 @@ object EventStream {
     val gh = TextOps.gramHashes(
       TextOps.tokenHashes(TextOps.tokens(col(textCol))), Winnowing.k)
     // One pass over the gram array per row: minima of each w-wide window,
-    // then set-level profile columns. All codegen'd higher-order functions.
-    val wmins = expr(
-      s"transform(sequence($w, size(__gh)), p -> array_min(slice(__gh, p - ${w - 1}, $w)))")
+    // then set-level profile columns. Round 16: the window minima go
+    // through the native monotonic-deque WindowMin expression (O(grams)
+    // inside codegen, replacing the per-window array_min(slice(...))
+    // combinators — the same swap as the batch Winnowing.minimaOn;
+    // WindowMinSpec pins bit-equality, WinnowGateStreamSpec re-pins t29
+    // parity end to end).
+    val wmins = org.apache.spark.sql.graft.WindowMin.windowMinCol(col("__gh"), w)
     val fps = array_distinct(col("__wmins"))
     // Every profile column is guarded by the SAME `size(__gh) >= w`
     // predicate (round-15 ADVICE fix): the previous form stamped

@@ -91,4 +91,15 @@ object DotProduct {
   /** Column-API entry point; requires [[register]] on the active session. */
   def dotProduct(a: Column, b: Column): Column =
     call_function(FunctionName, a, b)
+
+  /** Registration-free Column entry point (the Md5Hash60.hash60Col /
+    * GramHash.gramHashCol route): builds the expression directly, so query
+    * code can use the fused dot without a register() preamble on the
+    * session — v3/v4's centroid scoring runs from any entry point.
+    */
+  def dotProductCol(a: Column, b: Column): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(
+      DotProduct(
+        org.apache.spark.sql.classic.ExpressionUtils.expression(a),
+        org.apache.spark.sql.classic.ExpressionUtils.expression(b)))
 }

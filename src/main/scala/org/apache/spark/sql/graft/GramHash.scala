@@ -89,12 +89,20 @@ object GramHash {
     val out = new Array[Long](m)
     val pwA = powMod(A, k - 1)
     val pwB = powMod(B, k - 1)
+    // Every loaded token is reduced mod P up front (round 16, ADVICE r15):
+    // the rolling subtract computes (tOut · A^{k−1}) and a raw token ≥ 2^32
+    // would overflow Long there, silently diverging from the composed fold
+    // (which tolerates any ~60-bit token by congruence — its intermediates
+    // stay < 2^63). Reducing first is congruence-neutral ((acc·A + t) ≡
+    // (acc·A + t mod P) mod P), so bit-equality with the witness form now
+    // holds for the full non-negative domain, not just the documented
+    // < 2^31 pre-reduced inputs (GramHashSpec pins a ≥ 2^32 fixture).
     // Fold the first window once, then roll.
     var hA = 0L
     var hB = 0L
     var j = 0
     while (j < k) {
-      val t = ht.getLong(j)
+      val t = ht.getLong(j) % P
       hA = (hA * A + t) % P
       hB = (hB * B + t) % P
       j += 1
@@ -102,8 +110,8 @@ object GramHash {
     out(0) = hA * (P + 1) + hB
     var i = 1
     while (i < m) {
-      val tOut = ht.getLong(i - 1)
-      val tIn = ht.getLong(i + k - 1)
+      val tOut = ht.getLong(i - 1) % P
+      val tIn = ht.getLong(i + k - 1) % P
       var sA = hA - (tOut * pwA) % P
       if (sA < 0) sA += P
       hA = (sA * A + tIn) % P

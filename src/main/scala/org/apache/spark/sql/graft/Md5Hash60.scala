@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
@@ -33,8 +33,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * as the md5 chain. Codegen stays inside whole-stage codegen via a static
   * helper call, the [[SortedContains]] discipline.
   */
+// ExpectsInputTypes, NOT ImplicitCastInputTypes (round 16, ADVICE r15): the
+// composed chain this replaces digested cast(x AS BINARY), so a non-string
+// input implicitly cast to its DECIMAL STRING here would silently hash
+// different bytes than the witness form. All callers pass strings; a
+// non-string input now fails analysis instead of diverging latently
+// (Md5Hash60Spec pins the rejection).
 case class Md5Hash60(child: Expression)
-    extends UnaryExpression with ImplicitCastInputTypes with Serializable {
+    extends UnaryExpression with ExpectsInputTypes with Serializable {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = LongType

@@ -30,6 +30,20 @@ class Md5Hash60Spec extends AnyFunSuite {
     }
   }
 
+  test("non-string input fails analysis instead of hashing its decimal string") {
+    // Round-16 ADVICE fix: the composed witness digests cast(x AS BINARY),
+    // so an implicit non-string→string cast here would hash DIFFERENT
+    // bytes than the witness. The expression now rejects non-string input
+    // at analysis time (ExpectsInputTypes without the implicit cast).
+    import spark.implicits._
+    val df = Seq(42L).toDF("x")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(Portable.hash60(col("x"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("md5_hash60") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+
   test("null propagates as null, like the md5 chain") {
     import spark.implicits._
     val r = Seq(Option.empty[String]).toDF("s")

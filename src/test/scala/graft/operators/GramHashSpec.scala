@@ -56,6 +56,26 @@ class GramHashSpec extends AnyFunSuite {
     assert(r.getSeq[Long](0) == r.getSeq[Long](1))
   }
 
+  test("raw 60-bit tokens (>= 2^32) hash identically to the composed fold") {
+    // Round-16 ADVICE fix: without the mod-P load reduction, the rolling
+    // subtract's (tOut · A^{k−1}) overflowed Long for tokens >= ~2^32 and
+    // silently diverged from the composed fold (whose intermediates stay
+    // < 2^63 for ~60-bit tokens). Equality must now hold on the raw-hash60
+    // domain, not just pre-reduced < 2^31 inputs.
+    import spark.implicits._
+    val big = Seq(
+      (1L << 32) + 7L, (1L << 59) - 1L, (1L << 45) + 12345L, 0L,
+      (1L << 33) + 1L, TextOps.TokenPrime, TextOps.TokenPrime + 1L,
+      (1L << 58) + 99L, 17L, (1L << 40))
+    val df = Seq((1L, big)).toDF("id", "ht")
+    for (k <- Seq(2, 4, 7)) {
+      val r = df.select(
+        TextOps.gramHashes(col("ht"), k).as("native"),
+        TextOps.gramHashesComposed(col("ht"), k).as("composed")).head
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"drift at k=$k on 60-bit tokens")
+    }
+  }
+
   test("hostile values near the modulus roll without overflow divergence") {
     import spark.implicits._
     val p = TextOps.TokenPrime
