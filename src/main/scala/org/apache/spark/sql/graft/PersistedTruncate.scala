@@ -53,10 +53,20 @@ object PersistedTruncate {
       : (DataFrame, RDD[InternalRow]) = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
     val spark = ds.sparkSession
-    // execute() finalizes the AQE plan lazily here; nothing runs until the
-    // caller's materializing action, exactly like the old df.rdd form.
+    // Under AQE the executedPlan is AdaptiveSparkPlanExec — a LeafExecNode
+    // that does NOT override outputPartitioning (it reports the default
+    // UnknownPartitioning even after finalization; Dataset.checkpoint has
+    // the same blind spot). execute() finalizes the adaptive plan — the
+    // intermediate shuffle stages materialize here, as they already did
+    // for the old df.rdd boundary — and the partitioning must then be
+    // read from the FINAL physical plan inside it.
     val physical = ds.queryExecution.executedPlan
     val internal = physical.execute().map(_.copy()).persist(level)
+    val finalPlan = physical match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
     // Dataset.checkpoint's firstLeafPartitioning: a join's output reports a
     // PartitioningCollection; the leaf is the one the new plan can claim.
     def firstLeaf(p: Partitioning): Partitioning = p match {
@@ -66,8 +76,8 @@ object PersistedTruncate {
     val logical = LogicalRDD(
       ds.logicalPlan.output,
       internal,
-      firstLeaf(physical.outputPartitioning),
-      physical.outputOrdering,
+      firstLeaf(finalPlan.outputPartitioning),
+      finalPlan.outputOrdering,
       isStreaming = false,
       stream = None)(spark, None, None)
     (org.apache.spark.sql.classic.Dataset.ofRows(spark, logical), internal)
